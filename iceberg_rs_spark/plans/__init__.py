@@ -1,0 +1,11 @@
+"""The declared query corpus (SURVEY.md §2C) as data.
+
+Importing this package populates the registry in
+``iceberg_rs_spark.plans.corpus`` — each query is a (DataFrame builder,
+DuckDB oracle SQL) pair consumed by ``__spark_entry__`` and the tests.
+"""
+
+from iceberg_rs_spark.plans.corpus import CORPUS, QuerySpec, query  # noqa: F401
+
+# Populate the registry (import order = display order).
+import iceberg_rs_spark.plans.tpch  # noqa: F401,E402
