@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,9 +28,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+#: read it as long ns and rebuild a TIMESTAMP_NTZ truncated to micros.
+#: Truncation (DIV) rather than rounding matches DuckDB's
+#: make_timestamp(epoch_ns(ts)//1000), and interval arithmetic keeps the
+#: conversion timezone-independent (works under any session tz).
+_EVENTS_TS_EXPR = (
+    "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ) + make_dt_interval(0, 0, 0, "
+    "CAST(CAST(ts DIV 1000 AS DECIMAL(25,6)) / 1000000 AS DECIMAL(20,6)))"
+)
+
+#: DuckDB-side equivalent rewrite for oracle SQL (the driver registers
+#: `events` over the raw parquet, so oracles CTE-replace the ts column).
+EVENTS_ORACLE_CTE = (
+    "WITH events AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) "
+    "FROM events)"
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning / predicate pushdown reach
     the parquet scan because this is a plain DataSourceV2 file scan."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,1370 @@
+"""icelake — the versioned table layer, executed by Spark.
+
+This is the runtime for the format the reference models
+(/root/reference/src/model/*.rs): every capability its metadata
+*encodes* is *executed* here (SURVEY.md §2B):
+
+- create table with schema, hidden partitioning, sort order, properties
+- append / overwrite / dynamic-partition overwrite / delete / merge /
+  compact — each commit kind recorded as the matching snapshot
+  ``operation`` (reference snapshot.rs:14-31)
+- schema evolution (add/rename/drop/widen) with field-id-based reads
+  across file generations (reference table.rs:32-34)
+- partition-spec evolution (reference table.rs:36-40)
+- time travel by snapshot id / timestamp, branches & tags with
+  retention, expire-snapshots (reference snapshot.rs:67-103,
+  table.rs:47-59,79)
+- metadata inspection tables: snapshots/history/refs/files/partitions/
+  metadata_log_entries (reference README.md:27)
+
+Storage layout (local FS here; any Hadoop-compatible FS at scale):
+
+    <warehouse>/<namespace>/<name>/
+      metadata/vN.metadata.json     # the v2 document the model parses
+      metadata/version-hint.text    # latest N (fast lookup)
+      metadata/snap-<id>.json       # manifest: data files + stats
+      data/<commit-uuid>/[p=v/...]/part-*.parquet
+
+Scale posture: the query path is metadata-driven — predicates are
+evaluated against partition values and per-file min/max stats *before*
+Spark plans the scan, so a day-partitioned 100 TB table reads only the
+matching files. Commits are optimistic-concurrency (exclusive-create of
+the next metadata version) honoring the ``commit.retry.num-retries``
+table property — the exact property the reference's fixture carries
+(reference table.rs:148-150).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from typing import Iterable
+from urllib.parse import unquote
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.functions.transforms import transform_column
+from iceberg_rs_spark.model import (
+    IceField,
+    IcePrimitive,
+    IceSchema,
+    IceStruct,
+    PartitionField,
+    PartitionSpec,
+    Reference,
+    Snapshot,
+    SortField,
+    SortOrder,
+    TableMetadata,
+    Transform,
+    parse_type,
+    spark_to_ice,
+)
+from iceberg_rs_spark.model.table import MAIN_BRANCH, MetadataLogEntry, SnapshotLogEntry
+from iceberg_rs_spark.model.types import max_field_id
+
+# ---------------------------------------------------------------------------
+# Manifest entries
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataFileEntry:
+    path: str
+    record_count: int
+    file_size_bytes: int
+    schema_id: int
+    spec_id: int
+    partition: dict  # {partition field name: value}
+    stats: dict  # {column: {"min": v, "max": v, "nulls": n}} (JSON-safe)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "record-count": self.record_count,
+            "file-size-bytes": self.file_size_bytes,
+            "schema-id": self.schema_id,
+            "spec-id": self.spec_id,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(obj: dict) -> "DataFileEntry":
+        return DataFileEntry(
+            path=obj["path"],
+            record_count=int(obj["record-count"]),
+            file_size_bytes=int(obj["file-size-bytes"]),
+            schema_id=int(obj["schema-id"]),
+            spec_id=int(obj["spec-id"]),
+            partition=obj.get("partition", {}),
+            stats=obj.get("stats", {}),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer won the optimistic race more times than
+    commit.retry.num-retries allows."""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+
+class Catalog:
+    """A warehouse directory of icelake tables, namespaced two-level
+    (``db.table``) like a Spark catalog."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    def _table_dir(self, identifier: str) -> str:
+        ns, _, name = identifier.rpartition(".")
+        return os.path.join(self.warehouse, ns or "default", name)
+
+    def table_exists(self, identifier: str) -> bool:
+        return os.path.exists(os.path.join(self._table_dir(identifier), "metadata"))
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            f"{namespace}.{t}"
+            for t in os.listdir(ns_dir)
+            if os.path.isdir(os.path.join(ns_dir, t, "metadata"))
+        )
+
+    def create_table(
+        self,
+        identifier: str,
+        schema,  # IceSchema | Spark StructType
+        partition_by: Iterable[tuple[str, str] | str] = (),
+        sort_by: Iterable[tuple[str, str, str, str] | str] = (),
+        properties: dict[str, str] | None = None,
+    ) -> "Table":
+        """Create a table (SURVEY.md §2B row 1).
+
+        ``partition_by``: iterable of ``(column, transform)`` (or bare
+        column = identity), e.g. ``[("ts", "day"), ("user_id",
+        "bucket[16]")]`` — the hidden-partitioning declaration.
+        ``sort_by``: iterable of ``(column, transform, direction,
+        null_order)`` (or bare column = identity asc nulls-first).
+        """
+        if self.table_exists(identifier):
+            raise ValueError(f"table already exists: {identifier}")
+        if not isinstance(schema, IceSchema):
+            struct = spark_to_ice(schema)
+            assert isinstance(struct, IceStruct)
+            schema = IceSchema(schema_id=0, struct=struct)
+        by_name = {f.name: f for f in schema.fields}
+
+        pfields = []
+        next_pfield = 1000  # Iceberg partition-field ids start at 1000
+        for p in partition_by:
+            col, tr = (p, "identity") if isinstance(p, str) else p
+            transform = Transform.parse(tr)
+            if col not in by_name:
+                raise ValueError(f"partition source column not in schema: {col}")
+            suffix = {"identity": ""}.get(transform.kind, f"_{transform.kind}")
+            pfields.append(
+                PartitionField(
+                    source_id=by_name[col].id,
+                    field_id=next_pfield,
+                    name=f"{col}{suffix}",
+                    transform=transform,
+                )
+            )
+            next_pfield += 1
+        spec = PartitionSpec(spec_id=0, fields=tuple(pfields))
+
+        sfields = []
+        for s in sort_by:
+            col, tr, direction, null_order = (
+                (s, "identity", "asc", "nulls-first") if isinstance(s, str) else s
+            )
+            if col not in by_name:
+                raise ValueError(f"sort source column not in schema: {col}")
+            sfields.append(
+                SortField(
+                    source_id=by_name[col].id,
+                    transform=Transform.parse(tr),
+                    direction=direction,
+                    null_order=null_order,
+                )
+            )
+        order = (
+            SortOrder(order_id=1, fields=tuple(sfields)) if sfields else SortOrder(order_id=0)
+        )
+
+        location = self._table_dir(identifier)
+        md = TableMetadata(
+            table_uuid=str(uuid.uuid4()),
+            location=location,
+            last_sequence_number=0,
+            last_updated_ms=_now_ms(),
+            last_column_id=max_field_id(schema.struct),
+            schemas=(schema,),
+            current_schema_id=schema.schema_id,
+            partition_specs=(spec,),
+            default_spec_id=0,
+            last_partition_id=(next_pfield - 1) if pfields else 999,
+            sort_orders=(SortOrder(order_id=0), order) if order.order_id else (order,),
+            default_sort_order_id=order.order_id,
+            properties=dict(properties or {}),
+        )
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        _write_metadata_version(location, 1, md)
+        return Table(self.spark, identifier, location)
+
+    def load_table(self, identifier: str) -> "Table":
+        if not self.table_exists(identifier):
+            raise KeyError(f"no such table: {identifier}")
+        return Table(self.spark, identifier, self._table_dir(identifier))
+
+    def drop_table(self, identifier: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._table_dir(identifier), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Metadata file I/O (optimistic concurrency lives here)
+# ---------------------------------------------------------------------------
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _version_path(location: str, version: int) -> str:
+    return os.path.join(_metadata_dir(location), f"v{version}.metadata.json")
+
+
+def _latest_version(location: str) -> int:
+    hint = os.path.join(_metadata_dir(location), "version-hint.text")
+    start = 0
+    if os.path.exists(hint):
+        try:
+            start = int(open(hint).read().strip())
+        except ValueError:
+            start = 0
+    v = max(start, 1)
+    if not os.path.exists(_version_path(location, v)):
+        v = 0
+        for name in os.listdir(_metadata_dir(location)):
+            m = re.match(r"^v(\d+)\.metadata\.json$", name)
+            if m:
+                v = max(v, int(m.group(1)))
+        if v == 0:
+            raise KeyError(f"no metadata versions at {location}")
+        return v
+    # hint may trail reality; walk forward
+    while os.path.exists(_version_path(location, v + 1)):
+        v += 1
+    return v
+
+
+def _write_metadata_version(location: str, version: int, md: TableMetadata) -> None:
+    """Exclusive-create commit: losing a race raises FileExistsError."""
+    path = _version_path(location, version)
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(md.to_json_str())
+    with open(os.path.join(_metadata_dir(location), "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+# ---------------------------------------------------------------------------
+# Table
+# ---------------------------------------------------------------------------
+
+
+class Table:
+    def __init__(self, spark: SparkSession, identifier: str, location: str):
+        self.spark = spark
+        self.identifier = identifier
+        self.location = location
+
+    # -- metadata ------------------------------------------------------
+
+    @property
+    def metadata(self) -> TableMetadata:
+        v = _latest_version(self.location)
+        return TableMetadata.from_json_str(open(_version_path(self.location, v)).read())
+
+    def schema(self) -> IceSchema:
+        return self.metadata.current_schema()
+
+    def spark_schema(self):
+        return self.schema().to_spark()
+
+    def properties(self) -> dict[str, str]:
+        return dict(self.metadata.properties)
+
+    def set_properties(self, **props: str) -> None:
+        self._commit(lambda md: md.evolve(properties={**md.properties, **{k: str(v) for k, v in props.items()}}))
+
+    def _commit(self, updater) -> TableMetadata:
+        """Optimistic commit loop honoring commit.retry.num-retries
+        (the property the reference's fixture pins, table.rs:148-150)."""
+        md0 = self.metadata
+        retries = int(md0.properties.get("commit.retry.num-retries", "4"))
+        for _ in range(retries + 1):
+            v = _latest_version(self.location)
+            md = TableMetadata.from_json_str(open(_version_path(self.location, v)).read())
+            new_md = updater(md)
+            new_md = new_md.evolve(
+                last_updated_ms=_now_ms(),
+                metadata_log=md.metadata_log
+                + (MetadataLogEntry(_version_path(self.location, v), md.last_updated_ms),),
+            )
+            try:
+                _write_metadata_version(self.location, v + 1, new_md)
+                return new_md
+            except FileExistsError:
+                continue
+        raise CommitConflict(
+            f"commit to {self.identifier} failed after {retries} retries"
+        )
+
+    # -- manifests -----------------------------------------------------
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(_metadata_dir(self.location), f"snap-{snapshot_id}.json")
+
+    def _write_manifest(self, snapshot_id: int, entries: list[DataFileEntry]) -> str:
+        path = self._manifest_path(snapshot_id)
+        with open(path, "w") as f:
+            json.dump({"entries": [e.to_json() for e in entries]}, f)
+        return path
+
+    def _read_manifest(self, snap: Snapshot) -> list[DataFileEntry]:
+        with open(snap.manifest_list) as f:
+            return [DataFileEntry.from_json(e) for e in json.load(f)["entries"]]
+
+    # -- write path ----------------------------------------------------
+
+    def _align(self, df: DataFrame, schema: IceSchema) -> DataFrame:
+        """Project/cast an incoming DataFrame to the declared schema:
+        missing optional columns become null, missing required columns
+        error — the declared-schema discipline of SURVEY.md §1.2."""
+        cols = []
+        have = set(df.columns)
+        for f in schema.fields:
+            spark_t = _spark_type_of(f)
+            if f.name in have:
+                cols.append(F.col(f.name).cast(spark_t).alias(f.name))
+            elif not f.required:
+                cols.append(F.lit(None).cast(spark_t).alias(f.name))
+            else:
+                raise ValueError(f"required column missing from input: {f.name}")
+        return df.select(*cols)
+
+    def _partition_exprs(self, md: TableMetadata) -> list[tuple[str, Column]]:
+        schema = md.current_schema()
+        out = []
+        for pf in md.default_spec().fields:
+            if pf.transform.kind == "void":
+                continue
+            src = schema.field_by_id(pf.source_id)
+            is_string = isinstance(src.type, IcePrimitive) and src.type.name == "string"
+            out.append((pf.name, transform_column(pf.transform, src.name, is_string=is_string)))
+        return out
+
+    def _write_data_files(self, df: DataFrame, md: TableMetadata) -> list[DataFileEntry]:
+        """Write one commit's data files and collect per-file stats.
+
+        Partitioned writes repartition by the derived partition columns
+        (one shuffle → one file per partition per write; AQE coalesces),
+        then apply the table's declared sort order *within* partitions
+        so min/max stats cluster tightly — that is what makes the
+        stats-based file skipping effective at scale.
+        """
+        schema = md.current_schema()
+        df = self._align(df, schema)
+        commit_dir = os.path.join(self.location, "data", uuid.uuid4().hex[:16])
+        pexprs = self._partition_exprs(md)
+        sort_order = md.default_sort_order()
+
+        out = df
+        pnames = [name for name, _ in pexprs]
+        for name, expr in pexprs:
+            out = out.withColumn(name, expr)
+        if pnames:
+            out = out.repartition(*[F.col(n) for n in pnames])
+        if not sort_order.is_unsorted:
+            sort_cols = []
+            for sf in sort_order.fields:
+                src = schema.field_by_id(sf.source_id)
+                is_string = isinstance(src.type, IcePrimitive) and src.type.name == "string"
+                sort_cols.append(sf.apply(transform_column(sf.transform, src.name, is_string=is_string)))
+            out = out.sortWithinPartitions(*sort_cols)
+
+        writer = out.write.mode("append")
+        if pnames:
+            writer = writer.partitionBy(*pnames)
+        writer.parquet(commit_dir)
+
+        return self._collect_entries(commit_dir, md, pnames)
+
+    def _collect_entries(
+        self, commit_dir: str, md: TableMetadata, pnames: list[str]
+    ) -> list[DataFileEntry]:
+        entries = []
+        for root, _dirs, files in os.walk(commit_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, name)
+                partition = _partition_values_from_path(os.path.relpath(root, commit_dir))
+                pf = pq.ParquetFile(path)
+                stats = _file_stats(pf)
+                entries.append(
+                    DataFileEntry(
+                        path=path,
+                        record_count=pf.metadata.num_rows,
+                        file_size_bytes=os.path.getsize(path),
+                        schema_id=md.current_schema_id,
+                        spec_id=md.default_spec_id,
+                        partition=partition,
+                        stats=stats,
+                    )
+                )
+        return entries
+
+    def _new_snapshot(
+        self,
+        md: TableMetadata,
+        operation: str,
+        entries: list[DataFileEntry],
+        branch: str,
+        extra_summary: dict | None = None,
+    ) -> TableMetadata:
+        snap_id = uuid.uuid4().int >> 65  # 63-bit positive id
+        parent = None
+        if branch in md.refs:
+            parent = md.refs[branch].snapshot_id
+        elif branch == MAIN_BRANCH:
+            parent = md.current_snapshot_id
+        manifest = self._write_manifest(snap_id, entries)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            parent_snapshot_id=parent,
+            sequence_number=md.last_sequence_number + 1,
+            timestamp_ms=_now_ms(),
+            manifest_list=manifest,
+            summary={
+                "operation": operation,
+                "total-data-files": str(len(entries)),
+                "total-records": str(sum(e.record_count for e in entries)),
+                **(extra_summary or {}),
+            },
+            schema_id=md.current_schema_id,
+        )
+        refs = dict(md.refs)
+        old_ref = refs.get(branch)
+        refs[branch] = Reference(
+            snapshot_id=snap_id,
+            type="branch",
+            min_snapshots_to_keep=old_ref.min_snapshots_to_keep if old_ref else None,
+            max_snapshot_age_ms=old_ref.max_snapshot_age_ms if old_ref else None,
+            max_ref_age_ms=old_ref.max_ref_age_ms if old_ref else None,
+        )
+        return md.evolve(
+            last_sequence_number=snap.sequence_number,
+            current_snapshot_id=snap_id if branch == MAIN_BRANCH else md.current_snapshot_id,
+            snapshots=md.snapshots + (snap,),
+            snapshot_log=md.snapshot_log + (SnapshotLogEntry(snap_id, snap.timestamp_ms),),
+            refs=refs,
+        )
+
+    def _current_entries(self, md: TableMetadata, branch: str = MAIN_BRANCH) -> list[DataFileEntry]:
+        head = None
+        if branch in md.refs:
+            head = md.refs[branch].snapshot_id
+        elif branch == MAIN_BRANCH:
+            head = md.current_snapshot_id
+        if head is None:
+            return []
+        return self._read_manifest(md.snapshot_by_id(head))
+
+    # public write API (snapshot operations per reference snapshot.rs:14-31)
+
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> None:
+        """``append``: only data files added (snapshot.rs:19)."""
+        md = self.metadata
+        new_entries = self._write_data_files(df, md)
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            entries = self._current_entries(cur, branch) + new_entries
+            return self._new_snapshot(
+                cur, "append", entries, branch,
+                {"added-data-files": str(len(new_entries)),
+                 "added-records": str(sum(e.record_count for e in new_entries))},
+            )
+
+        self._commit(updater)
+
+    def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> None:
+        """``overwrite``: logical overwrite of the whole table
+        (snapshot.rs:27; INSERT OVERWRITE semantics)."""
+        md = self.metadata
+        new_entries = self._write_data_files(df, md)
+        self._commit(lambda cur: self._new_snapshot(cur, "overwrite", new_entries, branch))
+
+    def overwrite_partitions(self, df: DataFrame, branch: str = MAIN_BRANCH) -> None:
+        """Dynamic partition overwrite: replaces exactly the partitions
+        present in ``df`` (writeTo(t).overwritePartitions())."""
+        md = self.metadata
+        new_entries = self._write_data_files(df, md)
+        touched = {tuple(sorted(e.partition.items())) for e in new_entries}
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            kept = [
+                e
+                for e in self._current_entries(cur, branch)
+                if tuple(sorted(e.partition.items())) not in touched
+            ]
+            return self._new_snapshot(cur, "overwrite", kept + new_entries, branch)
+
+        self._commit(updater)
+
+    def delete(self, where: str, branch: str = MAIN_BRANCH) -> int:
+        """``delete``: rows logically deleted (snapshot.rs:30) —
+        copy-on-write: only files that *may* contain matching rows
+        (by partition + stats pruning) are rewritten."""
+        md = self.metadata
+        entries = self._current_entries(md, branch)
+        candidates, untouched = _split_by_predicate(entries, where, md, self)
+        deleted = 0
+        rewritten: list[DataFileEntry] = []
+        if candidates:
+            df = self._read_entries(md, candidates)
+            remaining = df.filter(f"NOT ({where})")
+            before = sum(e.record_count for e in candidates)
+            rewritten = self._write_data_files(remaining, md)
+            after = sum(e.record_count for e in rewritten)
+            deleted = before - after
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            return self._new_snapshot(
+                cur, "delete", untouched + rewritten, branch,
+                {"deleted-records": str(deleted)},
+            )
+
+        self._commit(updater)
+        return deleted
+
+    def merge(self, source: DataFrame, on: list[str], branch: str = MAIN_BRANCH) -> None:
+        """MERGE INTO (upsert) keyed on ``on`` — the capability mandated
+        by identifier_field_ids (reference schema.rs:197). Matched rows
+        take the source's values; unmatched source rows insert.
+        Copy-on-write: full-outer join then overwrite snapshot."""
+        md = self.metadata
+        target = self.scan(branch=branch)
+        src = self._align(source, md.current_schema())
+        cols = [f.name for f in md.current_schema().fields]
+        t = target.alias("t")
+        s = src.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+        joined = t.join(s, cond, "full_outer")
+        merged = joined.select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                if c not in on
+                else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+        new_entries = self._write_data_files(merged, md)
+        self._commit(lambda cur: self._new_snapshot(cur, "overwrite", new_entries, branch))
+
+    def compact(self, target_file_size_bytes: int = 128 * 1024 * 1024, branch: str = MAIN_BRANCH) -> None:
+        """``replace``: files rewritten, data unchanged (snapshot.rs:25;
+        CALL system.rewrite_data_files equivalent)."""
+        md = self.metadata
+        entries = self._current_entries(md, branch)
+        total = sum(e.file_size_bytes for e in entries)
+        n = max(1, round(total / target_file_size_bytes))
+        df = self._read_entries(md, entries).coalesce(n)
+        new_entries = self._write_data_files(df, md)
+        before = sum(e.record_count for e in entries)
+        after = sum(e.record_count for e in new_entries)
+        if before != after:
+            raise RuntimeError(f"compaction changed record count: {before} -> {after}")
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            return self._new_snapshot(
+                cur, "replace", new_entries, branch,
+                {"rewritten-data-files": str(len(entries))},
+            )
+
+        self._commit(updater)
+
+    # -- read path -----------------------------------------------------
+
+    def _read_entries(self, md: TableMetadata, entries: list[DataFileEntry]) -> DataFrame:
+        """Read a set of manifest entries, reconciling schema
+        generations by field id (schema-evolution read path)."""
+        current = md.current_schema()
+        if not entries:
+            return self.spark.createDataFrame([], current.to_spark())
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e.schema_id, []).append(e.path)
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            file_schema = md.schema_by_id(sid)
+            df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            if sid != current.schema_id:
+                df = _project_by_field_id(df, file_schema, current)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan(
+        self,
+        columns: list[str] | None = None,
+        where: str | None = None,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        branch: str | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Table scan with time travel + metadata pruning.
+
+        Pruning order: (1) partition-transform predicates derived from
+        ``where`` (hidden partitioning — queries filter on *source*
+        columns), (2) per-file min/max stats. The surviving file list is
+        what Spark scans; ``where`` is re-applied exactly afterwards.
+        """
+        md = self.metadata
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_timestamp_ms, branch or tag)
+        time_travel = any(
+            x is not None for x in (snapshot_id, as_of_timestamp_ms, branch, tag)
+        )
+        if snap is None:
+            df = self.spark.createDataFrame([], md.current_schema().to_spark())
+        else:
+            # Time-travel reads use the snapshot's schema (what the data
+            # meant then); current reads use the current schema.
+            read_schema = (
+                md.schema_by_id(snap.schema_id)
+                if time_travel and snap.schema_id is not None
+                else md.current_schema()
+            )
+            entries = self._read_manifest(snap)
+            if where:
+                entries, _ = _split_by_predicate(entries, where, md, self, keep_unmatched=False)
+            df = self._read_entries_as(md, entries, read_schema)
+        if where:
+            df = df.filter(where)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def _read_entries_as(
+        self, md: TableMetadata, entries: list[DataFileEntry], target: IceSchema
+    ) -> DataFrame:
+        if not entries:
+            return self.spark.createDataFrame([], target.to_spark())
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e.schema_id, []).append(e.path)
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            file_schema = md.schema_by_id(sid)
+            df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            if sid != target.schema_id:
+                df = _project_by_field_id(df, file_schema, target)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _resolve_snapshot(
+        self,
+        md: TableMetadata,
+        snapshot_id: int | None,
+        as_of_timestamp_ms: int | None,
+        ref: str | None,
+    ) -> Snapshot | None:
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, ref)) > 1:
+            raise ValueError("specify at most one of snapshot_id/timestamp/ref")
+        if snapshot_id is not None:
+            return md.snapshot_by_id(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            return md.snapshot_as_of(as_of_timestamp_ms)
+        if ref is not None:
+            return md.snapshot_by_id(md.ref(ref).snapshot_id)
+        if md.current_snapshot_id is None:
+            return None
+        return md.snapshot_by_id(md.current_snapshot_id)
+
+    def to_df(self) -> DataFrame:
+        return self.scan()
+
+    # -- schema evolution (reference table.rs:32-34) --------------------
+
+    def _evolve_schema(self, build_fields) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            cur = md.current_schema()
+            new_fields, last_col = build_fields(cur, md.last_column_id)
+            new_schema = IceSchema(
+                schema_id=max(s.schema_id for s in md.schemas) + 1,
+                struct=IceStruct(tuple(new_fields)),
+                identifier_field_ids=cur.identifier_field_ids,
+                name_mapping=cur.name_mapping,
+            )
+            return md.evolve(
+                schemas=md.schemas + (new_schema,),
+                current_schema_id=new_schema.schema_id,
+                last_column_id=last_col,
+            )
+
+        self._commit(updater)
+
+    def add_column(self, name: str, type_str: str, doc: str | None = None) -> None:
+        """New columns are optional (existing files lack them)."""
+        t = parse_type(type_str)
+
+        def build(cur: IceSchema, last_col: int):
+            if cur.field_by_name(name):
+                raise ValueError(f"column already exists: {name}")
+            fid = last_col + 1
+            new_last = max(last_col + 1, last_col + 1 + max_field_id(t))
+            return list(cur.fields) + [IceField(fid, name, False, t, doc)], new_last
+
+        self._evolve_schema(build)
+
+    def rename_column(self, old: str, new: str) -> None:
+        def build(cur: IceSchema, last_col: int):
+            if not cur.field_by_name(old):
+                raise KeyError(f"no column {old}")
+            if cur.field_by_name(new):
+                raise ValueError(f"column already exists: {new}")
+            fields = [
+                IceField(f.id, new if f.name == old else f.name, f.required, f.type, f.doc)
+                for f in cur.fields
+            ]
+            return fields, last_col
+
+        self._evolve_schema(build)
+
+    def drop_column(self, name: str) -> None:
+        def build(cur: IceSchema, last_col: int):
+            if not cur.field_by_name(name):
+                raise KeyError(f"no column {name}")
+            return [f for f in cur.fields if f.name != name], last_col
+
+        self._evolve_schema(build)
+
+    _WIDENINGS = {("int", "long"), ("float", "double")}
+
+    def update_column_type(self, name: str, new_type: str) -> None:
+        t = parse_type(new_type)
+
+        def build(cur: IceSchema, last_col: int):
+            f = cur.field_by_name(name)
+            if not f:
+                raise KeyError(f"no column {name}")
+            old_t = f.type
+            ok = False
+            if isinstance(old_t, IcePrimitive) and isinstance(t, IcePrimitive):
+                if old_t.name == t.name or (old_t.name, t.name) in self._WIDENINGS:
+                    ok = True
+                ops, nps = old_t.decimal_precision_scale, t.decimal_precision_scale
+                if ops and nps and nps[1] == ops[1] and nps[0] >= ops[0]:
+                    ok = True
+            if not ok:
+                raise ValueError(f"unsafe type change {old_t} -> {t}")
+            fields = [
+                IceField(x.id, x.name, x.required, t if x.name == name else x.type, x.doc)
+                for x in cur.fields
+            ]
+            return fields, last_col
+
+        self._evolve_schema(build)
+
+    # -- partition-spec evolution (reference table.rs:36-40) ------------
+
+    def set_partition_spec(self, partition_by: Iterable[tuple[str, str] | str]) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            schema = md.current_schema()
+            by_name = {f.name: f for f in schema.fields}
+            next_pfield = md.last_partition_id + 1
+            pfields = []
+            for p in partition_by:
+                col, tr = (p, "identity") if isinstance(p, str) else p
+                transform = Transform.parse(tr)
+                suffix = {"identity": ""}.get(transform.kind, f"_{transform.kind}")
+                pfields.append(
+                    PartitionField(by_name[col].id, next_pfield, f"{col}{suffix}", transform)
+                )
+                next_pfield += 1
+            spec = PartitionSpec(spec_id=max(s.spec_id for s in md.partition_specs) + 1,
+                                 fields=tuple(pfields))
+            return md.evolve(
+                partition_specs=md.partition_specs + (spec,),
+                default_spec_id=spec.spec_id,
+                last_partition_id=next_pfield - 1,
+            )
+
+        self._commit(updater)
+
+    def write_ordered_by(self, sort_by: Iterable[tuple[str, str, str, str] | str]) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            schema = md.current_schema()
+            by_name = {f.name: f for f in schema.fields}
+            sfields = []
+            for s in sort_by:
+                col, tr, direction, null_order = (
+                    (s, "identity", "asc", "nulls-first") if isinstance(s, str) else s
+                )
+                sfields.append(
+                    SortField(by_name[col].id, Transform.parse(tr), direction, null_order)
+                )
+            order = SortOrder(order_id=max(o.order_id for o in md.sort_orders) + 1,
+                              fields=tuple(sfields))
+            return md.evolve(
+                sort_orders=md.sort_orders + (order,),
+                default_sort_order_id=order.order_id,
+            )
+
+        self._commit(updater)
+
+    # -- branches, tags, history (reference snapshot.rs:67-103) ---------
+
+    def create_branch(self, name: str, snapshot_id: int | None = None, **retention) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            sid = snapshot_id if snapshot_id is not None else md.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot branch an empty table")
+            refs = dict(md.refs)
+            refs[name] = Reference(snapshot_id=sid, type="branch", **retention)
+            return md.evolve(refs=refs)
+
+        self._commit(updater)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None, max_ref_age_ms: int | None = None) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            sid = snapshot_id if snapshot_id is not None else md.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot tag an empty table")
+            refs = dict(md.refs)
+            refs[name] = Reference(snapshot_id=sid, type="tag", max_ref_age_ms=max_ref_age_ms)
+            return md.evolve(refs=refs)
+
+        self._commit(updater)
+
+    def drop_ref(self, name: str) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            refs = dict(md.refs)
+            refs.pop(name, None)
+            return md.evolve(refs=refs)
+
+        self._commit(updater)
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        def updater(md: TableMetadata) -> TableMetadata:
+            md.snapshot_by_id(snapshot_id)  # must exist
+            refs = dict(md.refs)
+            if MAIN_BRANCH in refs:
+                refs[MAIN_BRANCH] = Reference(snapshot_id=snapshot_id, type="branch")
+            return md.evolve(
+                current_snapshot_id=snapshot_id,
+                refs=refs,
+                snapshot_log=md.snapshot_log + (SnapshotLogEntry(snapshot_id, _now_ms()),),
+            )
+
+        self._commit(updater)
+
+    def expire_snapshots(
+        self, older_than_ms: int | None = None, retain_last: int = 1
+    ) -> list[int]:
+        """Remove unreferenced snapshots + their orphaned files,
+        honoring branch retention (min-snapshots-to-keep /
+        max-snapshot-age-ms) — CALL system.expire_snapshots."""
+        removed: list[int] = []
+
+        def updater(md: TableMetadata) -> TableMetadata:
+            nonlocal removed
+            now = _now_ms()
+            keep: set[int] = set()
+            for name, ref in {**md.refs}.items():
+                keep.add(ref.snapshot_id)
+                if ref.type == "branch":
+                    # walk ancestry honoring min_snapshots_to_keep / age
+                    min_keep = ref.min_snapshots_to_keep or 1
+                    max_age = ref.max_snapshot_age_ms
+                    sid, count = ref.snapshot_id, 0
+                    while sid is not None:
+                        try:
+                            s = md.snapshot_by_id(sid)
+                        except KeyError:
+                            break
+                        age = now - s.timestamp_ms
+                        if count < min_keep or (max_age is not None and age <= max_age):
+                            keep.add(sid)
+                        count += 1
+                        sid = s.parent_snapshot_id
+            if md.current_snapshot_id is not None:
+                keep.add(md.current_snapshot_id)
+            ordered = sorted(md.snapshots, key=lambda s: s.sequence_number)
+            for s in ordered[-retain_last:]:
+                keep.add(s.snapshot_id)
+            expired = [
+                s
+                for s in md.snapshots
+                if s.snapshot_id not in keep
+                and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+            ]
+            removed = [s.snapshot_id for s in expired]
+            if not expired:
+                return md
+            kept_snaps = tuple(s for s in md.snapshots if s.snapshot_id not in set(removed))
+            live_files = set()
+            for s in kept_snaps:
+                live_files.update(e.path for e in self._read_manifest(s))
+            for s in expired:
+                for e in self._read_manifest(s):
+                    if e.path not in live_files and os.path.exists(e.path):
+                        os.remove(e.path)
+                os.remove(s.manifest_list)
+            return md.evolve(
+                snapshots=kept_snaps,
+                snapshot_log=tuple(
+                    e for e in md.snapshot_log if e.snapshot_id not in set(removed)
+                ),
+            )
+
+        self._commit(updater)
+        return removed
+
+    # -- metadata inspection tables (reference README.md:27) ------------
+
+    def snapshots(self) -> DataFrame:
+        md = self.metadata
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.sequence_number,
+                datetime.utcfromtimestamp(s.timestamp_ms / 1000),
+                s.operation,
+                s.manifest_list,
+                {k: str(v) for k, v in s.summary.items()},
+            )
+            for s in md.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at timestamp_ntz, operation string, manifest_list string, "
+            "summary map<string,string>",
+        )
+
+    def history(self) -> DataFrame:
+        md = self.metadata
+        ancestors = set()
+        sid = md.current_snapshot_id
+        while sid is not None:
+            ancestors.add(sid)
+            try:
+                sid = md.snapshot_by_id(sid).parent_snapshot_id
+            except KeyError:
+                break
+        rows = [
+            (
+                datetime.utcfromtimestamp(e.timestamp_ms / 1000),
+                e.snapshot_id,
+                e.snapshot_id in ancestors,
+            )
+            for e in md.snapshot_log
+        ]
+        return self.spark.createDataFrame(
+            rows, "made_current_at timestamp_ntz, snapshot_id long, is_current_ancestor boolean"
+        )
+
+    def refs(self) -> DataFrame:
+        md = self.metadata
+        rows = [
+            (
+                name,
+                r.type,
+                r.snapshot_id,
+                r.min_snapshots_to_keep,
+                r.max_snapshot_age_ms,
+                r.max_ref_age_ms,
+            )
+            for name, r in md.refs.items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, min_snapshots_to_keep int, "
+            "max_snapshot_age_ms long, max_ref_age_ms long",
+        )
+
+    def files(self) -> DataFrame:
+        md = self.metadata
+        rows = [
+            (
+                e.path,
+                e.record_count,
+                e.file_size_bytes,
+                e.schema_id,
+                e.spec_id,
+                {k: str(v) for k, v in e.partition.items()},
+            )
+            for e in self._current_entries(md)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, record_count long, file_size_in_bytes long, "
+            "schema_id int, spec_id int, partition map<string,string>",
+        )
+
+    def partitions(self) -> DataFrame:
+        return (
+            self.files()
+            .groupBy("partition")
+            .agg(
+                F.count("*").alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_in_bytes").alias("total_size_bytes"),
+            )
+        )
+
+    def metadata_log_entries(self) -> DataFrame:
+        md = self.metadata
+        rows = [
+            (e.metadata_file, datetime.utcfromtimestamp(e.timestamp_ms / 1000))
+            for e in md.metadata_log
+        ]
+        return self.spark.createDataFrame(rows, "metadata_file string, timestamp timestamp_ntz")
+
+    def describe(self) -> str:
+        md = self.metadata
+        schema = md.current_schema()
+        lines = [f"Table: {self.identifier}", f"UUID: {md.table_uuid}", "Schema:"]
+        for f in schema.fields:
+            req = "required" if f.required else "optional"
+            from iceberg_rs_spark.model.types import type_to_json
+
+            t = type_to_json(f.type)
+            t = t if isinstance(t, str) else json.dumps(t)
+            lines.append(f"  {f.id}: {f.name}: {req} {t}" + (f" ({f.doc})" if f.doc else ""))
+        spec = md.default_spec()
+        if spec.fields:
+            lines.append("Partition spec:")
+            for pf in spec.fields:
+                lines.append(f"  {pf.name}: {pf.transform.name}(source={pf.source_id})")
+        order = md.default_sort_order()
+        if not order.is_unsorted:
+            lines.append("Sort order:")
+            for sf in order.fields:
+                lines.append(
+                    f"  source={sf.source_id} {sf.transform.name} {sf.direction} {sf.null_order}"
+                )
+        return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Field-id projection (schema-evolution read path)
+# ---------------------------------------------------------------------------
+
+
+def _spark_type_of(f: IceField):
+    from iceberg_rs_spark.model.types import ice_to_spark
+
+    return ice_to_spark(f.type)
+
+
+def _project_by_field_id(df: DataFrame, file_schema: IceSchema, target: IceSchema) -> DataFrame:
+    """Select/cast each target field from the file's column with the
+    same field id; fields the file predates become NULL. This is what
+    makes rename/drop/add safe across file generations."""
+    by_id = {f.id: f for f in file_schema.fields}
+    cols = []
+    for f in target.fields:
+        spark_t = _spark_type_of(f)
+        old = by_id.get(f.id)
+        if old is not None:
+            cols.append(F.col(old.name).cast(spark_t).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Partition-value / predicate machinery (driver-side pruning)
+# ---------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values_from_path(rel: str) -> dict:
+    out = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            v = unquote(v)
+            out[k] = None if v == _HIVE_NULL else v
+    return out
+
+
+def _json_safe(v):
+    if isinstance(v, bytes):
+        return None  # no stats for binary
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _file_stats(pf: pq.ParquetFile) -> dict:
+    """Per-column min/max/null-count from parquet row-group stats.
+
+    Driver-side pyarrow here (local FS); at cluster scale this same
+    extraction runs distributed (mapPartitions over the file list) —
+    the manifest format doesn't change.
+    """
+    md = pf.metadata
+    arrow_schema = pf.schema_arrow
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — skip stats, never prune on these
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                entry = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
+                entry["nulls"] += s.null_count if s and s.null_count is not None else 0
+                continue
+            mn, mx = _json_safe(s.min), _json_safe(s.max)
+            entry = stats.setdefault(name, {"min": mn, "max": mx, "nulls": 0})
+            if mn is not None and (entry["min"] is None or mn < entry["min"]):
+                entry["min"] = mn
+            if mx is not None and (entry["max"] is None or mx > entry["max"]):
+                entry["max"] = mx
+            entry["nulls"] += s.null_count or 0
+    _ = arrow_schema
+    return stats
+
+
+_PRED_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*(?P<op><=|>=|!=|=|<|>)\s*(?P<lit>.+?)\s*$"
+)
+
+
+@dataclass
+class _Conjunct:
+    col: str
+    op: str
+    value: object  # python-typed literal
+
+
+def _parse_conjuncts(where: str) -> list[_Conjunct] | None:
+    """Parse a conjunction of simple ``col op literal`` predicates for
+    pruning. Anything unparseable → None (prune nothing; exactness is
+    preserved because `where` is re-applied by Spark after the scan)."""
+    parts = re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)
+    out = []
+    for p in parts:
+        m = _PRED_RE.match(p)
+        if not m:
+            return None
+        lit = m["lit"].strip()
+        val: object
+        m2 = re.match(r"^(?:TIMESTAMP|DATE)?\s*'(.*)'$", lit, flags=re.IGNORECASE)
+        if m2:
+            sval = m2.group(1)
+            try:
+                val = datetime.fromisoformat(sval)
+            except ValueError:
+                val = sval
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    return None
+        out.append(_Conjunct(m["col"], m["op"], val))
+    return out
+
+
+def _cmp_keep(op: str, mn, mx, v) -> bool:
+    """May this [min,max] file interval contain rows satisfying
+    ``col op v``? Conservative on any type mismatch."""
+    try:
+        if op == "=":
+            return (mn is None or mn <= v) and (mx is None or v <= mx)
+        if op == "<":
+            return mn is None or mn < v
+        if op == "<=":
+            return mn is None or mn <= v
+        if op == ">":
+            return mx is None or mx > v
+        if op == ">=":
+            return mx is None or mx >= v
+        if op == "!=":
+            return not (mn is not None and mn == mx == v)
+    except TypeError:
+        return True
+    return True
+
+
+def _apply_transform_py(transform: Transform, v) -> object | None:
+    """Driver-side transform of a *literal* (monotonic transforms only;
+    bucket is handled separately via a one-row Spark eval)."""
+    kind, param = transform.kind, transform.param
+    if kind == "identity":
+        return v
+    if isinstance(v, str) and kind in ("year", "month", "day", "hour"):
+        try:
+            v = datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    if kind == "year" and isinstance(v, (datetime, date)):
+        return v.year - 1970
+    if kind == "month" and isinstance(v, (datetime, date)):
+        return (v.year - 1970) * 12 + v.month - 1
+    if kind == "day" and isinstance(v, (datetime, date)):
+        d = v.date() if isinstance(v, datetime) else v
+        return (d - date(1970, 1, 1)).days
+    if kind == "hour" and isinstance(v, datetime):
+        d = (v.date() - date(1970, 1, 1)).days
+        return d * 24 + v.hour
+    if kind == "truncate":
+        if isinstance(v, int):
+            return v - (v % param)
+        if isinstance(v, str):
+            return v[:param]
+    return None
+
+
+_bucket_cache: dict[tuple, int] = {}
+
+
+def _bucket_of_literal(spark: SparkSession, n: int, v) -> int | None:
+    """Bucket value of a literal, computed by Spark itself (one-row
+    local eval) so it is exactly the write-side function."""
+    key = (n, type(v).__name__, str(v))
+    if key not in _bucket_cache:
+        try:
+            from iceberg_rs_spark.functions.transforms import bucket
+
+            row = spark.range(1).select(bucket(n, F.lit(v)).alias("b")).first()
+            _bucket_cache[key] = row["b"]
+        except Exception:
+            return None
+    return _bucket_cache[key]
+
+
+def _coerce_partition_value(pv, sample):
+    """Partition dir values are strings; coerce to the comparison type."""
+    if pv is None:
+        return None
+    if isinstance(sample, bool):
+        return str(pv).lower() == "true"
+    if isinstance(sample, int):
+        return int(pv)
+    if isinstance(sample, float):
+        return float(pv)
+    return pv
+
+
+def _entry_survives(
+    entry: DataFileEntry,
+    conjuncts: list[_Conjunct],
+    md: TableMetadata,
+    table: "Table",
+) -> bool:
+    schema = md.current_schema()
+    for c in conjuncts:
+        # (1) min/max stats check on the raw column
+        st = entry.stats.get(c.col)
+        if st is not None:
+            mn, mx = st.get("min"), st.get("max")
+            v = c.value
+            if isinstance(v, datetime) and isinstance(mn, str):
+                try:
+                    mn = datetime.fromisoformat(mn) if mn else None
+                    mx = datetime.fromisoformat(mx) if mx else None
+                except ValueError:
+                    mn = mx = None
+            if not _cmp_keep(c.op, mn, mx, v):
+                return False
+        # (2) hidden-partition check via the spec for this entry
+        spec = next((s for s in md.partition_specs if s.spec_id == entry.spec_id), None)
+        if spec is None:
+            continue
+        fld = schema.field_by_name(c.col)
+        if fld is None:
+            continue
+        for pf in spec.fields:
+            if pf.source_id != fld.id or pf.name not in entry.partition:
+                continue
+            pv_raw = entry.partition[pf.name]
+            if pv_raw is None:
+                continue
+            if pf.transform.kind == "bucket":
+                if c.op == "=":
+                    b = _bucket_of_literal(table.spark, pf.transform.param, c.value)
+                    if b is not None and int(pv_raw) != b:
+                        return False
+                continue
+            tv = _apply_transform_py(pf.transform, c.value)
+            if tv is None:
+                continue
+            pv = _coerce_partition_value(pv_raw, tv)
+            # transforms are monotonic ⇒ same comparison direction holds,
+            # with equality allowed at the boundary bucket
+            if c.op == "=" and pv != tv:
+                return False
+            if c.op in ("<", "<=") and pv is not None and pv > tv:
+                return False
+            if c.op in (">", ">=") and pv is not None and pv < tv:
+                return False
+    return True
+
+
+def _split_by_predicate(
+    entries: list[DataFileEntry],
+    where: str,
+    md: TableMetadata,
+    table: "Table",
+    keep_unmatched: bool = True,
+) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
+    """(may-match, definitely-not-match) split of a file list."""
+    conjuncts = _parse_conjuncts(where)
+    if conjuncts is None:
+        return entries, []
+    may, not_ = [], []
+    for e in entries:
+        (may if _entry_survives(e, conjuncts, md, table) else not_).append(e)
+    return may, not_

@@ -1,0 +1,295 @@
+"""Table-lifecycle tests (SURVEY.md §7 M2/M3 + §5.4): every write op
+pins its snapshot ``operation`` (reference snapshot.rs:14-31), the M2
+end-to-end slice verifies hidden-partition pruning against the file
+manifest, and time travel / branches / schema evolution round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.sources.fixtures import load_table
+from iceberg_rs_spark.sources.icelake import Catalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def events_df(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _ops(table):
+    return [r["operation"] for r in table.snapshots().orderBy("sequence_number").collect()]
+
+
+class TestLifecycle:
+    def test_m2_end_to_end_slice(self, spark, catalog, events_df, duck, sf_dir):
+        """create PARTITIONED BY (days(ts), bucket(16,user_id)) → append
+        → filtered agg matches duckdb → pruning verified via files()."""
+        t = catalog.create_table(
+            "db.events",
+            events_df.schema,
+            partition_by=[("ts", "day"), ("user_id", "bucket[16]")],
+        )
+        t.append(events_df)
+        assert _ops(t) == ["append"]
+
+        where = "ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'"
+        got = (
+            t.scan(where=where)
+            .groupBy("event_type")
+            .agg(F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("event_type")
+            .collect()
+        )
+        exp = duck.sql(
+            f"""SELECT event_type, ROUND(SUM(value), 2) AS sum_value
+                FROM events WHERE {where}
+                GROUP BY event_type ORDER BY event_type"""
+        ).fetchall()
+        assert [(r["event_type"], r["sum_value"]) for r in got] == exp
+
+        # pruning: scanned files must be a strict subset (2 days of ~30)
+        total_files = t.files().count()
+        entries, _ = self._pruned(t, where)
+        assert 0 < len(entries) < total_files
+
+    @staticmethod
+    def _pruned(t, where):
+        from iceberg_rs_spark.sources.icelake import _split_by_predicate
+
+        md = t.metadata
+        return _split_by_predicate(t._current_entries(md), where, md, t)
+
+    def test_append_overwrite_delete_replace_operations(self, catalog, events_df):
+        """Snapshot summary.operation matches the commit kind — the
+        behavioral pin on reference snapshot.rs:18-31 (SURVEY.md §5.4)."""
+        t = catalog.create_table("db.ops", events_df.schema, partition_by=[("ts", "day")])
+        t.append(events_df)
+        t.append(events_df)
+        n2 = t.to_df().count()
+        assert n2 == 2 * events_df.count()
+
+        deleted = t.delete("event_type = 'click'")
+        assert deleted > 0
+        assert t.to_df().where("event_type = 'click'").count() == 0
+
+        t.compact(target_file_size_bytes=1 << 30)
+        assert t.to_df().count() == n2 - deleted
+
+        t.overwrite(events_df.limit(10))
+        assert t.to_df().count() == 10
+
+        assert _ops(t) == ["append", "append", "delete", "replace", "overwrite"]
+
+    def test_overwrite_partitions_dynamic(self, catalog, events_df, spark):
+        t = catalog.create_table("db.dyn", events_df.schema, partition_by=[("ts", "day")])
+        t.append(events_df)
+        before = t.to_df().count()
+        one_day = events_df.where(
+            (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-06")
+        )
+        replacement = one_day.withColumn("value", F.lit(0.0))
+        t.overwrite_partitions(replacement)
+        after = t.to_df()
+        assert after.count() == before  # same rows per partition
+        day_vals = after.where((F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-06"))
+        assert day_vals.agg(F.sum("value")).first()[0] == 0.0
+        other = after.where(F.col("ts") < "2024-01-05").agg(F.sum("value")).first()[0]
+        assert other > 0
+
+    def test_merge_upsert(self, catalog, spark, events_df):
+        t = catalog.create_table("db.merge", events_df.schema)
+        t.append(events_df.limit(100))
+        src = (
+            events_df.limit(50).withColumn("value", F.lit(-1.0))
+            .unionByName(
+                events_df.limit(120).subtract(events_df.limit(100))  # 20 new rows
+            )
+        )
+        t.merge(src, on=["event_id"])
+        out = t.to_df()
+        assert out.count() == 120
+        assert out.where("value = -1.0").count() == 50
+        assert _ops(t)[-1] == "overwrite"
+
+    def test_time_travel_and_rollback(self, catalog, events_df):
+        t = catalog.create_table("db.tt", events_df.schema)
+        t.append(events_df.limit(10))
+        snap1 = t.metadata.current_snapshot_id
+        t.append(events_df.limit(30).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 30
+        # VERSION AS OF
+        assert t.scan(snapshot_id=snap1).count() == 10
+        # TIMESTAMP AS OF
+        ts1 = t.metadata.snapshot_by_id(snap1).timestamp_ms
+        assert t.scan(as_of_timestamp_ms=ts1).count() == 10
+        # nonexistent snapshot → error (negative test, SURVEY.md §5.2)
+        with pytest.raises(KeyError):
+            t.scan(snapshot_id=12345)
+        # rollback
+        t.rollback_to_snapshot(snap1)
+        assert t.to_df().count() == 10
+
+    def test_branches_and_tags(self, catalog, events_df):
+        t = catalog.create_table("db.refs", events_df.schema)
+        t.append(events_df.limit(10))
+        t.create_tag("v1")
+        t.create_branch("dev", min_snapshots_to_keep=2)
+        t.append(events_df.limit(40).subtract(events_df.limit(10)), branch="dev")
+        # main unchanged; dev ahead
+        assert t.to_df().count() == 10
+        assert t.scan(branch="dev").count() == 40
+        assert t.scan(tag="v1").count() == 10
+        refs = {r["name"]: r for r in t.refs().collect()}
+        assert refs["v1"]["type"] == "tag" and refs["dev"]["type"] == "branch"
+        assert refs["dev"]["min_snapshots_to_keep"] == 2
+
+    def test_expire_snapshots(self, catalog, events_df):
+        t = catalog.create_table("db.exp", events_df.schema)
+        for i in range(4):
+            t.overwrite(events_df.limit(10 * (i + 1)))
+        assert len(t.metadata.snapshots) == 4
+        removed = t.expire_snapshots(retain_last=1)
+        assert len(removed) == 3
+        assert t.to_df().count() == 40  # head intact
+        assert len(t.metadata.snapshots) == 1
+
+    def test_commit_retry_property(self, catalog, events_df, monkeypatch):
+        t = catalog.create_table(
+            "db.retry", events_df.schema, properties={"commit.retry.num-retries": "0"}
+        )
+        t.append(events_df.limit(5))
+        # simulate a racer winning every version slot
+        import iceberg_rs_spark.sources.icelake as lake
+
+        orig = lake._write_metadata_version
+
+        def always_conflict(location, version, md):
+            raise FileExistsError(version)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", always_conflict)
+        with pytest.raises(lake.CommitConflict):
+            t.append(events_df.limit(5))
+        monkeypatch.setattr(lake, "_write_metadata_version", orig)
+
+
+class TestSchemaEvolution:
+    def test_add_rename_drop_widen_across_file_generations(self, catalog, spark, events_df):
+        t = catalog.create_table("db.evo", events_df.limit(10).schema)
+        t.append(events_df.limit(10))
+
+        t.add_column("score", "double", doc="quality score")
+        t.rename_column("props", "properties")
+        t.append(
+            events_df.limit(25)
+            .subtract(events_df.limit(10))
+            .withColumnRenamed("props", "properties")
+            .withColumn("score", F.lit(1.5))
+        )
+        df = t.to_df()
+        assert "properties" in df.columns and "props" not in df.columns
+        # old files read with NULL score; new files carry it
+        assert df.where(F.col("score").isNull()).count() == 10
+        assert df.where(F.col("score") == 1.5).count() == 15
+
+        t.drop_column("score")
+        assert "score" not in t.to_df().columns
+
+        with pytest.raises(ValueError):
+            t.update_column_type("event_type", "long")  # unsafe
+        t.update_column_type("user_id", "long")  # already long → no-op widen?
+        # int → long widening on a fresh table
+        t2 = catalog.create_table(
+            "db.evo2",
+            spark.range(5).select(F.col("id").cast("int").alias("v")).schema,
+        )
+        t2.append(spark.range(5).select(F.col("id").cast("int").alias("v")))
+        t2.update_column_type("v", "long")
+        assert dict(t2.to_df().dtypes)["v"] == "bigint"
+        assert t2.to_df().agg(F.sum("v")).first()[0] == 10
+
+    def test_partition_spec_evolution(self, catalog, events_df):
+        t = catalog.create_table("db.pevo", events_df.schema, partition_by=[("ts", "day")])
+        t.append(events_df.limit(100))
+        t.set_partition_spec([("ts", "month"), ("event_type", "identity")])
+        t.append(events_df.limit(200).subtract(events_df.limit(100)))
+        # both generations readable
+        assert t.to_df().count() == 200
+        specs = {e.spec_id for e in t._current_entries(t.metadata)}
+        assert specs == {0, 1}
+
+    def test_sort_order_declaration(self, catalog, events_df):
+        t = catalog.create_table(
+            "db.sorted",
+            events_df.schema,
+            sort_by=[("user_id", "identity", "asc", "nulls-first")],
+        )
+        t.append(events_df)
+        md = t.metadata
+        assert not md.default_sort_order().is_unsorted
+        t.write_ordered_by([("value", "identity", "desc", "nulls-last")])
+        assert t.metadata.default_sort_order().fields[0].direction == "desc"
+
+
+class TestPruning:
+    def test_stats_pruning_on_sorted_table(self, catalog, events_df):
+        """With the table write-ordered by user_id, min/max stats on
+        user_id become disjoint across files → stats-only skipping."""
+        t = catalog.create_table(
+            "db.skip",
+            events_df.schema,
+            sort_by=[("user_id", "identity", "asc", "nulls-first")],
+        )
+        # several appends → several files, each covering the full range,
+        # then compact: still one file; use repartition writes instead
+        t.append(events_df.repartition(8))
+        from iceberg_rs_spark.sources.icelake import _split_by_predicate
+
+        md = t.metadata
+        entries = t._current_entries(md)
+        # equality on a single user prunes to files whose range covers it
+        may, no = _split_by_predicate(entries, "user_id = 3", md, t)
+        assert len(may) >= 1
+        got = t.scan(where="user_id = 3").count()
+        assert got == events_df.where("user_id = 3").count()
+
+    def test_scan_where_exactness_with_unparseable_predicate(self, catalog, events_df):
+        t = catalog.create_table("db.exact", events_df.schema, partition_by=[("ts", "day")])
+        t.append(events_df)
+        # OR predicates aren't pruned, but results stay exact
+        got = t.scan(where="event_type = 'click' OR event_type = 'view'").count()
+        exp = events_df.where("event_type IN ('click','view')").count()
+        assert got == exp
+
+    def test_empty_table_scan(self, catalog, events_df):
+        t = catalog.create_table("db.empty", events_df.schema)
+        assert t.scan().count() == 0
+        assert t.scan(where="user_id = 1").count() == 0
+
+
+class TestInspection:
+    def test_metadata_tables(self, catalog, events_df):
+        t = catalog.create_table("db.insp", events_df.schema, partition_by=[("ts", "day")])
+        t.append(events_df.limit(100))
+        t.append(events_df.limit(200).subtract(events_df.limit(100)))
+        assert t.snapshots().count() == 2
+        hist = t.history().orderBy("made_current_at").collect()
+        assert len(hist) == 2 and all(r["is_current_ancestor"] for r in hist)
+        assert t.files().count() >= 1
+        assert t.partitions().count() >= 1
+        assert t.metadata_log_entries().count() >= 1
+        desc = t.describe()
+        assert "ts_day: day" in desc and "event_id" in desc
+
+    def test_describe_and_reload(self, catalog, spark, events_df):
+        catalog.create_table("db.reload", events_df.schema).append(events_df.limit(5))
+        t2 = catalog.load_table("db.reload")
+        assert t2.to_df().count() == 5
+        assert "db.reload" in catalog.list_tables("db")
