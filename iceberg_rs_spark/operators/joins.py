@@ -1,0 +1,89 @@
+"""Join idioms Spark lacks as single primitives (SURVEY.md §2C joins).
+
+As-of join (nearest prior event): implemented with the union+window
+idiom rather than a range join — one shuffle on the key, no quadratic
+blow-up, and the window sort is exactly the clustering a time-series
+table already has. This is the declared *as-of idiom* (SURVEY.md §4.4:
+"no Catalyst rule needed").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` and equal keys.
+
+    Union + last-ignore-nulls window: tag rows by side, union on the
+    shared (key, ts) spine, then a running ``last(right_payload,
+    ignorenulls=True)`` ordered by (ts, side) — right rows at the same
+    timestamp sort before left rows, so an exact-tie matches.
+
+    Scale: one shuffle (window partition on the key); no join at all.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(right.select(payload).schema[0].dataType)
+    )
+    r_tag = (
+        right.withColumn("_ts", F.col(right_ts))
+        .withColumn("_side", F.lit(0))
+        .withColumn("_payload", payload)
+        .select(*on, "_ts", "_side", "_payload")
+    )
+    # align columns: left keeps its full row; right contributes only spine
+    l_cols = left.columns
+    l_aligned = l_tag.select(*l_cols, "_ts", "_side", "_payload")
+    r_aligned = r_tag.select(
+        *[
+            F.col(c) if c in (on + ["_ts", "_side", "_payload"]) else F.lit(None).alias(c)
+            for c in l_cols + ["_ts", "_side", "_payload"]
+        ]
+    )
+    unioned = l_aligned.unionByName(r_aligned)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    out = matched.where(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_match.{c}"))
+    return out.drop("_ts", "_side", "_payload", "_match")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval overlap: ``a.start < b.end AND b.start < a.end``
+    (half-open). With equi-keys in ``on`` Catalyst plans a hash join
+    with the range as a post-condition; without keys it is a BNLJ —
+    callers at scale should bucket time into coarse chunks first."""
+    cond = (F.col(f"l.{left_start}") < F.col(f"r.{right_end}")) & (
+        F.col(f"r.{right_start}") < F.col(f"l.{left_end}")
+    )
+    if on:
+        for k in on:
+            cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return left.alias("l").join(right.alias("r"), cond)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (SURVEY.md §2C north-star).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the embedding table — a map-side join, no shuffle of
+the big side — then per-query top-k via TakeOrdered-style window.
+
+The scale path is LSH bucketing (random-hyperplane sign bits): each
+vector lands in one bucket; queries probe their own bucket only. At
+1000 executors this turns a 100 TB scan per query into a bucket-local
+scan; recall is tunable by the number of hyperplanes (tested ≥0.9
+against brute force in tests/test_operators.py).
+
+The dot product stays JVM-side: zip_with + aggregate over the float
+arrays cast to double — deterministic left-to-right summation, which
+also makes results bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.functions.hashing import h60
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the big
+    embeddings side is scanned once, map-side only.
+    """
+    from pyspark.sql import Window
+
+    joined = embeddings.join(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    ).where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("cos"), 4).alias("cos"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from the portable h60 —
+    reproducible across engines and runs without numpy RNG state."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        hx = hashlib.md5(f"{plane_idx}|{d}".encode()).hexdigest()[:15]
+        v = int(hx, 16) / float(1 << 60)  # [0, 1)
+        out.append(2.0 * v - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (JVM-side arithmetic)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(_as_double(vec), F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within. ~2^-num_planes of the data
+    scanned per query."""
+    from pyspark.sql import Window
+
+    planes = [_hyperplane(dim, i) for i in range(num_planes)]
+    emb_b = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    q_b = queries.withColumn("_qbucket", lsh_bucket(F.col(query_vec_col), planes))
+    joined = emb_b.join(F.broadcast(q_b), F.col("_bucket") == F.col("_qbucket"))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    ).where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(query_id_col, id_col, F.round(F.col("cos"), 4).alias("cos"), F.col("_rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors: cosine ≥ threshold within a blocking key
+    (at scale the block is an LSH bucket; here the label column keeps
+    the pair count bounded and the oracle simple)."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

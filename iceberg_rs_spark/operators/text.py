@@ -1,0 +1,138 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2C
+north-star): normalization/tokenization, shingling, quality scoring,
+language-ID heuristic, token counting, fingerprinting.
+
+Everything is built from pyspark.sql.functions (JVM-side, inside
+whole-stage codegen) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.functions.hashing import h60, h60_seeded
+
+#: deterministic stopword list shared with the oracle SQL
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: marker tokens for the rule-based language-ID heuristic; scored by
+#: marker hits, ties broken by this declaration order.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "los", "de", "es"),
+    "fr": ("le", "les", "et", "est"),
+    "zh": ("shi", "de_zh", "le_zh", "he_zh"),
+}
+
+
+def normalize(col: Column) -> Column:
+    """lower → strip non-alphanumerics → squeeze spaces → trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-grams of the normalized text (the MinHash substrate)."""
+    w = tokens(col)
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(col: Column) -> Column:
+    t = tokens(col)
+    return F.when(F.length(normalize(col)) == 0, F.lit(0)).otherwise(F.size(t)).cast("long")
+
+
+def approx_bpe_token_count(col: Column) -> Column:
+    """BPE-ish estimate: word-piece splits on 4-char chunks — a
+    deterministic stand-in for a real tokenizer's token count."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = tokens(col)
+    stop = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    return F.when(F.size(t) > 0, stop / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(F.lower(col), "[a-z0-9 ]", "")
+    return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def avg_word_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Length/punctuation/stopword-based quality heuristic in [0,1]:
+    rewards mid-length docs with natural stopword density and low
+    symbol noise (the usual pretraining-data filter shape)."""
+    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 10)
+    return len_score * 0.4 + stop_score * 0.3 + punct_penalty * 0.3
+
+
+def detect_language(col: Column) -> Column:
+    """Marker-token n-gram heuristic; deterministic argmax with
+    declaration-order tie-break. (A real engine would plug a model
+    here; the operator shape — pure column expression — is the point.)"""
+    t = tokens(col)
+    scores = {
+        lang: F.size(F.filter(t, lambda w, m=markers: w.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang, score in scores.items():  # declaration order breaks ties
+        expr = expr.when(score == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: h60 of the normalized text (rolling-hash
+    stand-in; same value cross-engine)."""
+    return h60(normalize(col))
+
+
+def min_shingle_fingerprint(col: Column, k: int = 3, seed: int = 0) -> Column:
+    """MinHash-1 fingerprint — robust to local edits."""
+    sh = shingles(col, k)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: h60_seeded(seed, s)))
+    ).otherwise(F.lit(None).cast("long"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+        F.round(avg_word_len(c), 4).alias("avg_word_len"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -9,3 +9,8 @@ from iceberg_rs_spark.plans.corpus import CORPUS, QuerySpec, query  # noqa: F401
 
 # Populate the registry (import order = display order).
 import iceberg_rs_spark.plans.tpch  # noqa: F401,E402
+import iceberg_rs_spark.plans.joins  # noqa: F401,E402
+import iceberg_rs_spark.plans.aggregates  # noqa: F401,E402
+import iceberg_rs_spark.plans.windows  # noqa: F401,E402
+import iceberg_rs_spark.plans.setops  # noqa: F401,E402
+import iceberg_rs_spark.plans.scalar  # noqa: F401,E402

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_rs_spark.plans.canon import rhalf
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.sources.fixtures import load_table
 
@@ -27,9 +28,9 @@ def _r2(c):
            ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2)        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2)   AS avg_price,
-           ROUND(AVG(l_discount), 2)        AS avg_disc,
+           floor(AVG(l_quantity) * 100.0 + 0.5) / 100.0      AS avg_qty,
+           floor(AVG(l_extendedprice) * 100.0 + 0.5) / 100.0 AS avg_price,
+           floor(AVG(l_discount) * 100.0 + 0.5) / 100.0      AS avg_disc,
            COUNT(*)                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -55,9 +56,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             _r2(F.sum(disc_price)).alias("sum_disc_price"),
             _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            _r2(F.avg("l_quantity")).alias("avg_qty"),
-            _r2(F.avg("l_extendedprice")).alias("avg_price"),
-            _r2(F.avg("l_discount")).alias("avg_disc"),
+            rhalf(F.avg("l_quantity")).alias("avg_qty"),
+            rhalf(F.avg("l_extendedprice")).alias("avg_price"),
+            rhalf(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

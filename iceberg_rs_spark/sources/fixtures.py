@@ -38,10 +38,11 @@ _EVENTS_TS_EXPR = (
     "CAST(CAST(ts DIV 1000 AS DECIMAL(25,6)) / 1000000 AS DECIMAL(20,6)))"
 )
 
-#: DuckDB-side equivalent rewrite for oracle SQL (the driver registers
-#: `events` over the raw parquet, so oracles CTE-replace the ts column).
+#: DuckDB-side equivalent rewrite for oracle SQL: the driver registers
+#: `events` over the raw parquet (ns timestamps), so oracles select from
+#: the `evt` CTE instead (a CTE named `events` would be a circular ref).
 EVENTS_ORACLE_CTE = (
-    "WITH events AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) "
+    "WITH evt AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) "
     "FROM events)"
 )
 
