@@ -4,11 +4,12 @@ training-data pipeline at 100 TB).
 Five strategies, all pure DataFrame transforms:
 
 - exact:   content-hash groupBy — one shuffle on a 60-bit hash.
-- MinHash+LSH: shingle → minhash signature (array expression, no
-  explode) → band buckets → candidate pairs via bucket self-join →
-  exact-Jaccard verify. The self-join is *bucketed*: only documents
-  sharing a band signature meet, so the pair count stays near-linear
-  instead of O(n²).
+- MinHash+LSH: shingle rows (explode) → per-seed min via map-side
+  partial aggregation (one shuffle of 12-long partials per doc) →
+  band buckets → candidate pairs via bucket self-join → exact-Jaccard
+  verify. The self-join is *bucketed*: only documents sharing a band
+  signature meet, so the pair count stays near-linear instead of
+  O(n²).
 - SimHash: 60-bit sign-sum fingerprint; near-dups = equal fingerprint
   (or small Hamming distance at verify time).
 - n-gram Jaccard: exact pairwise Jaccard, restricted to LSH candidates.
@@ -24,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_seeded
-from iceberg_rs_spark.operators.text import normalize, shingles
+from iceberg_rs_spark.operators.text import normalize, shingles_of_tokens, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -56,14 +57,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_hashes: int = 12, shingle_k: int = 3) -> Column:
-    """Array of ``num_hashes`` minima of seeded h60 over the shingle
-    set — the classic permutation-free MinHash. Pure array expression:
-    no explode, no shuffle; computed in one pass per row."""
-    sh = shingles(col, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: h60_seeded(i, s))),
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows, distinct per document. Tokens are
+    materialized as a column before shingling so the shingle lambda
+    references only an attribute (interpreted HOF lambdas re-evaluate
+    outer *expressions* once per element — staging keeps tokenization
+    O(words), not O(words²), per row). Docs with < k tokens vanish."""
+    w = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    return w.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("_w"), shingle_k))).alias("_s"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, _sig array<long>) — permutation-free MinHash as explode +
+    per-seed min. The groupBy is ONE shuffle on the id with map-side
+    partial mins (num_hashes longs per id), so this is the shape that
+    survives 100 TB: shingle rows never cross the network, only the
+    12-long partial signatures do."""
+    rows = shingle_rows(df, id_col, text_col, shingle_k)
+    hashed = rows.select(
+        F.col(id_col),
+        *[h60_seeded(i, F.col("_s")).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col), F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -72,7 +105,13 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
-            F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda h: h.cast("string"),
+                ),
+                ",",
+            )
         ),
     )
 
@@ -87,10 +126,12 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """(id_a < id_b) pairs sharing at least one LSH band bucket."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    banded = (
-        df.select(F.col(id_col), lsh_bands(sig, bands, rows_per_band).alias("_bands"))
-        .select(id_col, F.posexplode("_bands").alias("_band_idx", "_band_sig"))
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        F.posexplode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias(
+            "_band_idx", "_band_sig"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -114,11 +155,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via the
     exploded-shingle join (distinct shingles only)."""
-    sh = (
-        df.select(
-            F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("_s")
-        )
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
@@ -190,18 +227,26 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
 
     t = tokens(col)
     th = F.transform(t, lambda w: h60(w))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    # one pass over the token hashes, accumulating a per-bit sign count
+    counts = F.aggregate(
+        th,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.getbit(h, b).cast("long") * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda b: F.when(
-                F.aggregate(
-                    th,
-                    F.lit(0).cast("long"),
-                    lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-                )
-                > 0,
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long")),
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
@@ -228,11 +273,13 @@ def simhash_near_dup_pairs(
         id_col,
         "_fp",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.shiftright(F.col("_fp"), i * band_bits).bitwiseAND(
-                    F.lit((1 << band_bits) - 1)
-                ),
+            F.array(
+                *[
+                    F.shiftright(F.col("_fp"), i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("_chunk_idx", "_chunk"),
     )

@@ -39,9 +39,12 @@ def tokens(col: Column) -> Column:
     return F.split(normalize(col), " ")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-grams of the normalized text (the MinHash substrate)."""
-    w = tokens(col)
+def shingles_of_tokens(w: Column, k: int = 3) -> Column:
+    """Word k-grams of a token array. Pass a *materialized column*
+    (attribute), not a nested expression: interpreted HOF lambdas
+    re-evaluate outer expressions once per element, so a `tokens(...)`
+    expression here costs O(words²) regexes per row, while an
+    attribute read is O(1)."""
     n = F.size(w)
     return F.when(
         n >= k,
@@ -50,6 +53,14 @@ def shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(w, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-grams of the normalized text (the MinHash substrate).
+    Convenience form over a raw text column — fine for one-shot use;
+    staged pipelines should tokenize into a column first and call
+    :func:`shingles_of_tokens` (see docstring there)."""
+    return shingles_of_tokens(tokens(col), k)
 
 
 def token_count(col: Column) -> Column:
@@ -94,14 +105,20 @@ def quality_score(col: Column) -> Column:
     return len_score * 0.4 + stop_score * 0.3 + punct_penalty * 0.3
 
 
-def detect_language(col: Column) -> Column:
+def detect_language(col: Column, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
     """Marker-token n-gram heuristic; deterministic argmax with
     declaration-order tie-break. (A real engine would plug a model
     here; the operator shape — pure column expression — is the point.)"""
     t = tokens(col)
+
+    def marker_hits(ms: tuple[str, ...]):
+        # closure factory: PySpark derives the lambda arity from its
+        # parameter count, so defaults like `lambda w, m=ms:` misbind
+        return lambda w: w.isin(*ms)
+
     scores = {
-        lang: F.size(F.filter(t, lambda w, m=markers: w.isin(*m)))
-        for lang, markers in LANG_MARKERS.items()
+        lang: F.size(F.filter(t, marker_hits(ms)))
+        for lang, ms in (markers or LANG_MARKERS).items()
     }
     best = F.greatest(*scores.values())
     expr = F.when(best <= 0, F.lit("und"))

@@ -1,0 +1,471 @@
+"""LLM-pipeline corpus (SURVEY.md §2C north-star): the dedup family,
+similarity search, text analysis, and multimodal plumbing — each as a
+hash-checked query wherever the semantics are SQL-expressible.
+
+The oracle SQL is *generated* from the same constants (hash scheme,
+shingle size, band layout, stopword/marker lists) the Spark operators
+use, so the two sides cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.functions.hashing import h60_seeded_sql, h60_sql
+from iceberg_rs_spark.operators import dedup as D
+from iceberg_rs_spark.operators import multimodal as M
+from iceberg_rs_spark.operators import similarity as S
+from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.sources.fixtures import load_table
+
+#: DuckDB equivalent of operators.text.normalize(text)
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+TOKENS_SQL = f"string_split({NORM_SQL.format(c='{c}')}, ' ')"
+#: word 3-grams of the normalized text (k=3, matching operators.text.shingles)
+SHINGLES_SQL = (
+    "[array_to_string(list_slice(w, i, i + 2), ' ') "
+    "for i in generate_series(1, len(w) - 2)]"
+)
+
+NUM_HASHES, BANDS, ROWS_PER_BAND, SHINGLE_K = 12, 4, 3, 3
+
+
+@query(
+    "dedup_exact_content_hash",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100),
+    hashed AS (
+        SELECT doc_id, {h60_sql(NORM_SQL.format(c='text'))} AS h FROM all_docs)
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM hashed GROUP BY h
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash. The fixture has no
+    literal duplicates, so the query re-appends the first 100 docs
+    under shifted ids — the dedup keeps each cluster's minimum id.
+    One hash-shuffle; survivor choice is deterministic (min id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(dupes)
+    h = D.content_hash(F.col("text"))
+    return (
+        all_docs.select("doc_id", h.alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_sig_sql(text_expr: str) -> str:
+    """DuckDB: the 12-element minhash signature as a list expression."""
+    shingle_hash = h60_seeded_sql("i", "s")
+    return (
+        f"[list_min([{shingle_hash} for s in sh]) "
+        f"for i in generate_series(0, {NUM_HASHES - 1})]"
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w FROM documents),
+    sh_tbl AS (
+        SELECT doc_id, {SHINGLES_SQL} AS sh FROM docs),
+    sigs AS (
+        SELECT doc_id, {_minhash_sig_sql('text')} AS sig FROM sh_tbl WHERE len(sh) > 0),
+    bands AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1,
+                                              b * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ','))
+                   AS band_sig
+        FROM sigs, unnest(generate_series(0, {BANDS - 1})) AS t(b)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+    shingle_rows AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh_tbl),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle_rows GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cands c
+        JOIN shingle_rows sa ON sa.doc_id = c.id_a
+        JOIN shingle_rows sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        GROUP BY c.id_a, c.id_b)
+    SELECT i2.id_a, i2.id_b,
+           {rhalf_sql('i2.i * 1.0 / (na.n + nb.n - i2.i)', 4)} AS jaccard
+    FROM inter i2
+    JOIN sizes na ON na.doc_id = i2.id_a
+    JOIN sizes nb ON nb.doc_id = i2.id_b
+    WHERE i2.i * 1.0 / (na.n + nb.n - i2.i) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3 rows) candidates, exact-Jaccard
+    verified at ≥0.6. The oracle rebuilds the identical signature from
+    the shared portable hash, so even the LSH bucketing hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs_minhash(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=0.6,
+    )
+    return pairs.select(
+        "id_a", "id_b", rhalf(F.col("jaccard"), 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w
+        FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           list_sum([
+               CASE WHEN list_sum([(({h60_sql('t')} >> b) & 1) * 2 - 1 for t in w]) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+               for b in generate_series(0, {D.SIMHASH_BITS - 1})]) AS fp
+    FROM docs
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (sign-sum over token hashes) —
+    bit-identical across engines via the portable hash."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w FROM documents),
+    fps AS (
+        SELECT doc_id,
+               list_sum([
+                   CASE WHEN list_sum([(({h60_sql('t')} >> b) & 1) * 2 - 1 for t in w]) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                   for b in generate_series(0, {D.SIMHASH_BITS - 1})]) AS fp
+        FROM docs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via the 4-chunk pigeonhole
+    bucket join — complete for distance ≤ 3 by construction, so it
+    matches the oracle's brute-force O(n²) scan without being one."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_ngram_jaccard_matrix",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w
+        FROM documents WHERE doc_id < 60),
+    sh_tbl AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM docs),
+    shingle_rows AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh_tbl),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle_rows GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS i
+        FROM pairs p
+        JOIN shingle_rows sa ON sa.doc_id = p.id_a
+        JOIN shingle_rows sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+        GROUP BY p.id_a, p.id_b)
+    SELECT i2.id_a, i2.id_b,
+           {rhalf_sql('i2.i * 1.0 / (na.n + nb.n - i2.i)', 4)} AS jaccard
+    FROM inter i2
+    JOIN sizes na ON na.doc_id = i2.id_a
+    JOIN sizes nb ON nb.doc_id = i2.id_b
+    WHERE i2.i * 1.0 / (na.n + nb.n - i2.i) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over an explicit pair set (all pairs of the
+    first 60 docs) — the LSH-free baseline the LSH variant is recalled
+    against."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    jac = D.jaccard_pairs(docs, pairs, shingle_k=SHINGLE_K)
+    return (
+        jac.where(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", rhalf(F.col("jaccard"), 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DOT_SQL = "list_sum([qa[i] * ea[i] for i in generate_series(1, 64)])"
+_NORM_A = "sqrt(list_sum([qa[i] * qa[i] for i in generate_series(1, 64)]))"
+_NORM_B = "sqrt(list_sum([ea[i] * ea[i] for i in generate_series(1, 64)]))"
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+        FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DOT_SQL} / ({_NORM_A} * {_NORM_B}) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.query_id)
+    SELECT query_id, vec_id, {rhalf_sql('cos', 4)} AS cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors: broadcast the query set,
+    scan the embedding table once map-side, per-query TakeOrdered.
+    Sequential left-fold dot product matches the oracle bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.brute_force_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id", "vec_id", rhalf(F.col("cos"), 4).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=None,  # approximate: recall vs brute force asserted in tests
+    tags=("llm", "similarity", "lsh", "approx"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (the 100 TB
+    path: each query probes ~1/2^planes of the data). Excluded from
+    hash-checking per FIXTURES.md rule 4 (approx); recall ≥ threshold
+    is asserted against brute force in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.lsh_topk(emb, queries, k=5, num_planes=2).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_embedding_high_pairs",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {rhalf_sql(
+               "list_sum([a.ea[i] * b.ea[i] for i in generate_series(1, 64)])"
+               " / (sqrt(list_sum([a.ea[i] * a.ea[i] for i in generate_series(1, 64)]))"
+               " * sqrt(list_sum([b.ea[i] * b.ea[i] for i in generate_series(1, 64)])))",
+               4,
+           )} AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum([a.ea[i] * b.ea[i] for i in generate_series(1, 64)])
+          / (sqrt(list_sum([a.ea[i] * a.ea[i] for i in generate_series(1, 64)]))
+             * sqrt(list_sum([b.ea[i] * b.ea[i] for i in generate_series(1, 64)]))) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "similarity", "near-dup"),
+)
+def sim_embedding_high_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup shape: cosine ≥ τ within a blocking key
+    (label). The fixture has no planted duplicates, so τ=0.35 surfaces
+    the high-similarity tail; the operator is the same one that finds
+    true near-dups at τ≈0.98."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(emb, threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", rhalf(F.col("cos"), 4).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+
+
+@query(
+    "text_stats_profile",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, {TOKENS_SQL.format(c='text')} AS w FROM documents)
+    SELECT doc_id,
+           CASE WHEN length({NORM_SQL.format(c='text')}) = 0 THEN 0 ELSE len(w) END AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           {rhalf_sql('list_sum([length(t) for t in w]) * 1.0 / len(w)', 4)} AS avg_word_len,
+           {rhalf_sql(f'len([t for t in w if list_contains({_STOP_LIST}, t)]) * 1.0 / len(w)', 4)} AS stopword_ratio,
+           {rhalf_sql(
+               "length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)", 4
+           )} AS punct_ratio,
+           {h60_sql(NORM_SQL.format(c='text'))} AS fingerprint
+    FROM docs
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: token count, char count, average word
+    length, stopword ratio, punctuation ratio, content fingerprint —
+    all JVM-side column expressions (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+        rhalf(T.avg_word_len(c), 4).alias("avg_word_len"),
+        rhalf(T.stopword_ratio(c), 4).alias("stopword_ratio"),
+        rhalf(T.punct_ratio(c), 4).alias("punct_ratio"),
+        T.fingerprint(c).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+#: domain "language" marker sets drawn from the fixture vocabulary so
+#: the rule-based language-ID heuristic produces varied output
+DOMAIN_MARKERS = {
+    "sql": ("table", "join", "query", "filter"),
+    "spark": ("spark", "batch", "stream", "shuffle"),
+    "data": ("data", "row", "column", "value"),
+    "ops": ("sort", "merge", "hash", "scan"),
+}
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w FROM documents),
+    scored AS (
+        SELECT doc_id,
+               len([t for t in w if list_contains(['table','join','query','filter'], t)]) AS s_sql,
+               len([t for t in w if list_contains(['spark','batch','stream','shuffle'], t)]) AS s_spark,
+               len([t for t in w if list_contains(['data','row','column','value'], t)]) AS s_data,
+               len([t for t in w if list_contains(['sort','merge','hash','scan'], t)]) AS s_ops
+        FROM docs)
+    SELECT doc_id,
+           CASE WHEN greatest(s_sql, s_spark, s_data, s_ops) <= 0 THEN 'und'
+                WHEN s_sql = greatest(s_sql, s_spark, s_data, s_ops) THEN 'sql'
+                WHEN s_spark = greatest(s_sql, s_spark, s_data, s_ops) THEN 'spark'
+                WHEN s_data = greatest(s_sql, s_spark, s_data, s_ops) THEN 'data'
+                ELSE 'ops' END AS guessed
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "language-id"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram scoring with a
+    deterministic argmax). Marker sets are drawn from the fixture's
+    vocabulary so the classifier exercises all branches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.detect_language(F.col("text"), DOMAIN_MARKERS).alias("guessed")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_counts_by_lang",
+    oracle=f"""
+    WITH docs AS (
+        SELECT lang, {TOKENS_SQL.format(c='text')} AS w FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+           CAST(SUM(list_sum([CAST(ceil(length(t) / 4.0) AS BIGINT) for t in w])) AS BIGINT)
+               AS total_bpe_tokens,
+           {rhalf_sql('SUM(len(w)) * 1.0 / COUNT(*)', 2)} AS avg_tokens_per_doc
+    FROM docs
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per language tag: whitespace
+    tokens + a BPE-ish estimate (4-char pieces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        T.token_count(c).alias("n_tok"),
+        T.approx_bpe_token_count(c).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            rhalf(F.sum("n_tok") / F.count("*"), 2).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(16 + (strlen(text) % 64) AS INTEGER) AS width,
+           CAST(16 + ((strlen(text) // 64) % 64) AS INTEGER) AS height,
+           3 AS n_channels
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column + typed
+    metadata struct → Arrow-batched mapInPandas decode (deterministic
+    stub, since no codecs ship in this container) → feature columns.
+    The oracle replicates the stub arithmetic, pinning the whole
+    pandas-UDF path."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    with_payload = M.attach_binary_payload(docs)
+    feats = M.decode_and_featurize(with_payload, fake=True)
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", F.col("n_channels").cast("int").alias("n_channels")
+    ).orderBy("doc_id")
