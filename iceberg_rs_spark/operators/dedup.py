@@ -253,6 +253,35 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, _fp) — the scalable SimHash: explode tokens, hash each
+    once (codegen md5), then 60 per-bit sign sums in one hash
+    aggregation (map-side partials: 60 longs per doc cross the
+    network, not the tokens). Equivalent to :func:`simhash` but stays
+    in whole-stage codegen instead of interpreted HOF evaluation."""
+    w = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    th = w.select(F.col(id_col), F.explode("_w").alias("_t")).select(
+        F.col(id_col), h60(F.col("_t")).alias("_h")
+    )
+    sums = th.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(
+            F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), fp.alias("_fp"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two long fingerprints via bit_count."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -268,7 +297,7 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
     (pigeonhole: distance ≤3 ⇒ at least one identical chunk), bucket-join
     on chunks, verify Hamming ≤ max_hamming."""
-    fp = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_fp"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     chunks = fp.select(
         id_col,
         "_fp",

