@@ -109,15 +109,18 @@ def session_agg(events: DataFrame, gap: str = "2 hours") -> DataFrame:
 
 
 def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming dedup on event_id. The watermark bounds the key
-    state: ids older than the watermark are dropped from the store
-    (at 100 TB the unbounded variant would hold every id ever seen).
-    The watermark column must be TIMESTAMP (with local tz); the cast
-    never reaches the output, so results stay tz-independent."""
+    """Streaming dedup on event_id via dropDuplicatesWithinWatermark.
+    Plain dropDuplicates never expires key state unless the event-time
+    column is part of the keys — at 100 TB that store holds every id
+    ever seen. The WithinWatermark variant expires each key once the
+    watermark passes its first-seen time + delay, bounding state to
+    the disorder window. The watermark column must be TIMESTAMP (with
+    local tz); the cast never reaches the output, so results stay
+    tz-independent."""
     wm = events.withColumn("_wm_ts", F.col("ts").cast("timestamp"))
     return (
         wm.withWatermark("_wm_ts", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .drop("_wm_ts")
     )
 

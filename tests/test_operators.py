@@ -1,0 +1,231 @@
+"""Operator-library tests (SURVEY.md §5 engine test plan): behavioral
+properties the duckdb-oracle corpus can't express — LSH recall vs the
+exact baseline, dedup end-to-end survivors, stub-decoder plumbing, and
+hypothesis round-trips on the text normalizer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.operators import dedup as D
+from iceberg_rs_spark.operators import multimodal as M
+from iceberg_rs_spark.operators import similarity as S
+from iceberg_rs_spark.operators import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_content(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "the quick brown fox"),
+                (2, "THE  quick Brown fox!"),  # same after normalize
+                (3, "a different document"),
+                (4, "the quick brown fox"),
+            ],
+        )
+        out = D.exact_dedup(df)
+        assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+    def test_no_duplicates_is_identity(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+        assert D.exact_dedup(docs).count() == docs.distinct().count()
+
+
+class TestMinHashLSH:
+    def test_near_dup_pairs_find_planted_duplicates(self, spark, sf_dir):
+        """Plant near-copies (one word changed) of real fixture docs;
+        MinHash+LSH must recover every planted pair at threshold 0.6."""
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+        clones = docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" clonedmarker")).alias("text"),
+        )
+        pairs = D.near_dup_pairs_minhash(docs.unionByName(clones), threshold=0.6)
+        found = {(r.id_a, r.id_b) for r in pairs.collect()}
+        planted = {(i, i + 10000) for i in [r.doc_id for r in docs.collect()]}
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.8, f"planted-pair recall {recall}"
+
+    def test_near_dedup_drops_higher_id_member(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+        clones = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        both = docs.unionByName(clones)
+        out = D.near_dedup_minhash(both, threshold=0.9)
+        kept = {r.doc_id for r in out.collect()}
+        # no clone survives (its original has the lower id) ...
+        assert not any(k >= 10000 for k in kept)
+        # ... and originals that are unique among the originals survive
+        dup_originals = {
+            r.id_b for r in D.near_dup_pairs_minhash(docs, threshold=0.9).collect()
+        }
+        assert {r.doc_id for r in docs.collect()} - dup_originals <= kept
+
+    def test_jaccard_of_identical_docs_is_one(self, spark):
+        df = _docs(spark, [(1, "one two three four five"), (2, "one two three four five")])
+        pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+        jac = D.jaccard_pairs(df, pairs).collect()[0]
+        assert jac.jaccard == 1.0
+
+    def test_shingle_rows_drops_short_docs(self, spark):
+        df = _docs(spark, [(1, "only two"), (2, "this one has enough tokens")])
+        ids = {r.doc_id for r in D.shingle_rows(df, shingle_k=3).select("doc_id").distinct().collect()}
+        assert ids == {2}
+
+
+class TestSimHash:
+    def test_identical_docs_have_equal_fingerprints(self, spark):
+        df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")])
+        fps = {r._fp for r in D.simhash_fingerprints(df).collect()}
+        assert len(fps) == 1
+
+    def test_column_and_staged_simhash_agree(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+        col_fp = {
+            r.doc_id: r.fp
+            for r in docs.select("doc_id", D.simhash(F.col("text")).alias("fp")).collect()
+        }
+        staged_fp = {r.doc_id: r._fp for r in D.simhash_fingerprints(docs).collect()}
+        assert col_fp == staged_fp
+
+    def test_near_pairs_complete_for_small_hamming(self, spark, sf_dir):
+        """The 4-chunk pigeonhole join must find exactly the pairs a
+        brute-force fingerprint cross-compare finds at distance ≤ 3."""
+        from itertools import combinations
+
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+        clones = docs.limit(5).select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        both = docs.unionByName(clones)
+        fps = {r.doc_id: r._fp for r in D.simhash_fingerprints(both).collect()}
+        expect = {
+            (a, b)
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= 3
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.simhash_near_dup_pairs(both, max_hamming=3).collect()
+        }
+        assert got == expect
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _queries(self, emb, n=10):
+        return emb.where(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+
+    def test_lsh_recall_vs_brute_force(self, emb):
+        """SURVEY.md §7 risk 5: LSH recall over a fixed seed must stay
+        above threshold against the exact baseline."""
+        q = self._queries(emb)
+        exact = {
+            (r.query_id, r.vec_id) for r in S.brute_force_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in S.lsh_topk(emb, q, k=5, num_planes=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, f"LSH recall@5 {recall}"
+
+    def test_lsh_scores_match_exact_scores(self, emb):
+        """Every (query, neighbor) the LSH path returns must carry the
+        same cosine the exact path assigns to that pair."""
+        q = self._queries(emb, n=5)
+        exact = {
+            (r.query_id, r.vec_id): r.cos
+            for r in S.brute_force_topk(emb, q, k=2000).collect()
+        }
+        for r in S.lsh_topk(emb, q, k=5, num_planes=2).collect():
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cos) < 1e-9
+
+    def test_arrow_cosine_matches_jvm_fold(self, emb):
+        paired = (
+            emb.where(F.col("vec_id") < 50)
+            .alias("a")
+            .crossJoin(emb.where(F.col("vec_id").between(50, 60)).alias("b"))
+        )
+        both = paired.select(
+            S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("jvm"),
+            S.cosine_arrow(F.col("a.embedding"), F.col("b.embedding")).alias("arrow"),
+        ).collect()
+        for r in both:
+            assert abs(r.jvm - r.arrow) < 1e-9
+
+
+class TestTextOps:
+    def test_empty_and_punct_only_token_count_zero(self, spark):
+        df = _docs(spark, [(1, ""), (2, "!!! ... ???"), (3, "one")])
+        out = {r.doc_id: r.n for r in df.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()}
+        assert out == {1: 0, 2: 0, 3: 1}
+
+    def test_quality_score_bounded(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        rows = docs.select(T.quality_score(F.col("text")).alias("q")).collect()
+        assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+    def test_detect_language_tie_break_and_und(self, spark):
+        df = _docs(spark, [(1, "zzz qqq"), (2, "the der")])  # no markers / en-de tie
+        out = {r.doc_id: r.lang for r in df.select(
+            "doc_id", T.detect_language(F.col("text")).alias("lang")).collect()}
+        assert out[1] == "und"
+        assert out[2] == "en"  # declaration order breaks the tie
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(max_size=80))
+    def test_normalize_idempotent(self, spark, s):
+        df = spark.createDataFrame([Row(text=s)])
+        row = df.select(
+            T.normalize(F.col("text")).alias("n1"),
+            T.normalize(T.normalize(F.col("text"))).alias("n2"),
+        ).collect()[0]
+        assert row.n1 == row.n2
+
+
+class TestMultimodal:
+    def test_decode_requires_fake_flag(self):
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"abc")
+
+    def test_map_in_pandas_plumbing(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(20)
+        feats = M.decode_and_featurize(M.attach_binary_payload(docs), fake=True)
+        names = set(feats.columns)
+        assert {"payload", "media_meta", "byte_len", "width", "height", "n_channels"} <= names
+        rows = feats.select("doc_id", "byte_len", "width", "height").collect()
+        lens = {
+            r.doc_id: r["len"]
+            for r in docs.select("doc_id", F.length("text").alias("len")).collect()
+        }
+        for r in rows:
+            assert r.byte_len == lens[r.doc_id]
+            assert r.width == 16 + (r.byte_len % 64)
+            assert r.height == 16 + ((r.byte_len // 64) % 64)

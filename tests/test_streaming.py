@@ -1,0 +1,168 @@
+"""Streaming behavior tests the batch-replay corpus can't express:
+watermark semantics across restarts (late-data drop, bounded dedup
+state) and the foreachBatch → icelake table sink (the engine's
+"Iceberg sink", one `append` snapshot per epoch — reference
+snapshot.rs:19).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_rs_spark.sources.fixtures import load_table
+from iceberg_rs_spark.sources.icelake import Catalog
+from iceberg_rs_spark.streaming import events_stream, replay_to_memory
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src, chk, plan_fn, mode):
+    """One availableNow run over the source directory with a persistent
+    checkpoint — restarting continues from the stored offsets and
+    watermark, exactly like a long-running production query. The sink
+    is foreachBatch (memory sink cannot recover from a checkpoint);
+    emitted rows are collected driver-side."""
+    emitted: list = []
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        plan_fn(stream)
+        .writeStream.foreachBatch(lambda df, _eid: emitted.extend(df.collect()))
+        .option("checkpointLocation", chk)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return emitted
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+class TestWatermarkSemantics:
+    def test_late_rows_below_watermark_are_dropped(self, spark, tmp_path):
+        """Append-mode tumbling agg: after run 1 the checkpointed
+        watermark passes 10:00; a 09:30 event arriving in run 2 must
+        not reopen the 09:00 window."""
+        src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+
+        def plan(stream):
+            return (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count("*").alias("n"))
+                .select(F.col("window.start").alias("ws"), "n")
+            )
+
+        _write_batch(
+            spark,
+            src,
+            [Row(event_id=1, ts=_ts(9, 10), value=1.0),
+             Row(event_id=2, ts=_ts(11, 50), value=1.0)],
+        )
+        out1 = _run_once(spark, src, chk, plan, "append")
+        # watermark after run 1 = 11:50 - 0:30 = 11:20 → 09:00 window closed
+        assert {(r.ws.hour, r.n) for r in out1} == {(9, 1)}
+
+        _write_batch(
+            spark,
+            src,
+            [Row(event_id=3, ts=_ts(9, 30), value=1.0),   # late: below watermark
+             Row(event_id=4, ts=_ts(11, 55), value=1.0)],  # on time, window open
+        )
+        out2 = _run_once(spark, src, chk, plan, "append")
+        hours = {r.ws.hour for r in out2}
+        assert 9 not in hours, "late event reopened a closed window"
+
+    def test_dedup_state_evicted_past_watermark(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark keyed state is bounded: a key
+        re-appearing after its expiry (first-seen ts + delay) passes
+        the watermark is emitted again, while an in-window duplicate
+        is suppressed. (Plain dropDuplicates would suppress forever —
+        and grow state forever.)"""
+        src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+
+        def plan(stream):
+            return stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            )
+
+        _write_batch(
+            spark,
+            src,
+            [Row(event_id=1, ts=_ts(9), value=1.0),
+             Row(event_id=1, ts=_ts(9, 5), value=2.0),  # duplicate, suppressed
+             Row(event_id=2, ts=_ts(12), value=3.0)],
+        )
+        out1 = _run_once(spark, src, chk, plan, "append")
+        assert sorted(r.event_id for r in out1) == [1, 2]
+
+        # run 2: id 1's state expired at 09:30 (first-seen + delay) and
+        # the checkpointed watermark is 11:30, so the 13:00
+        # re-occurrence is a brand-new key and is emitted again
+        _write_batch(spark, src, [Row(event_id=1, ts=_ts(13), value=4.0)])
+        out2 = _run_once(spark, src, chk, plan, "append")
+        assert [r.event_id for r in out2] == [1]
+
+        # run 3: the 13:00 occurrence re-armed state until 13:30, and
+        # the watermark (12:30) hasn't passed it — 14:00 is suppressed
+        _write_batch(spark, src, [Row(event_id=1, ts=_ts(14), value=5.0)])
+        out3 = _run_once(spark, src, chk, plan, "append")
+        assert [r.event_id for r in out3] == []
+
+
+class TestIcelakeSink:
+    def test_foreach_batch_appends_one_snapshot_per_epoch(
+        self, spark, tmp_path, sf_dir
+    ):
+        """Stream → foreachBatch → icelake append: final table equals
+        the batch read, and each epoch committed one `append` snapshot
+        (the reference's snapshot operation semantics)."""
+        events = load_table(spark, sf_dir, "events")
+        catalog = Catalog(spark, str(tmp_path / "wh"))
+        table = catalog.create_table("db.events_sink", events.schema)
+
+        def sink(batch_df, epoch_id):
+            table.append(batch_df)
+
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = table.scan().agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        ).collect()[0]
+        exp = events.agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        ).collect()[0]
+        assert (got.n, got.s) == (exp.n, exp.s)
+        ops = [r["operation"] for r in table.snapshots().collect()]
+        assert set(ops) == {"append"} and len(ops) >= 1
+
+
+class TestReplayHarness:
+    def test_memory_sink_names_are_unique_per_run(self, spark, sf_dir):
+        ev = events_stream(spark, sf_dir).groupBy("event_type").count()
+        t1 = replay_to_memory(ev, "uniq", "complete")
+        t2 = replay_to_memory(ev, "uniq", "complete")
+        assert t1.count() == t2.count() > 0
