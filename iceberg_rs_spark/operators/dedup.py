@@ -81,13 +81,18 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 12,
     shingle_k: int = 3,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, _sig array<long>) — permutation-free MinHash as explode +
     per-seed min. The groupBy is ONE shuffle on the id with map-side
     partial mins (num_hashes longs per id), so this is the shape that
     survives 100 TB: shingle rows never cross the network, only the
     12-long partial signatures do."""
-    rows = shingle_rows(df, id_col, text_col, shingle_k)
+    rows = (
+        shingle_rows_df
+        if shingle_rows_df is not None
+        else shingle_rows(df, id_col, text_col, shingle_k)
+    )
     hashed = rows.select(
         F.col(id_col),
         *[h60_seeded(i, F.col("_s")).alias(f"_h{i}") for i in range(num_hashes)],
@@ -123,10 +128,13 @@ def minhash_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_k: int = 3,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a < id_b) pairs sharing at least one LSH band bucket."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, shingle_rows_df
+    )
     banded = sigs.select(
         id_col,
         F.posexplode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias(
@@ -152,10 +160,18 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via the
-    exploded-shingle join (distinct shingles only)."""
-    sh = shingle_rows(df, id_col, text_col, shingle_k)
+    exploded-shingle join (distinct shingles only). ``pairs`` and the
+    shingle relation are each referenced several times — pass
+    materialized inputs (localCheckpoint) to avoid re-deriving them
+    per reference."""
+    sh = (
+        shingle_rows_df
+        if shingle_rows_df is not None
+        else shingle_rows(df, id_col, text_col, shingle_k)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
@@ -191,8 +207,19 @@ def near_dup_pairs_minhash(
     shingle_k: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """LSH candidates → exact-Jaccard verify → pairs over threshold."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    """LSH candidates → exact-Jaccard verify → pairs over threshold.
+
+    The candidate set is materialized once (localCheckpoint ≈
+    persist-to-executors): the verify stage references it three times,
+    and without a materialization barrier each reference re-runs the
+    whole shingle/minhash/bucket-join pipeline. The (cheap, fused)
+    shingle relation is deliberately NOT checkpointed — serializing it
+    costs more than recomputing it inside each shuffle map stage. At
+    cluster scale this is the standard persist-candidates-then-verify
+    shape."""
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k
+    ).localCheckpoint()
     jac = jaccard_pairs(df, cands, id_col, text_col, shingle_k)
     return jac.where(F.col("jaccard") >= threshold)
 

@@ -17,3 +17,4 @@ import iceberg_rs_spark.plans.scalar  # noqa: F401,E402
 import iceberg_rs_spark.plans.llm  # noqa: F401,E402
 import iceberg_rs_spark.plans.streaming  # noqa: F401,E402
 import iceberg_rs_spark.plans.udfs  # noqa: F401,E402
+import iceberg_rs_spark.plans.tables  # noqa: F401,E402

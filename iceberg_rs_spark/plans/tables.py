@@ -1,0 +1,213 @@
+"""Versioned-table corpus (SURVEY.md §2B/§2C scans): the icelake table
+layer exercised as hash-checked queries — full scan with predicate
+pushdown, VERSION AS OF / TIMESTAMP AS OF time travel, branch + tag
+reads, incremental (changes-between-snapshots) scan, the snapshots
+metadata table, and CSV/JSON/parquet ingest round-trips.
+
+Setup builds one two-snapshot table per (process, sf_dir): snapshot 1
+appends the even event_ids, snapshot 2 the odd ones, with a tag and a
+branch pinned at snapshot 1. Every query then has an exact relational
+oracle over the raw events fixture (`evt` CTE).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
+from iceberg_rs_spark.sources.icelake import Catalog
+
+#: (spark id, sf_dir) -> prepared Table; tables live for the process.
+_TABLES: dict[tuple[int, str], object] = {}
+
+
+def _events_table(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _TABLES:
+        events = load_table(spark, sf_dir, "events")
+        catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_corpus_"))
+        t = catalog.create_table("db.events_versioned", events.schema)
+        t.append(events.where(F.col("event_id") % 2 == 0))
+        t.create_tag("v1")
+        t.create_branch("audit")
+        t.append(events.where(F.col("event_id") % 2 == 1))
+        _TABLES[key] = t
+    return _TABLES[key]
+
+
+def _snap1_id(t) -> int:
+    return min(s.snapshot_id for s in t.metadata.snapshots)
+
+
+def _summarize(df: DataFrame, kind: str) -> DataFrame:
+    return df.groupBy().agg(
+        F.lit(kind).alias("kind"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_EVEN_SUM = (
+    "SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM evt WHERE event_id % 2 = 0"
+)
+
+
+@query(
+    "table_scan_pushdown",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT event_id, user_id, event_type, value
+    FROM evt
+    WHERE event_type = 'click' AND value > 50
+    ORDER BY event_id
+    """,
+    tags=("table", "scan", "pushdown"),
+)
+def table_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan through the table layer: the predicate prunes via
+    per-file min/max stats before Spark reads, then re-applies
+    exactly."""
+    t = _events_table(spark, sf_dir)
+    return (
+        t.scan(
+            columns=["event_id", "user_id", "event_type", "value"],
+            where="event_type = 'click' AND value > 50",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "table_time_travel",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    half AS (SELECT * FROM evt WHERE event_id % 2 = 0)
+    SELECT 'version_as_of' AS kind, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM half
+    UNION ALL
+    SELECT 'timestamp_as_of', COUNT(*), ROUND(SUM(value), 2) FROM half
+    UNION ALL
+    SELECT 'current', COUNT(*), ROUND(SUM(value), 2) FROM evt
+    ORDER BY kind
+    """,
+    tags=("table", "time-travel"),
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF + TIMESTAMP AS OF both resolve to snapshot 1 (the
+    even half); the current read sees both snapshots."""
+    t = _events_table(spark, sf_dir)
+    snap1 = _snap1_id(t)
+    ts1 = t.metadata.snapshot_by_id(snap1).timestamp_ms
+    by_version = _summarize(t.scan(snapshot_id=snap1), "version_as_of")
+    by_ts = _summarize(t.scan(as_of_timestamp_ms=ts1), "timestamp_as_of")
+    current = _summarize(t.scan(), "current")
+    return by_version.unionByName(by_ts).unionByName(current).orderBy("kind")
+
+
+@query(
+    "table_branch_tag_reads",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    half AS (SELECT * FROM evt WHERE event_id % 2 = 0)
+    SELECT 'branch:audit' AS kind, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM half
+    UNION ALL
+    SELECT 'main', COUNT(*), ROUND(SUM(value), 2) FROM evt
+    UNION ALL
+    SELECT 'tag:v1', COUNT(*), ROUND(SUM(value), 2) FROM half
+    ORDER BY kind
+    """,
+    tags=("table", "branch", "tag"),
+)
+def table_branch_tag_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch and tag reads pin snapshot 1 (reference snapshot.rs
+    Reference/Retention semantics); main has moved on."""
+    t = _events_table(spark, sf_dir)
+    return (
+        _summarize(t.scan(branch="audit"), "branch:audit")
+        .unionByName(_summarize(t.scan(), "main"))
+        .unionByName(_summarize(t.scan(tag="v1"), "tag:v1"))
+        .orderBy("kind")
+    )
+
+
+@query(
+    "table_incremental_scan",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT event_id, event_type, value
+    FROM evt
+    WHERE event_id % 2 = 1
+    ORDER BY event_id
+    """,
+    tags=("table", "incremental"),
+)
+def table_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changes between snapshot 1 and head = exactly the second append
+    (the odd half); `replace` snapshots would be skipped."""
+    t = _events_table(spark, sf_dir)
+    return (
+        t.incremental_scan(start_snapshot_id=_snap1_id(t))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "table_snapshots_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'append'),
+        (CAST(2 AS BIGINT), 'append')) AS t(sequence_number, operation)
+    ORDER BY sequence_number
+    """,
+    tags=("table", "metadata-tables"),
+)
+def table_snapshots_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshots metadata table ("track changes, view snapshots" —
+    reference README.md:27): two append commits in order."""
+    t = _events_table(spark, sf_dir)
+    return (
+        t.snapshots()
+        .select("sequence_number", "operation")
+        .orderBy("sequence_number")
+    )
+
+
+@query(
+    "ingest_csv_json_parquet",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    base AS (SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM evt)
+    SELECT 'csv' AS fmt, n, sum_value FROM base
+    UNION ALL SELECT 'json', n, sum_value FROM base
+    UNION ALL SELECT 'parquet', n, sum_value FROM base
+    ORDER BY fmt
+    """,
+    tags=("table", "ingest", "csv", "json", "parquet-sink"),
+)
+def ingest_csv_json_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink + ingest round-trip for every declared file format: write
+    the events projection out as CSV, JSON and parquet, read each back
+    with an explicit schema (§1.2 rule: inference only at ingest), and
+    verify all three agree with the source."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="ingest_roundtrip_")
+    schema = "event_id bigint, event_type string, value double"
+    events.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    events.write.mode("overwrite").json(f"{base}/json")
+    events.write.mode("overwrite").parquet(f"{base}/parquet")
+    csv = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    json_df = spark.read.schema(schema).json(f"{base}/json")
+    parquet = spark.read.schema(schema).parquet(f"{base}/parquet")
+    out = None
+    for fmt, df in [("csv", csv), ("json", json_df), ("parquet", parquet)]:
+        s = df.groupBy().agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("fmt")

@@ -959,6 +959,48 @@ class Table:
         self._commit(updater)
         return removed
 
+    def incremental_scan(
+        self,
+        start_snapshot_id: int | None = None,
+        end_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows in data files added between two snapshots (exclusive
+        start, inclusive end), walking the parent chain. `replace`
+        snapshots are skipped — compaction rewrites files without
+        changing data, which is exactly the "allows certain snapshots
+        to be skipped during operation" note on the reference's
+        Operation enum (snapshot.rs:16-31)."""
+        md = self.metadata
+        end = end_snapshot_id if end_snapshot_id is not None else md.current_snapshot_id
+        if end is None:
+            return self.spark.createDataFrame([], md.current_schema().to_spark())
+        chain: list[Snapshot] = []
+        cur: Snapshot | None = md.snapshot_by_id(end)
+        while cur is not None and cur.snapshot_id != start_snapshot_id:
+            chain.append(cur)
+            cur = (
+                md.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if start_snapshot_id is not None and cur is None:
+            raise KeyError(
+                f"snapshot {start_snapshot_id} is not an ancestor of {end}"
+            )
+        added: list[DataFileEntry] = []
+        for snap in reversed(chain):
+            if snap.operation == "replace":
+                continue
+            parent_paths = (
+                {e.path for e in self._read_manifest(md.snapshot_by_id(snap.parent_snapshot_id))}
+                if snap.parent_snapshot_id is not None
+                else set()
+            )
+            added.extend(
+                e for e in self._read_manifest(snap) if e.path not in parent_paths
+            )
+        return self._read_entries_as(md, added, md.current_schema())
+
     # -- metadata inspection tables (reference README.md:27) ------------
 
     def snapshots(self) -> DataFrame:
