@@ -40,7 +40,8 @@ def _events_table(spark: SparkSession, sf_dir: str):
 
 
 def _snap1_id(t) -> int:
-    return min(s.snapshot_id for s in t.metadata.snapshots)
+    # commit order is the sequence number; snapshot ids are NOT ordered
+    return min(t.metadata.snapshots, key=lambda s: s.sequence_number).snapshot_id
 
 
 def _summarize(df: DataFrame, kind: str) -> DataFrame:
@@ -174,6 +175,81 @@ def table_snapshots_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sequence_number", "operation")
         .orderBy("sequence_number")
     )
+
+
+@query(
+    "table_operation_sequence",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    kept AS (SELECT * FROM evt WHERE event_id % 4 <> 3)
+    SELECT 'op_1' AS kind, 'append' AS detail
+    UNION ALL SELECT 'op_2', 'append'
+    UNION ALL SELECT 'op_3', 'delete'
+    UNION ALL SELECT 'op_4', 'replace'
+    UNION ALL SELECT 'rows', CAST(COUNT(*) AS VARCHAR) FROM kept
+    UNION ALL SELECT 'sum_cents',
+              CAST(CAST(ROUND(SUM(value) * 100) AS BIGINT) AS VARCHAR) FROM kept
+    ORDER BY kind
+    """,
+    tags=("table", "snapshot-operations", "delete", "compaction"),
+)
+def table_operation_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four snapshot operations of the reference's Operation enum
+    (snapshot.rs:14-31) in one lifecycle: two appends, a copy-on-write
+    DELETE, and a compaction (`replace` — files rewritten, data
+    unchanged). The snapshots metadata table records the sequence and
+    the surviving rows match the relational oracle."""
+    events = load_table(spark, sf_dir, "events")
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_ops_"))
+    t = catalog.create_table("db.events_ops", events.schema)
+    t.append(events.where(F.col("event_id") % 2 == 0))
+    t.append(events.where(F.col("event_id") % 2 == 1))
+    t.delete("event_id % 4 = 3")
+    t.compact()
+    ops = t.snapshots().select(
+        F.concat(F.lit("op_"), F.col("sequence_number").cast("string")).alias("kind"),
+        F.col("operation").alias("detail"),
+    )
+    final = t.scan()
+    stats = final.groupBy().agg(
+        F.count("*").cast("string").alias("rows"),
+        F.round(F.sum("value") * 100).cast("long").cast("string").alias("sum_cents"),
+    )
+    summary = stats.selectExpr(
+        "stack(2, 'rows', rows, 'sum_cents', sum_cents) AS (kind, detail)"
+    )
+    return ops.unionByName(summary).orderBy("kind")
+
+
+@query(
+    "table_schema_evolution_scan",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT event_id, event_type, value,
+           CASE WHEN event_id % 2 = 1 THEN 't-' || event_type END AS tag
+    FROM evt
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    tags=("table", "schema-evolution"),
+)
+def table_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations (reference
+    table.rs:32-34, schemas list + current id): files written before
+    ADD COLUMN read as null for the new field; both generations are
+    scanned through the current schema by field id."""
+    events = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    base = events.select("event_id", "event_type", "value")
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_evo_"))
+    t = catalog.create_table("db.events_evolved", base.schema)
+    t.append(base.where(F.col("event_id") % 2 == 0))
+    t.add_column("tag", "string", doc="added after first append")
+    t.append(
+        base.where(F.col("event_id") % 2 == 1).withColumn(
+            "tag", F.concat(F.lit("t-"), F.col("event_type"))
+        )
+    )
+    return t.scan().orderBy("event_id")
 
 
 @query(
