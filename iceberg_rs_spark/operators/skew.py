@@ -1,0 +1,65 @@
+"""Skew mitigation (SURVEY.md §2C / the 100 TB posture): salting for
+hot keys, complementing AQE's runtime skew-join splitting.
+
+Both operators are *deterministic* (salt is a hash of a row column,
+not rand()) so they stay oracle-checkable: salted results must equal
+their unsalted equivalents exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys.
+
+    Stage 1 groups by (key, salt) — a hot key's rows spread over
+    `buckets` reducers instead of one; stage 2 combines the partials
+    by key. Only sums/counts/min/max re-aggregate losslessly (avg must
+    be decomposed into sum+count by the caller).
+
+    aggs: {column: "sum"|"count"|"min"|"max"}.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).alias("_salt")
+    stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt")
+    partial_exprs = []
+    for col, how in aggs.items():
+        if how == "count":
+            partial_exprs.append(F.count(col).alias(f"_p_{col}"))
+        else:
+            partial_exprs.append(getattr(F, how)(col).alias(f"_p_{col}"))
+    partials = stage1.agg(*partial_exprs)
+    final_exprs = []
+    for col, how in aggs.items():
+        combine = "sum" if how == "count" else how
+        final_exprs.append(getattr(F, combine)(f"_p_{col}").alias(f"{how}_{col}"))
+    return partials.groupBy(*key_cols).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic salt in
+    [0, buckets); the small side is replicated once per salt value, so
+    a hot key's rows land on `buckets` different reducers. Equivalent
+    to `big.join(small, key, how)` row-for-row."""
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(buckets))
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
+    )
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

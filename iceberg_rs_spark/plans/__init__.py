@@ -19,3 +19,4 @@ import iceberg_rs_spark.plans.streaming  # noqa: F401,E402
 import iceberg_rs_spark.plans.udfs  # noqa: F401,E402
 import iceberg_rs_spark.plans.tables  # noqa: F401,E402
 import iceberg_rs_spark.plans.scalar2  # noqa: F401,E402
+import iceberg_rs_spark.plans.misc  # noqa: F401,E402
