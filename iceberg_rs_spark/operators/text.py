@@ -106,10 +106,20 @@ def quality_score(col: Column) -> Column:
 
 
 def detect_language(col: Column, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
-    """Marker-token n-gram heuristic; deterministic argmax with
+    """Marker-token n-gram heuristic over a raw text column. The
+    expression references the token array ~3× per language; staged
+    pipelines should tokenize into a column first and call
+    :func:`detect_language_from_tokens` (interpreted expressions
+    re-evaluate per reference — see shingles_of_tokens)."""
+    return detect_language_from_tokens(tokens(col), markers)
+
+
+def detect_language_from_tokens(
+    t: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Deterministic argmax over marker-token hits with
     declaration-order tie-break. (A real engine would plug a model
     here; the operator shape — pure column expression — is the point.)"""
-    t = tokens(col)
 
     def marker_hits(ms: tuple[str, ...]):
         # closure factory: PySpark derives the lambda arity from its

@@ -399,8 +399,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax). Marker sets are drawn from the fixture's
     vocabulary so the classifier exercises all branches."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.detect_language(F.col("text"), DOMAIN_MARKERS).alias("guessed")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("_w"))
+    return toks.select(
+        "doc_id",
+        T.detect_language_from_tokens(F.col("_w"), DOMAIN_MARKERS).alias("guessed"),
     ).orderBy("doc_id")
 
 
