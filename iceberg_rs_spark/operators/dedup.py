@@ -57,6 +57,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Redistribute a narrow scan before compute-heavy per-row work.
+    A single small parquet file arrives as one partition, serializing
+    the hash pipeline on one core; at real scale the scan has many
+    splits and this is a no-op. One cheap shuffle of raw rows buys
+    full-cluster parallelism on everything downstream."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingle_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -68,7 +80,9 @@ def shingle_rows(
     references only an attribute (interpreted HOF lambdas re-evaluate
     outer *expressions* once per element — staging keeps tokenization
     O(words), not O(words²), per row). Docs with < k tokens vanish."""
-    w = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    w = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    )
     return w.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_of_tokens(F.col("_w"), shingle_k))).alias("_s"),
@@ -291,7 +305,9 @@ def simhash_fingerprints(
     aggregation (map-side partials: 60 longs per doc cross the
     network, not the tokens). Equivalent to :func:`simhash` but stays
     in whole-stage codegen instead of interpreted HOF evaluation."""
-    w = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    w = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_w")
+    )
     th = w.select(F.col(id_col), F.explode("_w").alias("_t")).select(
         F.col(id_col), h60(F.col("_t")).alias("_h")
     )
