@@ -38,21 +38,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def replay_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
     sink and return the final result table. This is the batch-replay
-    harness: bounded input, unbounded semantics."""
+    harness: bounded input, unbounded semantics.
+
+    `state_partitions` sizes the stateful-operator shuffle. A streaming
+    query's state-partition count is pinned at first checkpoint, so it
+    must be chosen for the *state* volume, not inherited from the batch
+    default: each partition is a full state-store instance (commit I/O
+    per micro-batch, one Python worker for applyInPandasWithState), so
+    oversizing multiplies fixed cost per batch. 8 fits the fixture
+    replays; a production job sizes it to keyspace/target-store-size
+    and keeps it for the life of the checkpoint."""
     spark = stream_df.sparkSession
     qname = f"{name}_{next(_name_counter)}"
-    q: StreamingQuery = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q: StreamingQuery = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
