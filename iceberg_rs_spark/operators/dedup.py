@@ -146,9 +146,14 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """(id_a < id_b) pairs sharing at least one LSH band bucket."""
     rows_per_band = num_hashes // bands
+    # The bucket self-join references the signature relation twice and
+    # Catalyst does not plan a ReusedExchange across the alias pair, so
+    # without a barrier the whole shingle→minhash pipeline runs twice.
+    # Signatures are one row of `num_hashes` longs per doc — a trivial
+    # materialization even at corpus scale.
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k, shingle_rows_df
-    )
+    ).localCheckpoint()
     banded = sigs.select(
         id_col,
         F.posexplode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias(
@@ -223,18 +228,21 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verify → pairs over threshold.
 
-    The candidate set is materialized once (localCheckpoint ≈
-    persist-to-executors): the verify stage references it three times,
-    and without a materialization barrier each reference re-runs the
-    whole shingle/minhash/bucket-join pipeline. The (cheap, fused)
-    shingle relation is deliberately NOT checkpointed — serializing it
-    costs more than recomputing it inside each shuffle map stage. At
-    cluster scale this is the standard persist-candidates-then-verify
-    shape."""
+    Both the shingle relation and the candidate set are materialized
+    once (localCheckpoint ≈ persist-to-executors). Shingles feed the
+    signature stage once and the verify stage three times (sizes + the
+    two intersection sides); candidates feed the verify joins three
+    times. Without the barriers each reference re-runs the whole
+    tokenize→shingle (or shingle→minhash→bucket-join) pipeline —
+    Catalyst does not reuse plan subtrees across self-join aliases.
+    This is the standard persist-shingles-then-verify shape; at
+    cluster scale the shingle relation is the corpus token stream, and
+    persisting it once is still cheaper than deriving it four times."""
+    sh = shingle_rows(df, id_col, text_col, shingle_k).localCheckpoint()
     cands = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_k
+        df, id_col, text_col, num_hashes, bands, shingle_k, shingle_rows_df=sh
     ).localCheckpoint()
-    jac = jaccard_pairs(df, cands, id_col, text_col, shingle_k)
+    jac = jaccard_pairs(df, cands, id_col, text_col, shingle_k, shingle_rows_df=sh)
     return jac.where(F.col("jaccard") >= threshold)
 
 
@@ -339,8 +347,13 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
     (pigeonhole: distance ≤3 ⇒ at least one identical chunk), bucket-join
-    on chunks, verify Hamming ≤ max_hamming."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    on chunks, verify Hamming ≤ max_hamming.
+
+    Fingerprints are materialized before the bucket self-join (one long
+    per doc): the two join sides otherwise each re-run the full
+    tokenize→hash→60-sum aggregation — Catalyst plans no ReusedExchange
+    across the alias pair."""
+    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint()
     chunks = fp.select(
         id_col,
         "_fp",
