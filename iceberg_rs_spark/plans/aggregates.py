@@ -62,7 +62,7 @@ def agg_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
            ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-           ROUND(COVAR_POP(l_discount, l_tax), 6) AS covar_disc_tax
+           ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag

@@ -175,8 +175,8 @@ def fn_epoch_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_diff,
            round(l_extendedprice, 1) AS price_r1,
-           floor(l_quantity / 7) AS qty_div7,
-           ceil(l_extendedprice / 1000) AS price_kilo,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
            round(exp(l_discount), 6) AS exp_disc,
            round(ln(l_extendedprice), 6) AS ln_price,
            round(log10(l_extendedprice), 6) AS log10_price,
@@ -185,7 +185,7 @@ def fn_epoch_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(l_quantity), 6) AS sqrt_qty,
            CAST(l_orderkey AS BIGINT) % 7 AS mod7,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS pmod7,
-           sign(l_discount - 0.05) AS sgn,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate
     FROM lineitem
@@ -270,7 +270,7 @@ def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            nums[1] AS first_line,
            CASE WHEN list_contains(nums, 3) THEN 1 ELSE 0 END AS has_line3,
            array_to_string(list_slice(nums, 1, 2), ',') AS first_two,
-           list_sum(nums) AS line_sum,
+           CAST(list_sum(nums) AS INTEGER) AS line_sum,
            array_to_string([x * 2 for x in nums], ',') AS doubled,
            len([x for x in nums if x % 2 = 0]) AS n_even,
            CASE WHEN len([x for x in nums if x > 5]) > 0 THEN 1 ELSE 0 END AS has_gt5,

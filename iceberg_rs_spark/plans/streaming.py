@@ -202,7 +202,7 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SESSIONIZE_SQL
     + """
     SELECT user_id,
-           MAX(sid) AS n_sessions,
+           CAST(MAX(sid) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM s
     GROUP BY user_id

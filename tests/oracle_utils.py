@@ -55,6 +55,19 @@ def _canon_cell(v):
     return v
 
 
+def _kind(s: pd.Series) -> str:
+    """Numeric *kind* (int vs float vs bool vs other) — the driver's value
+    hash distinguishes DuckDB DOUBLE from Spark BIGINT even when the
+    numbers are equal, so the local gate must too."""
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "other"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = ""):
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     assert list(a.columns) == list(b.columns), (
@@ -62,9 +75,15 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     )
     assert len(a) == len(b), f"{name}: row count spark={len(a)} duck={len(b)}"
     for col in a.columns:
+        ka, kb = _kind(a[col]), _kind(b[col])
+        assert ka == kb, f"{name}: column {col!r} dtype-kind mismatch spark={ka} duck={kb}"
         av, bv = a[col].to_numpy(), b[col].to_numpy()
-        if pd.api.types.is_float_dtype(a[col]) and pd.api.types.is_float_dtype(b[col]):
-            ok = np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+        if ka == "float":
+            # Driver-strict: hash equality means bit equality, so compare
+            # exactly and distinguish -0.0 from 0.0 (only NaN==NaN allowed).
+            ok = ((av == bv) & (np.signbit(av) == np.signbit(bv))) | (
+                np.isnan(av) & np.isnan(bv)
+            )
         else:
             ok = np.array([x == y or (pd.isna(x) and pd.isna(y)) for x, y in zip(av, bv)])
         if not ok.all():
