@@ -550,18 +550,30 @@ class Table:
         (by partition + stats pruning) are rewritten."""
         md = self.metadata
         entries = self._current_entries(md, branch)
-        candidates, untouched = _split_by_predicate(entries, where, md, self)
+        candidates, _ = _split_by_predicate(entries, where, md, self)
+        candidate_paths = {e.path for e in candidates}
         deleted = 0
         rewritten: list[DataFileEntry] = []
         if candidates:
             df = self._read_entries(md, candidates)
-            remaining = df.filter(f"NOT ({where})")
+            # SQL DELETE keeps rows where the predicate is NOT TRUE —
+            # i.e. false *or NULL*. `NOT (where)` would drop NULL rows.
+            remaining = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
             before = sum(e.record_count for e in candidates)
             rewritten = self._write_data_files(remaining, md)
             after = sum(e.record_count for e in rewritten)
             deleted = before - after
 
         def updater(cur: TableMetadata) -> TableMetadata:
+            # Recompute the kept set from `cur` on every (re)try: a
+            # concurrent append that wins the race must survive the
+            # commit (snapshot isolation — the delete applies to the
+            # files it read; later files are kept untouched).
+            untouched = [
+                e
+                for e in self._current_entries(cur, branch)
+                if e.path not in candidate_paths
+            ]
             return self._new_snapshot(
                 cur, "delete", untouched + rewritten, branch,
                 {"deleted-records": str(deleted)},
@@ -621,23 +633,7 @@ class Table:
     def _read_entries(self, md: TableMetadata, entries: list[DataFileEntry]) -> DataFrame:
         """Read a set of manifest entries, reconciling schema
         generations by field id (schema-evolution read path)."""
-        current = md.current_schema()
-        if not entries:
-            return self.spark.createDataFrame([], current.to_spark())
-        by_schema: dict[int, list[str]] = {}
-        for e in entries:
-            by_schema.setdefault(e.schema_id, []).append(e.path)
-        parts = []
-        for sid, paths in sorted(by_schema.items()):
-            file_schema = md.schema_by_id(sid)
-            df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
-            if sid != current.schema_id:
-                df = _project_by_field_id(df, file_schema, current)
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return self._read_entries_as(md, entries, md.current_schema())
 
     def scan(
         self,
@@ -683,15 +679,31 @@ class Table:
     def _read_entries_as(
         self, md: TableMetadata, entries: list[DataFileEntry], target: IceSchema
     ) -> DataFrame:
+        """Read manifest entries projected to ``target``.
+
+        Files are grouped by (schema generation, commit basePath): an
+        identity-partitioned source column is physically absent from
+        the data file (the writer's partitionBy moves it into the
+        directory name), so reads must hand Spark the commit directory
+        as basePath and let partition discovery restore the column,
+        cast to its schema-declared type. One read group per (schema,
+        commit) — not per partition — keeps the plan size independent
+        of partition count.
+        """
         if not entries:
             return self.spark.createDataFrame([], target.to_spark())
-        by_schema: dict[int, list[str]] = {}
+        groups: dict[tuple[int, str], list[str]] = {}
         for e in entries:
-            by_schema.setdefault(e.schema_id, []).append(e.path)
+            groups.setdefault((e.schema_id, _base_path(e.path)), []).append(e.path)
         parts = []
-        for sid, paths in sorted(by_schema.items()):
+        for (sid, base), paths in sorted(groups.items()):
             file_schema = md.schema_by_id(sid)
-            df = self.spark.read.schema(file_schema.to_spark()).parquet(*paths)
+            df = (
+                self.spark.read.option("basePath", base)
+                .schema(file_schema.to_spark())
+                .parquet(*paths)
+                .select(*[f.name for f in file_schema.fields])
+            )
             if sid != target.schema_id:
                 df = _project_by_field_id(df, file_schema, target)
             parts.append(df)
@@ -904,12 +916,30 @@ class Table:
         honoring branch retention (min-snapshots-to-keep /
         max-snapshot-age-ms) — CALL system.expire_snapshots."""
         removed: list[int] = []
+        to_delete: list[str] = []
 
         def updater(md: TableMetadata) -> TableMetadata:
-            nonlocal removed
+            nonlocal removed, to_delete
+            removed, to_delete = [], []  # reset per retry
             now = _now_ms()
+            # Ref-age retention (reference snapshot.rs:98-102): a tag or
+            # non-main branch whose max_ref_age_ms has elapsed (measured
+            # from the commit time of the snapshot it pins) is dropped
+            # before computing reachability — expired tags must not keep
+            # their snapshots immortal.
+            live_refs: dict[str, Reference] = {}
+            for name, ref in md.refs.items():
+                if name != MAIN_BRANCH and ref.max_ref_age_ms is not None:
+                    try:
+                        pinned = md.snapshot_by_id(ref.snapshot_id)
+                    except KeyError:
+                        continue  # dangling ref → drop
+                    if now - pinned.timestamp_ms > ref.max_ref_age_ms:
+                        continue  # ref expired
+                live_refs[name] = ref
+            refs_changed = set(live_refs) != set(md.refs)
             keep: set[int] = set()
-            for name, ref in {**md.refs}.items():
+            for name, ref in live_refs.items():
                 keep.add(ref.snapshot_id)
                 if ref.type == "branch":
                     # walk ancestry honoring min_snapshots_to_keep / age
@@ -939,24 +969,34 @@ class Table:
             ]
             removed = [s.snapshot_id for s in expired]
             if not expired:
-                return md
+                return md.evolve(refs=live_refs) if refs_changed else md
             kept_snaps = tuple(s for s in md.snapshots if s.snapshot_id not in set(removed))
             live_files = set()
             for s in kept_snaps:
                 live_files.update(e.path for e in self._read_manifest(s))
+            # Physical deletion is deferred until the exclusive-create
+            # commit succeeds — deleting inside the updater would lose
+            # data if a concurrent commit forces a retry or the commit
+            # ultimately fails.
             for s in expired:
-                for e in self._read_manifest(s):
-                    if e.path not in live_files and os.path.exists(e.path):
-                        os.remove(e.path)
-                os.remove(s.manifest_list)
+                to_delete.extend(
+                    e.path
+                    for e in self._read_manifest(s)
+                    if e.path not in live_files
+                )
+                to_delete.append(s.manifest_list)
             return md.evolve(
                 snapshots=kept_snaps,
                 snapshot_log=tuple(
                     e for e in md.snapshot_log if e.snapshot_id not in set(removed)
                 ),
+                refs=live_refs,
             )
 
         self._commit(updater)
+        for path in to_delete:
+            if os.path.exists(path):
+                os.remove(path)
         return removed
 
     def incremental_scan(
@@ -990,7 +1030,19 @@ class Table:
         added: list[DataFileEntry] = []
         for snap in reversed(chain):
             if snap.operation == "replace":
+                # compaction rewrites files without changing data —
+                # exactly the "allows certain snapshots to be skipped"
+                # note on the reference's Operation enum.
                 continue
+            if snap.operation != "append":
+                # Incremental-append semantics: files rewritten by
+                # overwrite/delete are NOT new data; surfacing them
+                # would re-deliver pre-existing rows as duplicates.
+                raise ValueError(
+                    f"incremental scan range contains a {snap.operation!r} "
+                    f"snapshot ({snap.snapshot_id}); only append snapshots "
+                    "can be consumed incrementally"
+                )
             parent_paths = (
                 {e.path for e in self._read_manifest(md.snapshot_by_id(snap.parent_snapshot_id))}
                 if snap.parent_snapshot_id is not None
@@ -1163,6 +1215,17 @@ def _project_by_field_id(df: DataFrame, file_schema: IceSchema, target: IceSchem
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _base_path(path: str) -> str:
+    """Commit directory of a data file: everything before the first
+    Hive-style ``k=v`` path segment (the whole dirname when the file
+    is unpartitioned)."""
+    parts = path.split(os.sep)
+    for i, seg in enumerate(parts[:-1]):
+        if "=" in seg:
+            return os.sep.join(parts[:i])
+    return os.path.dirname(path)
+
+
 def _partition_values_from_path(rel: str) -> dict:
     out = {}
     for seg in rel.split(os.sep):
@@ -1193,6 +1256,10 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
     md = pf.metadata
     arrow_schema = pf.schema_arrow
     stats: dict[str, dict] = {}
+    # Columns where ANY row group lacks min/max: the file-level interval
+    # is unknown — taking it from only the stats-bearing groups would
+    # let pruning drop files whose stat-less groups hold matching rows.
+    unknown: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -1202,6 +1269,7 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
                 continue
             s = col.statistics
             if s is None or not s.has_min_max:
+                unknown.add(name)
                 entry = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
                 entry["nulls"] += s.null_count if s and s.null_count is not None else 0
                 continue
@@ -1212,6 +1280,8 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
             if mx is not None and (entry["max"] is None or mx > entry["max"]):
                 entry["max"] = mx
             entry["nulls"] += s.null_count or 0
+    for name in unknown:
+        stats[name]["min"] = stats[name]["max"] = None
     _ = arrow_schema
     return stats
 
@@ -1328,7 +1398,9 @@ def _bucket_of_literal(spark: SparkSession, n: int, v) -> int | None:
 
 
 def _coerce_partition_value(pv, sample):
-    """Partition dir values are strings; coerce to the comparison type."""
+    """Partition dir values are strings; coerce to the comparison type.
+    Raises ValueError when the string cannot represent the sample's
+    type — callers treat that as "unknown, keep the file"."""
     if pv is None:
         return None
     if isinstance(sample, bool):
@@ -1337,6 +1409,10 @@ def _coerce_partition_value(pv, sample):
         return int(pv)
     if isinstance(sample, float):
         return float(pv)
+    if isinstance(sample, datetime):
+        return datetime.fromisoformat(str(pv))
+    if isinstance(sample, date):
+        return date.fromisoformat(str(pv))
     return pv
 
 
@@ -1383,15 +1459,25 @@ def _entry_survives(
             tv = _apply_transform_py(pf.transform, c.value)
             if tv is None:
                 continue
-            pv = _coerce_partition_value(pv_raw, tv)
+            try:
+                pv = _coerce_partition_value(pv_raw, tv)
+            except (ValueError, TypeError):
+                continue  # unrepresentable partition value → keep file
+            if pv is not None and type(pv) is not type(tv) and not (
+                isinstance(pv, (int, float)) and isinstance(tv, (int, float))
+            ):
+                continue  # incomparable types → conservative keep
             # transforms are monotonic ⇒ same comparison direction holds,
             # with equality allowed at the boundary bucket
-            if c.op == "=" and pv != tv:
-                return False
-            if c.op in ("<", "<=") and pv is not None and pv > tv:
-                return False
-            if c.op in (">", ">=") and pv is not None and pv < tv:
-                return False
+            try:
+                if c.op == "=" and pv != tv:
+                    return False
+                if c.op in ("<", "<=") and pv is not None and pv > tv:
+                    return False
+                if c.op in (">", ">=") and pv is not None and pv < tv:
+                    return False
+            except TypeError:
+                continue
     return True
 
 

@@ -274,6 +274,138 @@ class TestPruning:
         assert t.scan(where="user_id = 1").count() == 0
 
 
+class TestCorrectnessFixes:
+    """Regression tests for the NULL-delete / pruning / concurrency /
+    ref-age semantics (SQL DELETE + Iceberg retention rules)."""
+
+    def test_delete_keeps_null_predicate_rows(self, catalog, spark):
+        """DELETE WHERE p removes rows where p IS TRUE; rows where p
+        evaluates to NULL must survive."""
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 10.0), (4, None)], "id long, x double"
+        )
+        t = catalog.create_table("db.nulldel", df.schema)
+        t.append(df)
+        deleted = t.delete("x > 5")
+        assert deleted == 1
+        assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 4]
+
+    def test_identity_timestamp_partition_pruning(self, catalog, spark):
+        """Identity partitioning on a timestamp column: dir values are
+        strings, the literal is a datetime — '=' must still match and
+        range predicates must not raise."""
+        rows = [
+            (i, dt.datetime(2024, 1, 1 + i, 12, 30, 0), float(i)) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp_ntz, v double")
+        t = catalog.create_table("db.tspart", df.schema, partition_by=[("ts", "identity")])
+        t.append(df)
+        eq = t.scan(where="ts = TIMESTAMP '2024-01-03 12:30:00'")
+        assert [r["id"] for r in eq.collect()] == [2]
+        rng = t.scan(where="ts >= TIMESTAMP '2024-01-03 00:00:00'")
+        assert sorted(r["id"] for r in rng.collect()) == [2, 3, 4]
+        # and the pruning actually pruned (not just conservative-kept)
+        from iceberg_rs_spark.sources.icelake import _split_by_predicate
+
+        md = t.metadata
+        may, no = _split_by_predicate(
+            t._current_entries(md), "ts = TIMESTAMP '2024-01-03 12:30:00'", md, t
+        )
+        assert len(no) > 0 and len(may) < len(may) + len(no)
+
+    def test_iso_date_literal_on_string_column_not_pruned(self, catalog, spark):
+        """A string literal that parses as an ISO date must not prune
+        away matching files of a *string* column."""
+        df = spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-01-02")], "id long, day string"
+        )
+        t = catalog.create_table("db.strday", df.schema, partition_by=[("day", "identity")])
+        t.append(df)
+        assert [r["id"] for r in t.scan(where="day = '2024-01-02'").collect()] == [2]
+
+    def test_incremental_scan_rejects_overwrite_and_delete(self, catalog, events_df):
+        t = catalog.create_table("db.incr", events_df.schema)
+        t.append(events_df.limit(10))
+        snap1 = t.metadata.current_snapshot_id
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert t.incremental_scan(start_snapshot_id=snap1).count() == 10
+        t.delete("event_id % 2 = 0")
+        with pytest.raises(ValueError, match="delete"):
+            t.incremental_scan(start_snapshot_id=snap1)
+
+    def test_delete_preserves_concurrent_append(self, catalog, spark, events_df, monkeypatch):
+        """A concurrent append that wins the version race must survive a
+        retried DELETE commit (snapshot isolation, no silent data loss)."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.race", events_df.schema)
+        base = events_df.limit(50)
+        t.append(base)
+        t2 = catalog.load_table("db.race")
+        extra = events_df.limit(60).subtract(base)  # 10 fresh rows
+        orig = lake._write_metadata_version
+        state = {"raced": False}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                t2.append(extra)  # concurrent writer takes this slot
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        deleted = t.delete("event_type = 'click'")
+        monkeypatch.setattr(lake, "_write_metadata_version", orig)
+        assert state["raced"] and deleted > 0
+        out = t.to_df()
+        # the 10 concurrently-appended rows are all still present
+        assert out.count() == 50 - deleted + 10
+        assert extra.subtract(out).count() == 0
+
+    def test_expire_failure_deletes_nothing(self, catalog, events_df, monkeypatch):
+        """Physical file deletion must happen only after the expire
+        commit succeeds — a failed commit leaves every file intact."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table(
+            "db.expfail", events_df.schema, properties={"commit.retry.num-retries": "0"}
+        )
+        for i in range(3):
+            t.overwrite(events_df.limit(10 * (i + 1)))
+        snaps = list(t.metadata.snapshots)
+
+        def always_conflict(location, version, md):
+            raise FileExistsError(version)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", always_conflict)
+        with pytest.raises(lake.CommitConflict):
+            t.expire_snapshots(retain_last=1)
+        monkeypatch.undo()
+        # every snapshot still fully readable
+        for i, s in enumerate(snaps):
+            assert t.scan(snapshot_id=s.snapshot_id).count() == 10 * (i + 1)
+
+    def test_ref_age_expiry(self, catalog, events_df):
+        """max_ref_age_ms (reference snapshot.rs:98-102): an aged tag is
+        dropped by expire_snapshots, its snapshot expires with it, and
+        main survives."""
+        import time as _time
+
+        t = catalog.create_table("db.refage", events_df.schema)
+        t.append(events_df.limit(10))
+        t.create_tag("ephemeral", max_ref_age_ms=1)
+        t.create_tag("forever")  # no retention → immortal
+        t.append(events_df.limit(30).subtract(events_df.limit(10)))
+        _time.sleep(0.05)  # let the 1ms ref age lapse
+        t.expire_snapshots(retain_last=1)
+        refs = {r["name"] for r in t.refs().collect()}
+        assert "ephemeral" not in refs and "forever" in refs
+        with pytest.raises(KeyError):
+            t.scan(tag="ephemeral")
+        assert t.scan(tag="forever").count() == 10  # kept snapshot readable
+        assert t.to_df().count() == 30  # main intact
+
+
 class TestInspection:
     def test_metadata_tables(self, catalog, events_df):
         t = catalog.create_table("db.insp", events_df.schema, partition_by=[("ts", "day")])
