@@ -219,22 +219,36 @@ def lsh_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,
-    block_col: str = "label",
+    num_planes: int = 4,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vectors: cosine ≥ threshold within a blocking key
-    (at scale the block is an LSH bucket; here the label column keeps
-    the pair count bounded and the oracle simple). Scoring runs in the
-    Arrow-vectorized cosine — this operator's volume is pairs, not
-    rows, so the numpy batch path wins by ~14×."""
-    base = embeddings.select(F.col(id_col), F.col(block_col), F.col(vec_col))
+    """Near-duplicate vectors: cosine ≥ threshold within an LSH bucket.
+
+    The blocking key is the random-hyperplane sign bucket — the key
+    that scales: bucket count grows 2^num_planes, so block size (and
+    the per-block all-pairs cost) shrinks geometrically as planes are
+    added, independent of any data column's value skew. Blocking on a
+    label-like column is O(n²) in the hottest label at 100 TB; the
+    bucket key has no such hot spot by construction, and true
+    near-dups (cos ≥ 0.98) agree on every sign bit with probability
+    (1 - θ/π)^planes ≈ 0.92 at 4 planes (multi-probe recovers the
+    rest when needed). Scoring runs in the Arrow-vectorized cosine —
+    this operator's volume is pairs, not rows, so the numpy batch
+    path wins by ~14×."""
+    planes = [_hyperplane(dim, i) for i in range(num_planes)]
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
     a = base.alias("a")
     b = base.alias("b")
     return (
         a.join(
             b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

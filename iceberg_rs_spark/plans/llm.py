@@ -142,10 +142,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w
         FROM documents WHERE doc_id < 100)
     SELECT doc_id,
-           list_sum([
+           CAST(list_sum([
                CASE WHEN list_sum([(({h60_sql('t')} >> b) & 1) * 2 - 1 for t in w]) > 0
                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
-               for b in generate_series(0, {D.SIMHASH_BITS - 1})]) AS fp
+               for b in generate_series(0, {D.SIMHASH_BITS - 1})]) AS BIGINT) AS fp
     FROM docs
     ORDER BY doc_id
     """,
@@ -290,11 +290,26 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, num_planes=2).orderBy("query_id", "rank")
 
 
+def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for the random-hyperplane sign bucket of a
+    DOUBLE[] column ``ea`` — built from the *same* deterministic
+    md5-derived plane constants the Spark operator uses, so the two
+    engines bucket identically."""
+    terms = []
+    for i in range(num_planes):
+        lits = ", ".join(repr(x) for x in S._hyperplane(dim, i))
+        proj = f"list_sum([ea[i] * ([{lits}])[i] for i in generate_series(1, {dim})])"
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 @query(
     "sim_embedding_high_pairs",
     oracle=f"""
     WITH e AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings)
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    b AS (
+        SELECT vec_id, ea, {_lsh_bucket_sql()} AS bucket FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {rhalf_sql(
                "list_sum([a.ea[i] * b.ea[i] for i in generate_series(1, 64)])"
@@ -302,7 +317,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                " * sqrt(list_sum([b.ea[i] * b.ea[i] for i in generate_series(1, 64)])))",
                4,
            )} AS cos
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_sum([a.ea[i] * b.ea[i] for i in generate_series(1, 64)])
           / (sqrt(list_sum([a.ea[i] * a.ea[i] for i in generate_series(1, 64)]))
              * sqrt(list_sum([b.ea[i] * b.ea[i] for i in generate_series(1, 64)]))) >= 0.35
@@ -311,10 +326,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "near-dup"),
 )
 def sim_embedding_high_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup shape: cosine ≥ τ within a blocking key
-    (label). The fixture has no planted duplicates, so τ=0.35 surfaces
-    the high-similarity tail; the operator is the same one that finds
-    true near-dups at τ≈0.98."""
+    """Embedding near-dup shape: cosine ≥ τ within an LSH sign-bucket
+    block — the blocking key that survives 100 TB (bucket count grows
+    2^planes; no value-skew hot spot, unlike a label column). The
+    fixture has no planted duplicates, so τ=0.35 surfaces the
+    high-similarity tail; the operator is the same one that finds true
+    near-dups at τ≈0.98. The oracle rebuilds the identical bucket from
+    the shared deterministic hyperplanes."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs(emb, threshold=0.35)
     return pairs.select(

@@ -72,6 +72,26 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_embedding_near_dup_blocks_on_lsh_bucket(self, spark, sf_dir):
+        """The near-dup self-join must key on the LSH sign bucket (the
+        key whose block size shrinks 2^planes — skew-immune at 100 TB),
+        never on a data column like label, and never degenerate into a
+        cartesian product."""
+        from iceberg_rs_spark.operators.similarity import embedding_near_dup_pairs
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = embedding_near_dup_pairs(emb, threshold=0.35)
+        lplan = logical_plan(df)
+        assert "_bucket" in lplan
+        plan = final_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the equi-join key is the bucket, not a data column
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert any("_bucket" in ln for ln in join_lines)
+        assert not any("label" in ln for ln in join_lines)
+
     def test_topk_broadcasts_query_side(self, spark, sf_dir):
         df = CORPUS["sim_topk_bruteforce"].builder(spark, sf_dir)
         plan = final_plan(df)
