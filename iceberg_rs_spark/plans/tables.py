@@ -253,6 +253,141 @@ def table_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_add_files_name_mapping",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    native AS (SELECT event_id, event_type, value FROM evt WHERE event_id < 500),
+    raw AS (SELECT event_id, event_type, value FROM evt
+            WHERE event_id >= 500 AND event_id < 1500),
+    unioned AS (SELECT * FROM native UNION ALL SELECT * FROM raw)
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM unioned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("table", "add-files", "name-mapping"),
+)
+def table_add_files_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-mapping registration (reference schema.rs:242-260): raw
+    parquet written with legacy column names (id/etype/val) and no
+    field ids is registered in place via ``add_files`` + a name
+    mapping, then scanned through the table schema alongside natively
+    written files. Metadata-only ingest — no data rewrite."""
+    from iceberg_rs_spark.model import NameMapping
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_addf_"))
+    t = catalog.create_table("db.events_addf", events.schema)
+    t.append(events.where(F.col("event_id") < 500))
+    raw_dir = tempfile.mkdtemp(prefix="icelake_addf_raw_")
+    (
+        events.where((F.col("event_id") >= 500) & (F.col("event_id") < 1500))
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+        )
+        .write.mode("overwrite")
+        .parquet(raw_dir)
+    )
+    sch = t.schema()
+    t.add_files(
+        raw_dir,
+        name_mapping=[
+            NameMapping(sch.field_by_name("event_id").id, ("event_id", "id")),
+            NameMapping(sch.field_by_name("event_type").id, ("event_type", "etype")),
+            NameMapping(sch.field_by_name("value").id, ("value", "val")),
+        ],
+    )
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "table_typed_columns_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+               concat(substr(md5(CAST(o_orderkey AS VARCHAR)),1,8), '-',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)),9,4), '-',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)),13,4), '-',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)),17,4), '-',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)),21,12)) AS row_uuid,
+               CAST((o_orderkey % 86400) * 1000000 AS BIGINT) AS event_time,
+               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16) AS key_fixed_hex
+        FROM orders WHERE o_orderkey < 2000)
+    SELECT o_orderkey,
+           CAST(price_dec AS DOUBLE) AS price,
+           row_uuid,
+           event_time,
+           key_fixed_hex
+    FROM src
+    ORDER BY o_orderkey
+    """,
+    tags=("table", "types", "decimal", "uuid", "time", "fixed"),
+)
+def table_typed_columns_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end coverage of the reference's typed columns that have
+    no native Spark type (reference schema.rs:90-147): decimal(12,2),
+    uuid (canonical string), time (long micros since midnight), and
+    fixed[8] (length-enforced binary) are written through the table
+    layer and scanned back. decimal→double and fixed→hex in the
+    output so both engines hash identical representations; the
+    *storage* exercises the declared types."""
+    from iceberg_rs_spark.model import IceField, IcePrimitive, IceSchema, IceStruct
+
+    schema = IceSchema(
+        schema_id=0,
+        struct=IceStruct(
+            (
+                IceField(1, "o_orderkey", True, IcePrimitive("long")),
+                IceField(2, "price_dec", False, IcePrimitive("decimal(12,2)")),
+                IceField(3, "row_uuid", False, IcePrimitive("uuid")),
+                IceField(4, "event_time", False, IcePrimitive("time")),
+                IceField(5, "key_fixed", False, IcePrimitive("fixed[8]")),
+            )
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    md5k = F.md5(F.col("o_orderkey").cast("string"))
+    src = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.concat_ws(
+            "-",
+            F.substring(md5k, 1, 8),
+            F.substring(md5k, 9, 4),
+            F.substring(md5k, 13, 4),
+            F.substring(md5k, 17, 4),
+            F.substring(md5k, 21, 12),
+        ).alias("row_uuid"),
+        ((F.col("o_orderkey") % 86400) * 1000000).cast("long").alias("event_time"),
+        F.unhex(F.substring(md5k, 1, 16)).alias("key_fixed"),
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_typed_"))
+    t = catalog.create_table("db.typed", schema)
+    t.append(src)
+    return (
+        t.scan()
+        .select(
+            "o_orderkey",
+            F.col("price_dec").cast("double").alias("price"),
+            "row_uuid",
+            "event_time",
+            F.lower(F.hex(F.col("key_fixed"))).alias("key_fixed_hex"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "ingest_csv_json_parquet",
     oracle=f"""
     {EVENTS_ORACLE_CTE},

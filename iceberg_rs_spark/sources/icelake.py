@@ -32,6 +32,17 @@ matching files. Commits are optimistic-concurrency (exclusive-create of
 the next metadata version) honoring the ``commit.retry.num-retries``
 table property — the exact property the reference's fixture carries
 (reference table.rs:148-150).
+
+Planning ceiling (measured, tests/test_planning_scale.py): scan
+planning is driver-side and O(files) at ~5-20 µs/entry — 20k files
+plan in <0.5 s, so snapshots up to ~100k files are comfortably inside
+the driver budget. Beyond that (a true 100 TB table is ~1M files) the
+single-JSON manifest itself becomes the bottleneck; the scale path is
+the one real Iceberg takes and this format anticipates: shard the
+manifest into parts, read the parts as a Spark DataFrame, prune with
+the same conjunct semantics as a distributed filter, and ship only
+surviving file paths to the driver. The manifest entry format
+(DataFileEntry JSON) is already columnar-friendly and needs no change.
 """
 
 from __future__ import annotations
@@ -56,6 +67,7 @@ from iceberg_rs_spark.model import (
     IcePrimitive,
     IceSchema,
     IceStruct,
+    NameMapping,
     PartitionField,
     PartitionSpec,
     Reference,
@@ -73,6 +85,11 @@ from iceberg_rs_spark.model.types import max_field_id
 # ---------------------------------------------------------------------------
 # Manifest entries
 # ---------------------------------------------------------------------------
+
+#: schema_id sentinel for files registered via add_files: the file has
+#: no field ids; reads resolve its columns through the table's name
+#: mapping (reference schema.rs:242-260).
+RAW_SCHEMA_ID = -1
 
 
 @dataclass(frozen=True)
@@ -362,13 +379,42 @@ class Table:
     def _align(self, df: DataFrame, schema: IceSchema) -> DataFrame:
         """Project/cast an incoming DataFrame to the declared schema:
         missing optional columns become null, missing required columns
-        error — the declared-schema discipline of SURVEY.md §1.2."""
+        error — the declared-schema discipline of SURVEY.md §1.2.
+
+        Value constraints Spark's types can't carry are enforced here,
+        JVM-side (raise_error inside the write plan, no driver pass):
+        ``fixed[L]`` values must be exactly L bytes (reference
+        schema.rs:46), ``uuid`` strings must be canonical 8-4-4-4-12
+        hex (reference schema.rs:44)."""
         cols = []
         have = set(df.columns)
         for f in schema.fields:
             spark_t = _spark_type_of(f)
             if f.name in have:
-                cols.append(F.col(f.name).cast(spark_t).alias(f.name))
+                c = F.col(f.name).cast(spark_t)
+                if isinstance(f.type, IcePrimitive):
+                    flen = f.type.fixed_length
+                    if flen is not None:
+                        c = F.when(
+                            F.length(c) != flen,
+                            F.raise_error(
+                                F.concat(
+                                    F.lit(f"fixed[{flen}] value of wrong length in {f.name}: "),
+                                    F.length(c).cast("string"),
+                                )
+                            ).cast(spark_t),
+                        ).otherwise(c)
+                    elif f.type.name == "uuid":
+                        c = F.when(
+                            ~c.rlike(
+                                "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+                                "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+                            ),
+                            F.raise_error(
+                                F.concat(F.lit(f"invalid uuid in {f.name}: "), c)
+                            ).cast(spark_t),
+                        ).otherwise(c)
+                cols.append(c.alias(f.name))
             elif not f.required:
                 cols.append(F.lit(None).cast(spark_t).alias(f.name))
             else:
@@ -606,6 +652,91 @@ class Table:
         new_entries = self._write_data_files(merged, md)
         self._commit(lambda cur: self._new_snapshot(cur, "overwrite", new_entries, branch))
 
+    def add_files(
+        self,
+        path: str | list[str],
+        name_mapping: "list[NameMapping] | None" = None,
+        branch: str = MAIN_BRANCH,
+    ) -> int:
+        """Register raw, field-id-less parquet files into the table
+        WITHOUT rewriting them — the capability the reference's
+        NameMapping structs exist for (schema.rs:242-260; Iceberg's
+        ``add_files`` procedure + ``schema.name-mapping.default``).
+
+        ``name_mapping`` maps field ids to the names a raw file may
+        use; it is persisted as the ``schema.name-mapping.default``
+        table property (first call wins unless re-specified). Reads
+        resolve each registered file's columns through the mapping to
+        the *current* schema, so later renames via schema evolution
+        keep working. Files are registered in place: a metadata-only
+        append commit, no data movement — at 100 TB this is the only
+        sane ingest path for data that already lives in place.
+
+        Returns the number of files registered.
+        """
+        md = self.metadata
+        if name_mapping is not None:
+            mapping_json = json.dumps([m.to_json() for m in name_mapping])
+            self.set_properties(**{"schema.name-mapping.default": mapping_json})
+            md = self.metadata
+        mapping = _load_name_mapping(md)
+        if mapping is None:
+            raise ValueError(
+                "add_files requires a name mapping (pass name_mapping= or set "
+                "the schema.name-mapping.default table property)"
+            )
+        paths = [path] if isinstance(path, str) else list(path)
+        files: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                for root, _dirs, names in os.walk(p):
+                    files.extend(
+                        os.path.join(root, n) for n in names if n.endswith(".parquet")
+                    )
+            else:
+                files.append(p)
+        if not files:
+            raise ValueError(f"no parquet files under {paths}")
+        # canonical-name aliases per field id (current schema names)
+        schema = md.current_schema()
+        alias_by_name: dict[str, str] = {}
+        for m in mapping:
+            fld = schema.field_by_id(m.field_id)
+            if fld is None:
+                continue
+            for n in m.names:
+                alias_by_name[n] = fld.name
+        new_entries = []
+        for fp in files:
+            pf = pq.ParquetFile(fp)
+            raw_stats = _file_stats(pf)
+            # remap stats keys to canonical names so min/max pruning on
+            # current-schema predicates still applies to raw files
+            stats = {alias_by_name.get(k, k): v for k, v in raw_stats.items()}
+            new_entries.append(
+                DataFileEntry(
+                    path=fp,
+                    record_count=pf.metadata.num_rows,
+                    file_size_bytes=os.path.getsize(fp),
+                    schema_id=RAW_SCHEMA_ID,
+                    spec_id=md.default_spec_id,
+                    partition={},
+                    stats=stats,
+                )
+            )
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            entries = self._current_entries(cur, branch) + new_entries
+            return self._new_snapshot(
+                cur, "append", entries, branch,
+                {"added-data-files": str(len(new_entries)),
+                 "added-records": str(sum(e.record_count for e in new_entries)),
+                 "registered-via": "name-mapping"},
+            )
+
+        self._commit(updater)
+        return len(new_entries)
+
     def compact(self, target_file_size_bytes: int = 128 * 1024 * 1024, branch: str = MAIN_BRANCH) -> None:
         """``replace``: files rewritten, data unchanged (snapshot.rs:25;
         CALL system.rewrite_data_files equivalent)."""
@@ -697,6 +828,9 @@ class Table:
             groups.setdefault((e.schema_id, _base_path(e.path)), []).append(e.path)
         parts = []
         for (sid, base), paths in sorted(groups.items()):
+            if sid == RAW_SCHEMA_ID:
+                parts.append(self._read_raw_via_name_mapping(md, paths, target))
+                continue
             file_schema = md.schema_by_id(sid)
             df = (
                 self.spark.read.option("basePath", base)
@@ -711,6 +845,31 @@ class Table:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_raw_via_name_mapping(
+        self, md: TableMetadata, paths: list[str], target: IceSchema
+    ) -> DataFrame:
+        """Read add_files-registered (field-id-less) parquet through the
+        name mapping: file column name → field id → target field."""
+        mapping = _load_name_mapping(md)
+        if mapping is None:
+            raise ValueError(
+                "table has name-mapping-registered files but no "
+                "schema.name-mapping.default property"
+            )
+        raw = self.spark.read.parquet(*paths)
+        file_cols = set(raw.columns)
+        by_field_id = {m.field_id: m for m in mapping}
+        cols = []
+        for f in target.fields:
+            rule = by_field_id.get(f.id)
+            src = next((n for n in rule.names if n in file_cols), None) if rule else None
+            spark_t = _spark_type_of(f)
+            if src is None:
+                cols.append(F.lit(None).cast(spark_t).alias(f.name))
+            else:
+                cols.append(F.col(src).cast(spark_t).alias(f.name))
+        return raw.select(*cols)
 
     def _resolve_snapshot(
         self,
@@ -1215,6 +1374,15 @@ def _project_by_field_id(df: DataFrame, file_schema: IceSchema, target: IceSchem
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _load_name_mapping(md: TableMetadata) -> tuple[NameMapping, ...] | None:
+    """Name mapping from the schema.name-mapping.default property,
+    falling back to the current schema's inline mapping."""
+    raw = md.properties.get("schema.name-mapping.default")
+    if raw:
+        return tuple(NameMapping.from_json(o) for o in json.loads(raw))
+    return md.current_schema().name_mapping
+
+
 def _base_path(path: str) -> str:
     """Commit directory of a data file: everything before the first
     Hive-style ``k=v`` path segment (the whole dirname when the file
@@ -1273,7 +1441,13 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
                 entry = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
                 entry["nulls"] += s.null_count if s and s.null_count is not None else 0
                 continue
-            mn, mx = _json_safe(s.min), _json_safe(s.max)
+            try:
+                mn, mx = _json_safe(s.min), _json_safe(s.max)
+            except Exception:  # pyarrow can't decode stats for some types
+                unknown.add(name)
+                entry = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
+                entry["nulls"] += s.null_count if s.null_count is not None else 0
+                continue
             entry = stats.setdefault(name, {"min": mn, "max": mx, "nulls": 0})
             if mn is not None and (entry["min"] is None or mn < entry["min"]):
                 entry["min"] = mn

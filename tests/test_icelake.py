@@ -385,6 +385,97 @@ class TestCorrectnessFixes:
         for i, s in enumerate(snaps):
             assert t.scan(snapshot_id=s.snapshot_id).count() == 10 * (i + 1)
 
+    def test_add_files_name_mapping(self, catalog, spark, events_df, tmp_path):
+        """Raw field-id-less parquet with *different* column names is
+        registered in place via a name mapping (reference
+        schema.rs:242-260) and reads through the current schema —
+        including after a rename, since resolution goes name → field
+        id → current name."""
+        from iceberg_rs_spark.model import NameMapping
+
+        base = events_df.select("event_id", "event_type", "value").limit(20)
+        t = catalog.create_table("db.addf", base.schema)
+        t.append(base.limit(5))
+        # raw files use legacy column names
+        raw = (
+            events_df.select(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("etype"),
+                F.col("value").alias("val"),
+            )
+            .limit(40)
+            .subtract(
+                events_df.select(
+                    F.col("event_id").alias("id"),
+                    F.col("event_type").alias("etype"),
+                    F.col("value").alias("val"),
+                ).limit(20)
+            )
+        )
+        raw_dir = str(tmp_path / "raw")
+        raw.write.parquet(raw_dir)
+        sch = t.schema()
+        mapping = [
+            NameMapping(field_id=sch.field_by_name("event_id").id, names=("event_id", "id")),
+            NameMapping(field_id=sch.field_by_name("event_type").id, names=("event_type", "etype")),
+            NameMapping(field_id=sch.field_by_name("value").id, names=("value", "val")),
+        ]
+        n = t.add_files(raw_dir, name_mapping=mapping)
+        assert n >= 1
+        assert t.metadata.snapshots[-1].operation == "append"
+        out = t.to_df()
+        assert out.count() == 25
+        assert set(out.columns) == {"event_id", "event_type", "value"}
+        # raw rows are really there, typed per the table schema
+        assert out.where(F.col("value").isNotNull()).count() == 25
+        # rename survives: mapping resolves via field id
+        t.rename_column("value", "amount")
+        assert t.to_df().where(F.col("amount").isNotNull()).count() == 25
+        # without any mapping, add_files refuses
+        t2 = catalog.create_table("db.addf2", base.schema)
+        with pytest.raises(ValueError, match="name mapping"):
+            t2.add_files(raw_dir)
+
+    def test_typed_columns_negative(self, catalog, spark):
+        """Write-side enforcement for types Spark can't carry natively
+        (reference schema.rs:44-46): wrong-length fixed[L] values and
+        non-canonical uuid strings are rejected at append."""
+        from iceberg_rs_spark.model import IceField, IcePrimitive, IceSchema, IceStruct
+
+        schema = IceSchema(
+            schema_id=0,
+            struct=IceStruct(
+                (
+                    IceField(1, "id", True, IcePrimitive("long")),
+                    IceField(2, "fx", False, IcePrimitive("fixed[4]")),
+                    IceField(3, "u", False, IcePrimitive("uuid")),
+                )
+            ),
+        )
+        t = catalog.create_table("db.typedneg", schema)
+        ok = spark.createDataFrame(
+            [(1, bytearray(b"abcd"), "a1d0c6e8-3f02-7327-d846-1063f4ac58a6")],
+            "id long, fx binary, u string",
+        )
+        t.append(ok)
+        assert t.to_df().count() == 1
+        bad_fixed = spark.createDataFrame(
+            [(2, bytearray(b"abcde"), "a1d0c6e8-3f02-7327-d846-1063f4ac58a6")],
+            "id long, fx binary, u string",
+        )
+        with pytest.raises(Exception, match="fixed"):
+            t.append(bad_fixed)
+        bad_uuid = spark.createDataFrame(
+            [(3, bytearray(b"abcd"), "not-a-uuid")],
+            "id long, fx binary, u string",
+        )
+        with pytest.raises(Exception, match="uuid"):
+            t.append(bad_uuid)
+        # nulls in optional typed columns are fine
+        nulls = spark.createDataFrame([(4, None, None)], "id long, fx binary, u string")
+        t.append(nulls)
+        assert t.to_df().count() == 2
+
     def test_ref_age_expiry(self, catalog, events_df):
         """max_ref_age_ms (reference snapshot.rs:98-102): an aged tag is
         dropped by expire_snapshots, its snapshot expires with it, and
