@@ -2,16 +2,20 @@
 opaque ``binary`` columns + typed metadata, with decode / feature
 extraction as Arrow-batched pandas stages over ``mapInPandas``.
 
-The actual codecs (PIL/ffmpeg/...) are NOT in this container, so the
-decode step is STUBBED: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder
-derives (width, height, n_channels) from the bytes. Everything
-Spark-side — schema, partitioning, UDF signature, Arrow batch shape —
-is real and tested (tests/test_operators.py).
+``decode_image`` is a real pure-Python decoder for the two
+self-describing uncompressed formats (BMP with BITMAPINFOHEADER, and
+binary PPM "P6") — no external codecs needed, so the decode path
+executes for real in this container. Exotic formats (JPEG/PNG/...)
+would slot in behind the same signature when PIL is available; until
+then they raise ValueError. A deterministic fake decoder
+(``fake=True``) remains for plumbing tests that feed arbitrary bytes.
+Everything Spark-side — schema, partitioning, UDF signature, Arrow
+batch shape — is identical either way (tests/test_operators.py).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,13 +58,110 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Minimal BMP (BITMAPINFOHEADER) parse: width/height/channels from
+    the 54-byte header. Raises ValueError on a malformed header."""
+    if len(payload) < 54:
+        raise ValueError("BMP truncated: header needs 54 bytes")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if width <= 0 or bpp % 8 != 0 or bpp == 0:
+        raise ValueError(f"BMP malformed: width={width} bpp={bpp}")
+    height = abs(height)  # negative height = top-down rows
+    channels = bpp // 8
+    row = (width * channels + 3) // 4 * 4  # rows padded to 4 bytes
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    if len(payload) < pixel_offset + row * height:
+        raise ValueError("BMP truncated: pixel data short")
+    return width, height, channels
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int]:
+    """Binary PPM ("P6"): ASCII header 'P6 <w> <h> <maxval>' then raw
+    RGB bytes. Comments (#...) allowed per the netpbm spec."""
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("PPM truncated header")
+    width, height = int(tokens[0]), int(tokens[1])
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PPM malformed: {width}x{height}")
+    if len(payload) < i + 1 + width * height * 3:
+        raise ValueError("PPM truncated: pixel data short")
+    return width, height, 3
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
-    if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True for the deterministic stub decoder"
+    """(width, height, n_channels) of an encoded image. Real decode for
+    BMP and binary PPM; ``fake=True`` routes arbitrary bytes through
+    the deterministic stub instead (for plumbing tests)."""
+    if fake:
+        return _fake_decode(payload)
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise ValueError(
+        f"unsupported image format (magic {payload[:2]!r}); "
+        "supported here: BMP, binary PPM"
+    )
+
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic uncompressed 24-bit BMP — a *real* image file any
+    viewer opens, generated without codecs (used as fixture payload)."""
+    row = (width * 3 + 3) // 4 * 4
+    size = 54 + row * height
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, row * height, 2835, 2835, 0, 0)
+    )
+    body = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            v = (x * 7 + y * 13 + seed) % 256
+            line += bytes((v, (v * 3) % 256, (v * 5) % 256))
+        line += b"\x00" * (row - len(line))
+        body += line
+    return header + bytes(body)
+
+
+def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter with *real* images: a deterministic 24-bit BMP
+    per row (dimensions derived from the id), attached as the opaque
+    binary payload + typed metadata. Pandas-UDF batch generation —
+    executor-side, Arrow transfer, no driver involvement."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_bmp(ids: pd.Series) -> pd.Series:
+        return ids.apply(
+            lambda i: synth_bmp(16 + int(i) % 32, 16 + (int(i) // 32) % 32, seed=int(i))
         )
-    return _fake_decode(payload)
+
+    return df.withColumn("payload", make_bmp(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/bmp").alias("content_type"),
+            F.length(F.col("payload")).cast("long").alias("content_length"),
+        ),
+    )
 
 
 def decode_and_featurize(df: DataFrame, payload_col: str = "payload", fake: bool = True) -> DataFrame:

@@ -466,26 +466,31 @@ def text_token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_decode_features",
     oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + (doc_id % 32) AS w,
+               16 + ((doc_id // 32) % 32) AS h
+        FROM documents WHERE doc_id < 50)
     SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS byte_len,
-           CAST(16 + (strlen(text) % 64) AS INTEGER) AS width,
-           CAST(16 + ((strlen(text) // 64) % 64) AS INTEGER) AS height,
+           CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS byte_len,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
            3 AS n_channels
-    FROM documents
-    WHERE doc_id < 50
+    FROM dims
     ORDER BY doc_id
     """,
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: binary payload column + typed
-    metadata struct → Arrow-batched mapInPandas decode (deterministic
-    stub, since no codecs ship in this container) → feature columns.
-    The oracle replicates the stub arithmetic, pinning the whole
-    pandas-UDF path."""
+    """Multimodal pipeline end-to-end with a REAL decode: per-row
+    deterministic 24-bit BMP payloads (binary column + typed metadata
+    struct) → Arrow-batched mapInPandas → pure-Python BMP header parse
+    → feature columns. The oracle derives the expected dimensions and
+    the exact BMP byte size (54-byte header + 4-byte-padded rows), so
+    a hash match proves the real decoder ran."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    with_payload = M.attach_binary_payload(docs)
-    feats = M.decode_and_featurize(with_payload, fake=True)
+    with_payload = M.attach_image_payload(docs)
+    feats = M.decode_and_featurize(with_payload, fake=False)
     return feats.select(
         "doc_id", "byte_len", "width", "height", F.col("n_channels").cast("int").alias("n_channels")
     ).orderBy("doc_id")

@@ -209,9 +209,36 @@ class TestTextOps:
 
 
 class TestMultimodal:
-    def test_decode_requires_fake_flag(self):
-        with pytest.raises(NotImplementedError):
+    def test_unknown_format_rejected(self):
+        with pytest.raises(ValueError, match="unsupported image format"):
             M.decode_image(b"abc")
+
+    def test_bmp_roundtrip(self):
+        """synth → decode recovers exact dimensions; truncation and
+        garbage headers are rejected."""
+        for w, h in [(1, 1), (16, 48), (33, 7)]:  # odd widths hit row padding
+            payload = M.synth_bmp(w, h, seed=5)
+            assert M.decode_image(payload) == (w, h, 3)
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_image(M.synth_bmp(16, 16)[:40])
+        with pytest.raises(ValueError, match="pixel data short"):
+            M.decode_image(M.synth_bmp(16, 16)[:-4])
+
+    def test_ppm_decode(self):
+        img = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+        assert M.decode_image(img) == (3, 2, 3)
+        with pytest.raises(ValueError, match="pixel data short"):
+            M.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)
+
+    def test_real_decode_through_map_in_pandas(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(10)
+        feats = M.decode_and_featurize(M.attach_image_payload(docs), fake=False)
+        for r in feats.select("doc_id", "byte_len", "width", "height", "n_channels").collect():
+            w, h = 16 + r.doc_id % 32, 16 + (r.doc_id // 32) % 32
+            assert (r.width, r.height, r.n_channels) == (w, h, 3)
+            assert r.byte_len == 54 + h * ((w * 3 + 3) // 4 * 4)
 
     def test_map_in_pandas_plumbing(self, spark, sf_dir):
         from iceberg_rs_spark.sources.fixtures import load_table
