@@ -304,6 +304,27 @@ def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64) -> str:
 
 
 @query(
+    "sim_topk_ivf",
+    oracle=None,  # approximate: recall vs brute force asserted in tests
+    tags=("llm", "similarity", "ivf", "approx"),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF inverted-file index (the second
+    classic ANN scale path next to LSH): Lloyd-refined centroids,
+    broadcast-argmin assignment, each query probes only its n_probe
+    nearest lists — n_probe/n_centroids of the data scanned. Excluded
+    from hash-checking (approx); recall ≥ threshold is asserted
+    against brute force in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
     "sim_embedding_high_pairs",
     oracle=f"""
     WITH e AS (

@@ -152,6 +152,37 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.3, f"LSH recall@5 {recall}"
 
+    def test_ivf_recall_vs_brute_force(self, emb):
+        """IVF with n_probe=6 of 16 lists must recover most exact
+        neighbors while scanning ~3/8 of the data."""
+        q = self._queries(emb)
+        exact = {
+            (r.query_id, r.vec_id) for r in S.brute_force_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in S.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=6).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall@5 {recall}"
+
+    def test_ivf_probes_subset_only(self, emb):
+        """With n_probe == n_centroids the IVF result must equal the
+        exact top-k (every list probed); with fewer probes the result
+        set per query stays exactly k (lists are unioned, ranked,
+        truncated)."""
+        q = self._queries(emb, n=5)
+        full = S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8)
+        exact = S.brute_force_topk(emb, q, k=5)
+        assert {
+            (r.query_id, r.vec_id) for r in full.collect()
+        } == {(r.query_id, r.vec_id) for r in exact.collect()}
+        partial = S.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2)
+        counts = {r.query_id: 0 for r in partial.collect()}
+        for r in partial.collect():
+            counts[r.query_id] += 1
+        assert all(c == 5 for c in counts.values())
+
     def test_lsh_scores_match_exact_scores(self, emb):
         """Every (query, neighbor) the LSH path returns must carry the
         same cosine the exact path assigns to that pair."""
