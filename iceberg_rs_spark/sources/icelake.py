@@ -33,16 +33,17 @@ the next metadata version) honoring the ``commit.retry.num-retries``
 table property — the exact property the reference's fixture carries
 (reference table.rs:148-150).
 
-Planning ceiling (measured, tests/test_planning_scale.py): scan
-planning is driver-side and O(files) at ~5-20 µs/entry — 20k files
-plan in <0.5 s, so snapshots up to ~100k files are comfortably inside
-the driver budget. Beyond that (a true 100 TB table is ~1M files) the
-single-JSON manifest itself becomes the bottleneck; the scale path is
-the one real Iceberg takes and this format anticipates: shard the
-manifest into parts, read the parts as a Spark DataFrame, prune with
-the same conjunct semantics as a distributed filter, and ship only
-surviving file paths to the driver. The manifest entry format
-(DataFileEntry JSON) is already columnar-friendly and needs no change.
+Planning at metadata scale (measured, tests/test_planning_scale.py):
+driver-side planning is O(files) at ~5-20 µs/entry — 20k files plan in
+<0.5 s, comfortable up to ~100k files. Beyond the
+``write.manifest.shard-size`` table property (default 25000) manifests
+are SHARDED into part files, and predicate scans prune them on
+EXECUTORS (`_distributed_prune`): each task json-loads its shards and
+applies the exact same `_entry_survives` logic, shipping only
+surviving entries to the driver — the same move real Iceberg makes
+with distributed manifest reads, so a 1M-file snapshot plans as a
+parallel metadata job instead of a driver loop. Parity of the two
+venues is asserted in tests.
 """
 
 from __future__ import annotations
@@ -364,15 +365,50 @@ class Table:
     def _manifest_path(self, snapshot_id: int) -> str:
         return os.path.join(_metadata_dir(self.location), f"snap-{snapshot_id}.json")
 
-    def _write_manifest(self, snapshot_id: int, entries: list[DataFileEntry]) -> str:
+    def _write_manifest(
+        self, snapshot_id: int, entries: list[DataFileEntry], shard_size: int | None = None
+    ) -> str:
+        """Write the snapshot's manifest. Beyond ``shard_size`` entries
+        the manifest is SHARDED: the head document lists part files of
+        ≤shard_size entries each, so scan planning can read and prune
+        the parts in parallel on executors instead of json-loading one
+        monolith on the driver (the 1M-file scale path — see module
+        docstring)."""
         path = self._manifest_path(snapshot_id)
+        if shard_size is not None and len(entries) > shard_size:
+            parts = []
+            for i in range(0, len(entries), shard_size):
+                part = path[: -len(".json")] + f"-part-{i // shard_size}.json"
+                with open(part, "w") as f:
+                    json.dump(
+                        {"entries": [e.to_json() for e in entries[i : i + shard_size]]}, f
+                    )
+                parts.append(part)
+            with open(path, "w") as f:
+                json.dump({"sharded": True, "parts": parts, "count": len(entries)}, f)
+            return path
         with open(path, "w") as f:
             json.dump({"entries": [e.to_json() for e in entries]}, f)
         return path
 
+    def _manifest_parts(self, snap: Snapshot) -> list[str] | None:
+        """Part files of a sharded manifest, or None if monolithic."""
+        with open(snap.manifest_list) as f:
+            doc = json.load(f)
+        return doc.get("parts") if doc.get("sharded") else None
+
     def _read_manifest(self, snap: Snapshot) -> list[DataFileEntry]:
         with open(snap.manifest_list) as f:
-            return [DataFileEntry.from_json(e) for e in json.load(f)["entries"]]
+            doc = json.load(f)
+        if doc.get("sharded"):
+            out: list[DataFileEntry] = []
+            for part in doc["parts"]:
+                with open(part) as f:
+                    out.extend(
+                        DataFileEntry.from_json(e) for e in json.load(f)["entries"]
+                    )
+            return out
+        return [DataFileEntry.from_json(e) for e in doc["entries"]]
 
     # -- write path ----------------------------------------------------
 
@@ -507,7 +543,11 @@ class Table:
             parent = md.refs[branch].snapshot_id
         elif branch == MAIN_BRANCH:
             parent = md.current_snapshot_id
-        manifest = self._write_manifest(snap_id, entries)
+        manifest = self._write_manifest(
+            snap_id,
+            entries,
+            shard_size=int(md.properties.get("write.manifest.shard-size", "25000")),
+        )
         snap = Snapshot(
             snapshot_id=snap_id,
             parent_snapshot_id=parent,
@@ -797,9 +837,19 @@ class Table:
                 if time_travel and snap.schema_id is not None
                 else md.current_schema()
             )
-            entries = self._read_manifest(snap)
+            entries = None
             if where:
-                entries, _ = _split_by_predicate(entries, where, md, self, keep_unmatched=False)
+                parts = self._manifest_parts(snap)
+                if parts and len(parts) > 1:
+                    # sharded manifest: prune on executors, ship only
+                    # survivors to the driver (the metadata-scale path)
+                    entries = _distributed_prune(self.spark, parts, where, md)
+                if entries is None:
+                    entries, _ = _split_by_predicate(
+                        self._read_manifest(snap), where, md, self, keep_unmatched=False
+                    )
+            else:
+                entries = self._read_manifest(snap)
             df = self._read_entries_as(md, entries, read_schema)
         if where:
             df = df.filter(where)
@@ -1143,6 +1193,7 @@ class Table:
                     for e in self._read_manifest(s)
                     if e.path not in live_files
                 )
+                to_delete.extend(self._manifest_parts(s) or [])
                 to_delete.append(s.manifest_list)
             return md.evolve(
                 snapshots=kept_snaps,
@@ -1590,11 +1641,36 @@ def _coerce_partition_value(pv, sample):
     return pv
 
 
+def _precompute_buckets(
+    spark: SparkSession | None, md: TableMetadata, conjuncts: list[_Conjunct]
+) -> dict[tuple[int, str], int]:
+    """Bucket values of the conjunct literals for every bucket-transform
+    partition field, computed driver-side (one-row Spark evals) so the
+    pruning loop itself needs no SparkSession — that is what lets it
+    run inside executors for sharded manifests."""
+    out: dict[tuple[int, str], int] = {}
+    if spark is None:
+        return out
+    schema = md.current_schema()
+    for spec in md.partition_specs:
+        for pf in spec.fields:
+            if pf.transform.kind != "bucket":
+                continue
+            for c in conjuncts:
+                fld = schema.field_by_name(c.col)
+                if fld is None or pf.source_id != fld.id or c.op != "=":
+                    continue
+                b = _bucket_of_literal(spark, pf.transform.param, c.value)
+                if b is not None:
+                    out[(pf.transform.param, str(c.value))] = b
+    return out
+
+
 def _entry_survives(
     entry: DataFileEntry,
     conjuncts: list[_Conjunct],
     md: TableMetadata,
-    table: "Table",
+    buckets: dict[tuple[int, str], int] | None = None,
 ) -> bool:
     schema = md.current_schema()
     for c in conjuncts:
@@ -1625,8 +1701,8 @@ def _entry_survives(
             if pv_raw is None:
                 continue
             if pf.transform.kind == "bucket":
-                if c.op == "=":
-                    b = _bucket_of_literal(table.spark, pf.transform.param, c.value)
+                if c.op == "=" and buckets:
+                    b = buckets.get((pf.transform.param, str(c.value)))
                     if b is not None and int(pv_raw) != b:
                         return False
                 continue
@@ -1659,14 +1735,57 @@ def _split_by_predicate(
     entries: list[DataFileEntry],
     where: str,
     md: TableMetadata,
-    table: "Table",
+    table: "Table | None",
     keep_unmatched: bool = True,
 ) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
     """(may-match, definitely-not-match) split of a file list."""
     conjuncts = _parse_conjuncts(where)
     if conjuncts is None:
         return entries, []
+    buckets = _precompute_buckets(table.spark if table else None, md, conjuncts)
     may, not_ = [], []
     for e in entries:
-        (may if _entry_survives(e, conjuncts, md, table) else not_).append(e)
+        (may if _entry_survives(e, conjuncts, md, buckets) else not_).append(e)
     return may, not_
+
+
+def _distributed_prune(
+    spark: SparkSession,
+    part_paths: list[str],
+    where: str,
+    md: TableMetadata,
+) -> list[DataFileEntry] | None:
+    """Prune a SHARDED manifest on executors: each task json-loads its
+    shard(s) and applies the exact same `_entry_survives` logic; only
+    surviving entries return to the driver. This is planning — not
+    data — so per-partition imperative logic (an RDD) is the right
+    tool: it parallelizes manifest I/O + pruning CPU and bounds what
+    the driver materializes to the matching file list. Returns None
+    when the predicate isn't prunable (caller reads everything)."""
+    conjuncts = _parse_conjuncts(where)
+    if conjuncts is None:
+        return None
+    buckets = _precompute_buckets(spark, md, conjuncts)
+    md_json = md.to_json_str()
+
+    def prune_parts(paths):
+        md_local = TableMetadata.from_json_str(md_json)
+        for p in paths:
+            with open(p) as f:
+                for obj in json.load(f)["entries"]:
+                    e = DataFileEntry.from_json(obj)
+                    if _entry_survives(e, conjuncts, md_local, buckets):
+                        yield e.to_json()
+
+    n_tasks = min(len(part_paths), spark.sparkContext.defaultParallelism)
+    try:
+        survivors = (
+            spark.sparkContext.parallelize(part_paths, n_tasks)
+            .mapPartitions(prune_parts)
+            .collect()
+        )
+    except Exception:
+        # e.g. executors that cannot import this package (PYTHONPATH) —
+        # correctness falls back to the driver-side pruning loop
+        return None
+    return [DataFileEntry.from_json(o) for o in survivors]

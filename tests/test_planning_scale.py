@@ -83,6 +83,95 @@ def _metadata_stub(spark):
     )
 
 
+class TestShardedManifest:
+    def test_sharded_write_read_prune_roundtrip(self, spark, tmp_path, sf_dir):
+        """Past write.manifest.shard-size the manifest splits into
+        parts; reads see every entry, predicate scans prune on
+        executors, and results equal the unsharded table's."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rs_spark.sources.fixtures import load_table
+        from iceberg_rs_spark.sources.icelake import Catalog
+
+        events = load_table(spark, sf_dir, "events")
+        catalog = Catalog(spark, str(tmp_path / "wh"))
+        t = catalog.create_table(
+            "db.sharded",
+            events.schema,
+            partition_by=[("ts", "day")],
+            properties={"write.manifest.shard-size": "8"},
+        )
+        t.append(events)  # ~30 day-partitions → ~30 files → ≥4 shards
+        snap = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
+        parts = t._manifest_parts(snap)
+        assert parts is not None and len(parts) >= 2
+        assert t._read_manifest(snap)  # concatenated read works
+        where = "ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'"
+        got = t.scan(where=where).agg(F.count("*"), F.round(F.sum("value"), 2)).first()
+        exp = events.where(where).agg(F.count("*"), F.round(F.sum("value"), 2)).first()
+        assert tuple(got) == tuple(exp)
+
+    def test_distributed_prune_matches_driver_prune(self, spark, tmp_path, sf_dir):
+        """The executor-side pruning path must select exactly the same
+        file set as the driver-side loop (same _entry_survives logic,
+        two execution venues)."""
+        from iceberg_rs_spark.sources.fixtures import load_table
+        from iceberg_rs_spark.sources.icelake import (
+            Catalog,
+            _distributed_prune,
+            _split_by_predicate,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        catalog = Catalog(spark, str(tmp_path / "wh2"))
+        t = catalog.create_table(
+            "db.sharded2",
+            events.schema,
+            partition_by=[("ts", "day")],
+            properties={"write.manifest.shard-size": "8"},
+        )
+        t.append(events)
+        md = t.metadata
+        snap = md.snapshot_by_id(md.current_snapshot_id)
+        parts = t._manifest_parts(snap)
+        where = "ts >= TIMESTAMP '2024-01-05 00:00:00'"
+        dist = _distributed_prune(spark, parts, where, md)
+        assert dist is not None
+        drv, _ = _split_by_predicate(t._read_manifest(snap), where, md, t)
+        assert sorted(e.path for e in dist) == sorted(e.path for e in drv)
+        assert 0 < len(dist) < snap_file_count(t)
+
+    def test_expire_deletes_shard_parts(self, spark, tmp_path, sf_dir):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from iceberg_rs_spark.sources.fixtures import load_table
+        from iceberg_rs_spark.sources.icelake import Catalog
+
+        events = load_table(spark, sf_dir, "events")
+        catalog = Catalog(spark, str(tmp_path / "wh3"))
+        t = catalog.create_table(
+            "db.sharded3",
+            events.schema,
+            partition_by=[("ts", "day")],
+            properties={"write.manifest.shard-size": "8"},
+        )
+        t.append(events.where(F.col("event_id") % 2 == 0))
+        snap1 = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
+        parts1 = t._manifest_parts(snap1)
+        assert parts1
+        t.overwrite(events.where(F.col("event_id") % 2 == 1))
+        t.expire_snapshots(retain_last=1)
+        assert not os.path.exists(snap1.manifest_list)
+        assert all(not os.path.exists(p) for p in parts1)
+
+
+def snap_file_count(t) -> int:
+    md = t.metadata
+    return len(t._read_manifest(md.snapshot_by_id(md.current_snapshot_id)))
+
+
 class TestPlanningScale:
     def test_stats_pruning_20k_files_under_budget(self, spark):
         """Planning 20k files must stay under 2 s (measured ~0.1-0.4 s)
