@@ -8,8 +8,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 The driver captures only the last 2000 characters of stdout, so the
 stdout line carries a ~30-query headline subset (at least one query
 per family, weighted toward the expensive ones); the full per-query
-timing map for all 98 corpus queries is written to BENCH_FULL.json
-next to this file. ``value`` is always the total over ALL queries.
+timing map for every corpus query is written to BENCH_FULL.json next
+to this file, together with a ``flagged_vs_previous`` map of queries
+>1.5× their last recorded time (also echoed to stderr as ``BENCH
+SLOW`` lines — the early warning before the driver's 2× gate).
+``value`` is always the total over ALL queries.
 
 Each query is timed end-to-end (plan + execute + fetch); a warmup query
 first absorbs JVM/session startup so numbers reflect steady-state
@@ -93,6 +96,19 @@ def main() -> None:
         "complete",
     ).count()
 
+    # Reference timings from the last recorded full run (committed
+    # BENCH_FULL.json): used to flag per-query regressions BEFORE the
+    # driver's 2× gate trips. Loaded before this run overwrites it.
+    ref: dict[str, float] = {}
+    ref_path = os.path.join(REPO, "BENCH_FULL.json")
+    try:
+        with open(ref_path) as f:
+            ref = {
+                k: v for k, v in json.load(f).get("queries", {}).items() if v > 0
+            }
+    except (OSError, json.JSONDecodeError):
+        pass
+
     timings: dict[str, float] = {}
     for name, spec in sorted(CORPUS.items()):
         t0 = time.perf_counter()
@@ -105,6 +121,19 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Regression early-warning: any query >1.5× its last recorded time
+    # (absolute slack of 0.3s filters sub-second jitter).
+    flagged = {
+        name: {"prev": ref[name], "now": t, "ratio": round(t / ref[name], 2)}
+        for name, t in timings.items()
+        if name in ref and t > 1.5 * ref[name] and t - ref[name] > 0.3
+    }
+    for name, info in sorted(flagged.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(
+            f"BENCH SLOW {name}: {info['prev']}s -> {info['now']}s "
+            f"({info['ratio']}x)",
+            file=sys.stderr,
+        )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(
@@ -113,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "flagged_vs_previous": flagged,
                 "sf": sf_val,
             },
             f,

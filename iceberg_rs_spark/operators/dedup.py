@@ -23,9 +23,39 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from iceberg_rs_spark.functions.hashing import h60, h60_seeded
 from iceberg_rs_spark.operators.text import normalize, shingles_of_tokens, tokens
+
+
+def barrier(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Materialization barrier for a plan subtree referenced more than
+    once — Catalyst does not plan a ReusedExchange across self-join
+    aliases, so without one the whole upstream pipeline is re-derived
+    per reference.
+
+    ``reliable=True`` persists at MEMORY_AND_DISK and fills the cache
+    eagerly: spill-safe under memory pressure AND lineage-retaining,
+    so losing an executor recomputes the lost partitions instead of
+    failing the job — the posture a 1000-executor cluster needs.
+    ``reliable=False`` is the ``localCheckpoint`` barrier: ~30% faster
+    to materialize (RDD blocks, no columnar cache build), but its
+    blocks are pinned to specific executors and die with them (a
+    non-reliable checkpoint truncates lineage).
+
+    ``reliable=None`` (default) picks by deployment: on a ``local[*]``
+    master the driver and executors share one JVM — there is no
+    executor-loss failure mode the persist path would protect against,
+    so the cheaper localCheckpoint is strictly better; on a real
+    cluster the spill-safe persist is the default."""
+    if reliable is None:
+        reliable = not df.sparkSession.sparkContext.master.startswith("local")
+    if not reliable:
+        return df.localCheckpoint()
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # eager fill: every fan-out branch reads the cache
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -146,14 +176,12 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """(id_a < id_b) pairs sharing at least one LSH band bucket."""
     rows_per_band = num_hashes // bands
-    # The bucket self-join references the signature relation twice and
-    # Catalyst does not plan a ReusedExchange across the alias pair, so
-    # without a barrier the whole shingle→minhash pipeline runs twice.
-    # Signatures are one row of `num_hashes` longs per doc — a trivial
+    # The bucket self-join references the signature relation twice;
+    # signatures are one row of `num_hashes` longs per doc — a trivial
     # materialization even at corpus scale.
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_k, shingle_rows_df
-    ).localCheckpoint()
+    sigs = barrier(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, shingle_rows_df)
+    )
     banded = sigs.select(
         id_col,
         F.posexplode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias(
@@ -229,19 +257,21 @@ def near_dup_pairs_minhash(
     """LSH candidates → exact-Jaccard verify → pairs over threshold.
 
     Both the shingle relation and the candidate set are materialized
-    once (localCheckpoint ≈ persist-to-executors). Shingles feed the
-    signature stage once and the verify stage three times (sizes + the
-    two intersection sides); candidates feed the verify joins three
-    times. Without the barriers each reference re-runs the whole
+    once behind a :func:`barrier` (spill-safe persist). Shingles feed
+    the signature stage once and the verify stage three times (sizes +
+    the two intersection sides); candidates feed the verify joins
+    three times. Without the barriers each reference re-runs the whole
     tokenize→shingle (or shingle→minhash→bucket-join) pipeline —
     Catalyst does not reuse plan subtrees across self-join aliases.
     This is the standard persist-shingles-then-verify shape; at
     cluster scale the shingle relation is the corpus token stream, and
     persisting it once is still cheaper than deriving it four times."""
-    sh = shingle_rows(df, id_col, text_col, shingle_k).localCheckpoint()
-    cands = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_k, shingle_rows_df=sh
-    ).localCheckpoint()
+    sh = barrier(shingle_rows(df, id_col, text_col, shingle_k))
+    cands = barrier(
+        minhash_candidate_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_k, shingle_rows_df=sh
+        )
+    )
     jac = jaccard_pairs(df, cands, id_col, text_col, shingle_k, shingle_rows_df=sh)
     return jac.where(F.col("jaccard") >= threshold)
 
@@ -353,7 +383,7 @@ def simhash_near_dup_pairs(
     per doc): the two join sides otherwise each re-run the full
     tokenize→hash→60-sum aggregation — Catalyst plans no ReusedExchange
     across the alias pair."""
-    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint()
+    fp = barrier(simhash_fingerprints(df, id_col, text_col))
     chunks = fp.select(
         id_col,
         "_fp",

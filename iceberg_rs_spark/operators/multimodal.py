@@ -65,6 +65,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("BMP truncated: header needs 54 bytes")
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:  # BI_RGB only: the row-stride validation below
+        # is meaningless for RLE8/BITFIELDS payloads
+        raise ValueError(f"BMP compression {compression} unsupported (BI_RGB only)")
     if width <= 0 or bpp % 8 != 0 or bpp == 0:
         raise ValueError(f"BMP malformed: width={width} bpp={bpp}")
     height = abs(height)  # negative height = top-down rows

@@ -5,10 +5,11 @@ query set against the embedding table — a map-side join, no shuffle of
 the big side — then per-query top-k via TakeOrdered-style window.
 
 The scale path is LSH bucketing (random-hyperplane sign bits): each
-vector lands in one bucket; queries probe their own bucket only. At
-1000 executors this turns a 100 TB scan per query into a bucket-local
-scan; recall is tunable by the number of hyperplanes (tested ≥0.9
-against brute force in tests/test_operators.py).
+vector lands in one bucket; queries probe their own bucket plus the
+buckets within ``probe_hamming`` sign flips (multi-probe). At 1000
+executors this turns a 100 TB scan per query into a few bucket-local
+scans; recall is tunable by planes × probe radius (asserted against
+brute force in tests/test_operators.py).
 
 The dot product stays JVM-side: zip_with + aggregate over the float
 arrays cast to double — deterministic left-to-right summation, which
@@ -170,20 +171,62 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def auto_num_planes(n: int, target_block: int = 256, lo: int = 2, hi: int = 24) -> int:
+    """Hyperplane count sized to the corpus: expected bucket size is
+    n / 2^planes, so planes = ceil(log2(n / target_block)) keeps the
+    per-block all-pairs cost bounded as the corpus grows — the 100 TB
+    posture is automatic instead of caller-tuned. Clamped to [lo, hi]
+    (2^24 buckets is plenty below ~4B rows per block target)."""
+    import math
+
+    if n <= target_block:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_block))))
+
+
+def auto_n_centroids(n: int, lo: int = 4, hi: int = 1 << 16) -> int:
+    """IVF list count sized to the corpus: the classic sqrt(n) balance
+    point between list-scan cost (n / n_centroids per probe) and
+    centroid-assignment cost (n_centroids per vector)."""
+    import math
+
+    return min(max(lo, min(hi, round(math.sqrt(n)))), max(n, 1))
+
+
+def probe_masks(num_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe LSH: the zero mask (own bucket) plus
+    every bucket within Hamming distance ``probe_hamming`` of it."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(probe_hamming, num_planes) + 1):
+        for idxs in combinations(range(num_planes), r):
+            masks.append(sum(1 << i for i in idxs))
+    return masks
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 4,
     dim: int = 64,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine rank within. ~2^-num_planes of the data
-    scanned per query."""
+    bucket plus every bucket within Hamming distance ``probe_hamming``
+    of it (multi-probe), then exact cosine rank within.
+
+    Multi-probe is the standard recall lever that does NOT touch the
+    index: a true neighbor differing on one sign bit lands one bucket
+    away, so probing the 1 + C(planes,1) + ... buckets recovers it at
+    the cost of scanning (probes/2^planes) of the data — still a
+    vanishing fraction at scale, and only the tiny broadcast query
+    side fans out. ``probe_hamming=0`` is the single-bucket probe."""
     from pyspark.sql import Window
 
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
@@ -199,7 +242,22 @@ def lsh_topk(
         norm(F.col(query_vec_col)).alias("_nb"),
         lsh_bucket(F.col(query_vec_col), planes).alias("_qbucket"),
     )
-    joined = emb_b.join(F.broadcast(q_b), F.col("_bucket") == F.col("_qbucket"))
+    masks = probe_masks(num_planes, probe_hamming)
+    # Fan the (tiny, broadcast) query side out to its probe buckets;
+    # masks are distinct, so no candidate pair appears twice.
+    q_probes = q_b.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("_nb"),
+        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_mask"),
+        F.col("_qbucket"),
+    ).select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("_nb"),
+        F.col("_qbucket").bitwiseXOR(F.col("_mask")).alias("_qbucket"),
+    )
+    joined = emb_b.join(F.broadcast(q_probes), F.col("_bucket") == F.col("_qbucket"))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -220,7 +278,7 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
@@ -240,13 +298,17 @@ def ivf_topk(
     n_centroids × dim rows). Probe: each query scans only its
     ``n_probe`` nearest inverted lists — n_probe/n_centroids of the
     data instead of all of it, the fraction that keeps 100 TB
-    searchable. Recall vs brute force is asserted in
-    tests/test_operators.py.
+    searchable. ``n_centroids=None`` derives sqrt(n) lists from the
+    corpus size (:func:`auto_n_centroids`). Recall vs brute force is
+    asserted in tests/test_operators.py.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
+    n_probe = min(n_probe, n_centroids)
     centroids = np.stack(
         [
             np.asarray(r["_v"], dtype="float64")
@@ -323,7 +385,7 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -337,10 +399,16 @@ def embedding_near_dup_pairs(
     label-like column is O(n²) in the hottest label at 100 TB; the
     bucket key has no such hot spot by construction, and true
     near-dups (cos ≥ 0.98) agree on every sign bit with probability
-    (1 - θ/π)^planes ≈ 0.92 at 4 planes (multi-probe recovers the
-    rest when needed). Scoring runs in the Arrow-vectorized cosine —
-    this operator's volume is pairs, not rows, so the numpy batch
-    path wins by ~14×."""
+    (1 - θ/π)^planes ≈ 0.92 at 4 planes (:func:`lsh_topk`'s
+    multi-probe recovers the rest when needed). Scoring runs in the
+    Arrow-vectorized cosine — this operator's volume is pairs, not
+    rows, so the numpy batch path wins by ~14×.
+
+    ``num_planes=None`` (default) derives the plane count from the
+    corpus size via :func:`auto_num_planes`, so the expected block
+    size stays bounded as the corpus grows."""
+    if num_planes is None:
+        num_planes = auto_num_planes(embeddings.count())
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
     base = embeddings.select(
         F.col(id_col),

@@ -7,19 +7,21 @@ DuckDB oracle SQL) pair consumed by ``__spark_entry__`` and the tests.
 
 from iceberg_rs_spark.plans.corpus import CORPUS, QuerySpec, query  # noqa: F401
 
-# Populate the registry (import order = display order = the order the
-# driver's correctness harness walks queries()).  Round 1's driver run
-# covered only the first 50 registry entries, so the families that have
-# no driver CORRECTNESS row yet go FIRST; the 47-green families follow.
-import iceberg_rs_spark.plans.llm  # noqa: F401,E402
-import iceberg_rs_spark.plans.scalar2  # noqa: F401,E402
-import iceberg_rs_spark.plans.misc  # noqa: F401,E402
-import iceberg_rs_spark.plans.udfs  # noqa: F401,E402
-import iceberg_rs_spark.plans.tables  # noqa: F401,E402
-import iceberg_rs_spark.plans.streaming  # noqa: F401,E402
+# Populate the registry.  The driver-facing order is now controlled by
+# the explicit ``corpus.PRIORITY`` list (queries needing a fresh driver
+# CORRECTNESS row go first); import order below only decides the tail.
+# Tail order: families whose last green driver row is OLDEST first
+# (r1-verified families), so each round's 50-query window refreshes the
+# stalest evidence after the PRIORITY head.
 import iceberg_rs_spark.plans.tpch  # noqa: F401,E402
 import iceberg_rs_spark.plans.joins  # noqa: F401,E402
 import iceberg_rs_spark.plans.aggregates  # noqa: F401,E402
 import iceberg_rs_spark.plans.windows  # noqa: F401,E402
 import iceberg_rs_spark.plans.setops  # noqa: F401,E402
 import iceberg_rs_spark.plans.scalar  # noqa: F401,E402
+import iceberg_rs_spark.plans.llm  # noqa: F401,E402
+import iceberg_rs_spark.plans.scalar2  # noqa: F401,E402
+import iceberg_rs_spark.plans.misc  # noqa: F401,E402
+import iceberg_rs_spark.plans.udfs  # noqa: F401,E402
+import iceberg_rs_spark.plans.tables  # noqa: F401,E402
+import iceberg_rs_spark.plans.streaming  # noqa: F401,E402

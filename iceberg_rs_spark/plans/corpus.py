@@ -38,6 +38,37 @@ class QuerySpec:
 #: name -> QuerySpec; populated by the @query decorator at import time.
 CORPUS: dict[str, QuerySpec] = {}
 
+#: Explicit driver-verification priority (VERDICT.md r2 §Next-round #1).
+#: The driver's CORRECTNESS pass covers only the first 50 registry entries
+#: per round, so ``queries()`` emits these names first (in this order),
+#: then every other registered query in registration order.  Keep this
+#: list pointing at (a) queries with no green driver row yet and (b)
+#: queries whose implementation changed since their last green row.
+PRIORITY: list[str] = [
+    # Never driver-tested (registry position 51 in rounds 1-2):
+    "stream_stateful_user_sessions",
+    # r1 hash-fails, oracle-side type bugs fixed in 76d3ad2, no driver
+    # row since:
+    "agg_corr_covar",
+    "fn_math_family",
+    "fn_array_hof_family",
+    # Changed this round (round 3) — re-verify:
+    "dedup_ngram_jaccard_matrix",   # threshold lowered to yield rows
+    "sim_ann_agreement",            # new hash-checked ANN quality query
+    "dedup_minhash_lsh_pairs",      # barrier swap (persist vs localCheckpoint)
+    "dedup_simhash_near_pairs",     # barrier swap
+    "sim_embedding_high_pairs",     # auto-scaled blocking params
+    "sim_topk_lsh",                 # multi-probe added (rows-only)
+    "sim_topk_ivf",                 # auto n_centroids (rows-only)
+    "table_typed_columns_roundtrip",  # row cap 2000 → 20000 (bench-scale writes)
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in PRIORITY if n in CORPUS]
+    tail = [n for n in CORPUS if n not in set(head)]
+    return head + tail
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a corpus query. Use as a decorator over the builder."""
@@ -54,8 +85,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def queries() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in CORPUS.items()}
+    return {name: CORPUS[name].builder for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in CORPUS.items() if spec.oracle}
+    return {
+        name: CORPUS[name].oracle
+        for name in _ordered_names()
+        if CORPUS[name].oracle
+    }

@@ -322,7 +322,7 @@ def table_add_files_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
                       substr(md5(CAST(o_orderkey AS VARCHAR)),21,12)) AS row_uuid,
                CAST((o_orderkey % 86400) * 1000000 AS BIGINT) AS event_time,
                substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16) AS key_fixed_hex
-        FROM orders WHERE o_orderkey < 2000)
+        FROM orders WHERE o_orderkey < 20000)
     SELECT o_orderkey,
            CAST(price_dec AS DOUBLE) AS price,
            row_uuid,
@@ -355,7 +355,7 @@ def table_typed_columns_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ),
     )
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 20000)
     md5k = F.md5(F.col("o_orderkey").cast("string"))
     src = orders.select(
         F.col("o_orderkey"),

@@ -655,11 +655,22 @@ class Table:
             # concurrent append that wins the race must survive the
             # commit (snapshot isolation — the delete applies to the
             # files it read; later files are kept untouched).
-            untouched = [
-                e
-                for e in self._current_entries(cur, branch)
-                if e.path not in candidate_paths
-            ]
+            cur_entries = self._current_entries(cur, branch)
+            cur_paths = {e.path for e in cur_entries}
+            # Conflict validation (Iceberg's validateDataFilesExist):
+            # if a concurrent compact/delete/overwrite rewrote any of
+            # the files this delete read, committing would resurrect
+            # the deleted rows (the rewritten replacements still hold
+            # them) AND duplicate the kept rows via `rewritten`. Fail
+            # the commit so the caller re-runs on fresh metadata.
+            vanished = candidate_paths - cur_paths
+            if vanished:
+                raise CommitConflict(
+                    f"delete on {self.identifier} conflicts with a concurrent "
+                    f"rewrite of {len(vanished)} input file(s); re-run against "
+                    "fresh metadata"
+                )
+            untouched = [e for e in cur_entries if e.path not in candidate_paths]
             return self._new_snapshot(
                 cur, "delete", untouched + rewritten, branch,
                 {"deleted-records": str(deleted)},
@@ -750,9 +761,22 @@ class Table:
         for fp in files:
             pf = pq.ParquetFile(fp)
             raw_stats = _file_stats(pf)
-            # remap stats keys to canonical names so min/max pruning on
-            # current-schema predicates still applies to raw files
-            stats = {alias_by_name.get(k, k): v for k, v in raw_stats.items()}
+            # Remap stats keys to canonical names so min/max pruning on
+            # current-schema predicates still applies to raw files. If
+            # two raw columns map to the SAME canonical name (an alias
+            # plus the canonical name itself, or two aliases of one
+            # field), last-wins would record a wrong interval and
+            # stats pruning could incorrectly DROP the file — fall
+            # back to no stats for that column (conservative keep).
+            stats: dict = {}
+            colliding: set[str] = set()
+            for k, v in raw_stats.items():
+                canon = alias_by_name.get(k, k)
+                if canon in stats:
+                    colliding.add(canon)
+                stats[canon] = v
+            for canon in colliding:
+                stats[canon] = None
             new_entries.append(
                 DataFileEntry(
                     path=fp,
@@ -766,7 +790,16 @@ class Table:
             )
 
         def updater(cur: TableMetadata) -> TableMetadata:
-            entries = self._current_entries(cur, branch) + new_entries
+            cur_entries = self._current_entries(cur, branch)
+            # Re-registering a path already in the snapshot would
+            # double-count its rows on every subsequent read.
+            dupes = {e.path for e in cur_entries} & {e.path for e in new_entries}
+            if dupes:
+                raise ValueError(
+                    f"add_files: {len(dupes)} path(s) already registered in "
+                    f"{self.identifier}: {sorted(dupes)[:3]}"
+                )
+            entries = cur_entries + new_entries
             return self._new_snapshot(
                 cur, "append", entries, branch,
                 {"added-data-files": str(len(new_entries)),
@@ -790,10 +823,27 @@ class Table:
         after = sum(e.record_count for e in new_entries)
         if before != after:
             raise RuntimeError(f"compaction changed record count: {before} -> {after}")
+        input_paths = {e.path for e in entries}
 
         def updater(cur: TableMetadata) -> TableMetadata:
+            # Recompute from `cur` on every (re)try so a concurrent
+            # append that wins the version race survives ("replace"
+            # means data unchanged — dropping the appended files would
+            # be silent data loss). If any compacted INPUT file is gone
+            # from `cur` (a concurrent delete/overwrite rewrote it),
+            # committing would resurrect its old rows — conflict.
+            cur_entries = self._current_entries(cur, branch)
+            cur_paths = {e.path for e in cur_entries}
+            vanished = input_paths - cur_paths
+            if vanished:
+                raise CommitConflict(
+                    f"compact on {self.identifier} conflicts with a concurrent "
+                    f"rewrite of {len(vanished)} input file(s); re-run against "
+                    "fresh metadata"
+                )
+            kept = [e for e in cur_entries if e.path not in input_paths]
             return self._new_snapshot(
-                cur, "replace", new_entries, branch,
+                cur, "replace", kept + new_entries, branch,
                 {"rewritten-data-files": str(len(entries))},
             )
 
@@ -875,7 +925,9 @@ class Table:
             return self.spark.createDataFrame([], target.to_spark())
         groups: dict[tuple[int, str], list[str]] = {}
         for e in entries:
-            groups.setdefault((e.schema_id, _base_path(e.path)), []).append(e.path)
+            groups.setdefault(
+                (e.schema_id, _base_path(e.path, self.location)), []
+            ).append(e.path)
         parts = []
         for (sid, base), paths in sorted(groups.items()):
             if sid == RAW_SCHEMA_ID:
@@ -1434,14 +1486,21 @@ def _load_name_mapping(md: TableMetadata) -> tuple[NameMapping, ...] | None:
     return md.current_schema().name_mapping
 
 
-def _base_path(path: str) -> str:
-    """Commit directory of a data file: everything before the first
-    Hive-style ``k=v`` path segment (the whole dirname when the file
-    is unpartitioned)."""
-    parts = path.split(os.sep)
-    for i, seg in enumerate(parts[:-1]):
-        if "=" in seg:
-            return os.sep.join(parts[:i])
+def _base_path(path: str, location: str | None = None) -> str:
+    """Commit directory of a data file, anchored at the table's known
+    ``{location}/data/{commit}`` layout. Never inferred by scanning the
+    path for ``k=v`` segments: a warehouse/table directory legally named
+    ``x=y`` (POSIX allows '=') would push the basePath above the table
+    root and make Spark partition discovery error or invent partition
+    columns for every read. Files outside the managed layout
+    (add_files-registered raw files, read without basePath) group by
+    their own dirname."""
+    if location is not None:
+        data_root = os.path.join(location, "data")
+        rel = os.path.relpath(path, data_root)
+        if not rel.startswith(".."):
+            commit = rel.split(os.sep)[0]
+            return os.path.join(data_root, commit)
     return os.path.dirname(path)
 
 

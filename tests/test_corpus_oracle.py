@@ -29,3 +29,16 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
     assert len(e.queries()) == len(CORPUS)
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_priority_queries_lead_registry():
+    """The driver verifies only the first 50 queries() entries per round;
+    names in corpus.PRIORITY (no/stale driver row) must come first."""
+    import __spark_entry__ as e
+    from iceberg_rs_spark.plans import corpus
+
+    names = list(e.queries())
+    registered_priority = [n for n in corpus.PRIORITY if n in corpus.CORPUS]
+    assert names[: len(registered_priority)] == registered_priority
+    # Everything registered is still present exactly once.
+    assert sorted(names) == sorted(corpus.CORPUS)

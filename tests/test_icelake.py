@@ -516,3 +516,148 @@ class TestInspection:
         t2 = catalog.load_table("db.reload")
         assert t2.to_df().count() == 5
         assert "db.reload" in catalog.list_tables("db")
+
+
+class TestAdviceR2Fixes:
+    """Regression tests for the round-2 ADVICE.md findings: commit
+    conflict validation for compact/delete, '='-safe basePath
+    anchoring, and add_files stats/duplicate hardening."""
+
+    def test_compact_preserves_concurrent_append(self, catalog, events_df, monkeypatch):
+        """compact() is 'replace: data unchanged' — a concurrent append
+        that wins the version race must survive the retried commit."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.crace", events_df.schema)
+        base = events_df.limit(50)
+        t.append(base)
+        t2 = catalog.load_table("db.crace")
+        extra = events_df.limit(60).subtract(base)  # 10 fresh rows
+        orig = lake._write_metadata_version
+        state = {"raced": False}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                t2.append(extra)
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        t.compact(target_file_size_bytes=1)
+        monkeypatch.undo()
+        assert state["raced"]
+        out = t.to_df()
+        assert out.count() == 60
+        assert extra.subtract(out).count() == 0
+
+    def test_delete_conflicts_with_concurrent_rewrite(self, catalog, events_df, monkeypatch):
+        """If a concurrent compact rewrote the files a DELETE read,
+        committing would resurrect deleted rows — must CommitConflict."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.drace", events_df.schema)
+        t.append(events_df.limit(50))
+        t2 = catalog.load_table("db.drace")
+        orig = lake._write_metadata_version
+        state = {"raced": False}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(lake, "_write_metadata_version", orig)
+                t2.compact(target_file_size_bytes=1)  # rewrites every input path
+                monkeypatch.setattr(lake, "_write_metadata_version", racy)
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        with pytest.raises(lake.CommitConflict, match="concurrent"):
+            t.delete("event_type = 'click'")
+        monkeypatch.undo()
+        # nothing lost, nothing deleted: the conflicting commit never landed
+        assert t.to_df().count() == 50
+
+    def test_compact_conflicts_with_concurrent_delete(self, catalog, events_df, monkeypatch):
+        """If a concurrent delete rewrote compact's input files,
+        committing the compaction would resurrect the deleted rows."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.crace2", events_df.schema)
+        t.append(events_df.limit(50))
+        t2 = catalog.load_table("db.crace2")
+        orig = lake._write_metadata_version
+        state = {"raced": False, "deleted": 0}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(lake, "_write_metadata_version", orig)
+                state["deleted"] = t2.delete("event_type = 'click'")
+                monkeypatch.setattr(lake, "_write_metadata_version", racy)
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        with pytest.raises(lake.CommitConflict, match="concurrent"):
+            t.compact(target_file_size_bytes=1)
+        monkeypatch.undo()
+        assert state["deleted"] > 0
+        assert t.to_df().count() == 50 - state["deleted"]
+
+    def test_base_path_safe_with_equals_in_warehouse_dir(self, spark, tmp_path, events_df):
+        """A warehouse path whose directory names contain '=' (legal on
+        POSIX) must not confuse basePath anchoring — partition discovery
+        restores identity-partition columns correctly."""
+        wh = tmp_path / "env=prod" / "wh"
+        cat = Catalog(spark, str(wh))
+        t = cat.create_table(
+            "db.eqpath", events_df.schema, partition_by=[("event_type", "identity")]
+        )
+        df = events_df.limit(40)
+        t.append(df)
+        out = t.to_df()
+        assert set(out.columns) == set(df.columns)
+        assert out.count() == 40
+        assert df.subtract(out).count() == 0
+
+    def test_add_files_stats_collision_and_duplicate_path(
+        self, catalog, spark, events_df, tmp_path
+    ):
+        """A raw file carrying BOTH an alias and the canonical column
+        name yields an unknown (None) stats interval for that column —
+        pruning keeps the file instead of guessing; re-registering the
+        same path is rejected."""
+        from iceberg_rs_spark.model import NameMapping
+        import iceberg_rs_spark.sources.icelake as lake
+
+        base = events_df.select("event_id", "value").limit(5)
+        t = catalog.create_table("db.coll", base.schema)
+        sch = t.schema()
+        # raw file has columns `value` AND `val`, both mapped to field `value`
+        raw = events_df.select(
+            F.col("event_id").alias("event_id"),
+            F.col("value").alias("value"),
+            (F.col("value") * 1000).alias("val"),
+        ).limit(5)
+        raw_dir = str(tmp_path / "rawcoll")
+        raw.write.parquet(raw_dir)
+        mapping = [
+            NameMapping(field_id=sch.field_by_name("event_id").id, names=("event_id",)),
+            NameMapping(field_id=sch.field_by_name("value").id, names=("value", "val")),
+        ]
+        n = t.add_files(raw_dir, name_mapping=mapping)
+        assert n >= 1
+        raw_entries = [
+            e for e in t._current_entries(t.metadata) if e.schema_id == lake.RAW_SCHEMA_ID
+        ]
+        assert raw_entries
+        for e in raw_entries:
+            assert e.stats.get("value") is None  # conservative: no interval
+            assert e.stats.get("event_id") is not None  # untouched column keeps stats
+        # stats-pruned scan must still read the raw file (conservative keep)
+        hi = t.scan(where="value >= 0").count() + t.scan(where="value < 0").count()
+        assert hi == t.to_df().count()
+        # duplicate registration rejected
+        with pytest.raises(ValueError, match="already registered"):
+            t.add_files(raw_dir)

@@ -92,6 +92,36 @@ class TestJoinStrategy:
         assert any("_bucket" in ln for ln in join_lines)
         assert not any("label" in ln for ln in join_lines)
 
+    def test_dedup_barrier_modes(self, spark, sf_dir):
+        """barrier(reliable=True) — the cluster posture — must read a
+        persisted MEMORY_AND_DISK relation on both self-join sides
+        (spill-safe, lineage-retaining, single derivation). The local
+        default picks localCheckpoint: a single-JVM master has no
+        executor-loss mode for the persist path to protect against."""
+        from iceberg_rs_spark.operators.dedup import barrier, minhash_signatures
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = barrier(minhash_signatures(docs), reliable=True)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        pair = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        plan = final_plan(pair.limit(5))
+        # both self-join aliases read the persisted signatures — the
+        # pipeline below the barrier ran once, at barrier() time
+        assert plan.count("InMemoryTableScan") >= 2
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert infos, "barrier left nothing cached"
+        assert any(i.storageLevel().useDisk() for i in infos), (
+            "barrier cache must be spill-safe (MEMORY_AND_DISK)"
+        )
+        spark.catalog.clearCache()
+        # local default: localCheckpoint (materialized RDD scan, no
+        # SQL cache entry) — and still a single derivation by design
+        ckpt = barrier(minhash_signatures(docs))
+        assert "ExistingRDD" in ckpt._jdf.queryExecution().executedPlan().toString()
+
     def test_topk_broadcasts_query_side(self, spark, sf_dir):
         df = CORPUS["sim_topk_bruteforce"].builder(spark, sf_dir)
         plan = final_plan(df)
