@@ -291,6 +291,86 @@ def near_dedup_minhash(
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``, where component
+    is the MINIMUM node id of its connected component — the transitive
+    closure the single-pass :func:`near_dedup_minhash` explicitly
+    skips, for when near-dup chains (A~B, B~C) must collapse to one
+    survivor.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round is two bounded
+    groupBy shuffles over the edge list, and the edge set converges to
+    per-component stars rooted at the minimum in O(log n) rounds —
+    unlike naive label propagation, whose round count is the graph
+    DIAMETER (a 1M-node chain needs 1M rounds vs ~20). The per-round
+    convergence check is one count over the symmetric difference. The
+    driver loop holds only iteration control; all data stays
+    distributed.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    edges = barrier(e)
+    for _ in range(max_iterations):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: connect every strictly-larger neighbor of u to
+        # min(N(u) ∪ {u}). Duplicate edges are harmless below (the
+        # groupBy-min dedups), so no distinct here — one less shuffle.
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmins = lmins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        )
+        # small-star on the (u > v)-directed list: connect u and all its
+        # smaller neighbors to their minimum
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        new_edges = barrier(ss)
+        # one-action convergence check: empty symmetric difference
+        changed = (
+            new_edges.exceptAll(edges)
+            .union(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            break
+    # converged: (u, v) edges are per-component stars, v = component min
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    reps = (
+        edges.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return members.union(reps).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -387,6 +387,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.98,
     num_planes: int | None = None,
     dim: int = 64,
+    probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -406,7 +407,16 @@ def embedding_near_dup_pairs(
 
     ``num_planes=None`` (default) derives the plane count from the
     corpus size via :func:`auto_num_planes`, so the expected block
-    size stays bounded as the corpus grows."""
+    size stays bounded as the corpus grows.
+
+    ``probe_hamming`` extends the block join to bucket pairs within
+    that Hamming distance: a true near-dup that disagrees on r sign
+    bits lands r buckets away and a same-bucket join misses it. Each
+    candidate pair matches exactly ONE xor mask (the mask is
+    determined by the two buckets), so multi-probe adds no duplicate
+    pairs; the joined volume grows by the mask count
+    (1 + C(planes,1) + ... — still geometric-block-bounded, never
+    all-pairs)."""
     if num_planes is None:
         num_planes = auto_num_planes(embeddings.count())
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
@@ -416,7 +426,22 @@ def embedding_near_dup_pairs(
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     a = base.alias("a")
-    b = base.alias("b")
+    if probe_hamming > 0:
+        masks = probe_masks(num_planes, probe_hamming)
+        b = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_mask"),
+            F.col("_bucket"),
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_bucket"),
+        ).alias("b")
+    else:
+        b = base.alias("b")
     return (
         a.join(
             b,

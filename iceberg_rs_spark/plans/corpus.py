@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "sim_topk_lsh",                 # multi-probe added (rows-only)
     "sim_topk_ivf",                 # auto n_centroids (rows-only)
     "table_typed_columns_roundtrip",  # row cap 2000 → 20000 (bench-scale writes)
+    "dedup_connected_components",   # new: iterative CC with recursive-CTE oracle
 ]
 
 

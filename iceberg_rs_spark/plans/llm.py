@@ -79,10 +79,10 @@ def _minhash_sig_sql(text_expr: str) -> str:
     )
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH docs AS (
+#: Shared CTE prefix: normalized shingles → minhash signatures → LSH
+#: band candidates → exact intersection counts. Used by the pair query
+#: and the connected-components query.
+_MINHASH_CTES = f"""docs AS (
         SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w FROM documents),
     sh_tbl AS (
         SELECT doc_id, {SHINGLES_SQL} AS sh FROM docs),
@@ -107,7 +107,13 @@ def _minhash_sig_sql(text_expr: str) -> str:
         FROM cands c
         JOIN shingle_rows sa ON sa.doc_id = c.id_a
         JOIN shingle_rows sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-        GROUP BY c.id_a, c.id_b)
+        GROUP BY c.id_a, c.id_b)"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT i2.id_a, i2.id_b,
            {rhalf_sql('i2.i * 1.0 / (na.n + nb.n - i2.i)', 4)} AS jaccard
     FROM inter i2
@@ -133,6 +139,64 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", rhalf(F.col("jaccard"), 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES.replace("FROM documents", "FROM documents WHERE doc_id < 300", 1)},
+    near AS (
+        SELECT i2.id_a, i2.id_b
+        FROM inter i2
+        JOIN sizes na ON na.doc_id = i2.id_a
+        JOIN sizes nb ON nb.doc_id = i2.id_b
+        WHERE i2.i * 1.0 / (na.n + nb.n - i2.i) >= 0.6),
+    copies AS (
+        SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+        FROM documents WHERE doc_id < 100),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM near
+        UNION SELECT id_b, id_a FROM near
+        UNION SELECT id_a, id_b FROM copies
+        UNION SELECT id_b, id_a FROM copies),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+        SELECT node, node AS root FROM nodes
+        UNION
+        SELECT e.v AS node, r.root FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "clustering", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: the near-dup pair graph (minhash
+    ≥0.6) UNIONed with exact-copy edges (the first 100 docs re-appended
+    under shifted ids, as in dedup_exact_content_hash) forms chains like
+    copy—original—near-dup—copy; every member must collapse to its
+    component's minimum id. Spark runs alternating large-star/small-star
+    (O(log n) bounded-shuffle rounds — operators/dedup.py); the oracle
+    recomputes the same components by recursive-CTE reachability. An
+    ITERATIVE algorithm with a full hash-checked oracle row. The graph
+    is bounded to the 300-doc window (like the ngram baseline) — wide
+    enough for the sf0.01 planted chains; the operator itself is
+    unbounded."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    near = D.near_dup_pairs_minhash(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=0.6,
+    ).select("id_a", "id_b")
+    copies = docs.where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    cc = D.connected_components(near.unionByName(copies))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    ).orderBy("doc_id")
 
 
 @query(

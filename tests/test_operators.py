@@ -43,6 +43,66 @@ class TestExactDedup:
         assert D.exact_dedup(docs).count() == docs.distinct().count()
 
 
+class TestConnectedComponents:
+    @staticmethod
+    def _truth(edges):
+        """Union-find ground truth: node -> min id of its component."""
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in parent}
+
+    def _check(self, spark, edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component for r in D.connected_components(df).collect()}
+        assert got == self._truth(edges)
+
+    def test_chain_star_cycle_and_islands(self, spark):
+        # long chain (worst case for label propagation), a star, a
+        # cycle, disjoint pairs, and duplicate/reversed edges
+        chain = [(i, i + 1) for i in range(100, 140)]
+        star = [(7, x) for x in (201, 202, 203, 204)]
+        cycle = [(300, 301), (301, 302), (302, 303), (303, 300)]
+        pairs = [(400, 401), (402, 403)]
+        noise = [(140, 139), (100, 101), (401, 400)]  # reversed + dupes
+        self._check(spark, chain + star + cycle + pairs + noise)
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        for seed in (1, 2, 3):
+            rnd = random.Random(seed)
+            nodes = list(range(rnd.randint(20, 60)))
+            edges = [
+                (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(rnd.randint(10, 80))
+            ]
+            edges = [(u, v) for u, v in edges if u != v]
+            if not edges:
+                continue
+            self._check(spark, edges)
+
+    def test_merges_exact_and_near_dup_edges_transitively(self, spark):
+        """A~B near-dup plus A~A' and B~B' copy edges must collapse all
+        four into one component rooted at the minimum id."""
+        edges = [(8, 245), (8, 100008), (245, 100245), (9, 100009)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component for r in D.connected_components(df).collect()}
+        assert got == {
+            8: 8, 245: 8, 100008: 8, 100245: 8,
+            9: 9, 100009: 9,
+        }
+
+
 class TestMinHashLSH:
     def test_near_dup_pairs_find_planted_duplicates(self, spark, sf_dir):
         """Plant near-copies (one word changed) of real fixture docs;
@@ -212,6 +272,36 @@ class TestSimilarity:
         hits = sum(1 for k, v in exact1.items() if got1.get(k) == v)
         recall = hits / len(exact1)
         assert recall >= 0.8, f"planted-neighbor multi-probe recall {recall}"
+
+    def test_near_dup_pairs_multi_probe_recall(self, spark):
+        """Pair-level multi-probe: planted near-dup pairs split across
+        adjacent buckets (one sign bit apart) are recovered by
+        probe_hamming=1 without ever going all-pairs. Each pair can
+        match only one xor mask, so multi-probe must add no dupes."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((150, 64))
+        rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+        for i in range(50):
+            v = base[i] + 0.04 * rng.standard_normal(64)
+            rows.append((1000 + i, [float(x) for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        truth = {(i, 1000 + i) for i in range(50)}
+        single = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_near_dup_pairs(
+                emb, threshold=0.97, num_planes=6, probe_hamming=0
+            ).collect()
+        }
+        multi_rows = S.embedding_near_dup_pairs(
+            emb, threshold=0.97, num_planes=6, probe_hamming=1
+        ).collect()
+        multi = {(r.id_a, r.id_b) for r in multi_rows}
+        assert len(multi_rows) == len(multi)  # no duplicate pairs
+        assert single <= multi
+        assert len(truth & multi) / len(truth) >= 0.9
+        assert len(truth & multi) > len(truth & single) or single >= truth
 
     def test_auto_blocking_params_scale_with_corpus(self, spark):
         """The derived blocking parameters keep the expected block size
