@@ -62,6 +62,8 @@ PRIORITY: list[str] = [
     "sim_topk_ivf",                 # auto n_centroids (rows-only)
     "table_typed_columns_roundtrip",  # row cap 2000 → 20000 (bench-scale writes)
     "dedup_connected_components",   # new: iterative CC with recursive-CTE oracle
+    "stream_ingest_icelake",        # new: streaming foreachBatch → table commits
+    "pipeline_training_data",       # new: composed dedup→quality→lang pipeline
 ]
 
 

@@ -631,6 +631,90 @@ def text_token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = f"""(
+    least(length(text) / 500.0, 1.0) * 0.4
+    + least((CASE WHEN len(w) > 0
+             THEN len([t for t in w if list_contains({_STOP_LIST}, t)]) * 1.0 / len(w)
+             ELSE 0.0 END) * 5, 1.0) * 0.3
+    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+               THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
+               ELSE 0.0 END) * 10) * 0.3)"""
+
+_LANG_CASE_SQL = """CASE WHEN greatest(s_sql, s_spark, s_data, s_ops) <= 0 THEN 'und'
+         WHEN s_sql = greatest(s_sql, s_spark, s_data, s_ops) THEN 'sql'
+         WHEN s_spark = greatest(s_sql, s_spark, s_data, s_ops) THEN 'spark'
+         WHEN s_data = greatest(s_sql, s_spark, s_data, s_ops) THEN 'data'
+         ELSE 'ops' END"""
+
+
+@query(
+    "pipeline_training_data",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100),
+    hashed AS (
+        SELECT doc_id, text, {h60_sql(NORM_SQL.format(c='text'))} AS h FROM all_docs),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+    dedup AS (SELECT h2.doc_id, h2.text FROM hashed h2 JOIN keep k ON h2.doc_id = k.doc_id),
+    toks AS (
+        SELECT doc_id, text, {TOKENS_SQL.format(c='text')} AS w FROM dedup),
+    feat AS (
+        SELECT doc_id, w, {_QUALITY_SQL} AS q,
+               len([t for t in w if list_contains(['table','join','query','filter'], t)]) AS s_sql,
+               len([t for t in w if list_contains(['spark','batch','stream','shuffle'], t)]) AS s_spark,
+               len([t for t in w if list_contains(['data','row','column','value'], t)]) AS s_data,
+               len([t for t in w if list_contains(['sort','merge','hash','scan'], t)]) AS s_ops
+        FROM toks),
+    langd AS (
+        SELECT doc_id, w, q, {_LANG_CASE_SQL} AS lang_guess FROM feat)
+    SELECT lang_guess,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+           {rhalf_sql('MIN(q)', 4)} AS min_quality,
+           {rhalf_sql('MAX(q)', 4)} AS max_quality
+    FROM langd
+    WHERE q >= 0.5 AND lang_guess != 'und'
+    GROUP BY lang_guess
+    ORDER BY lang_guess
+    """,
+    tags=("llm", "pipeline", "dedup", "quality", "language-id"),
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data prep pipeline as one declarative
+    plan: exact dedup (min-id survivor over re-appended copies) →
+    quality gate (length/stopword/punctuation heuristic ≥ 0.5) →
+    language-ID filter → per-language corpus accounting. Each stage is
+    an already-verified operator; this query certifies the
+    composition end to end — one logical plan, so Catalyst pushes the
+    whole filter chain below the aggregate. Min/max quality (not avg)
+    keeps every output order-independent for the cross-engine hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    deduped = D.exact_dedup(docs.unionByName(copies))
+    c = F.col("text")
+    feat = deduped.select(
+        "doc_id",
+        T.token_count(c).alias("n_tok"),
+        T.quality_score(c).alias("q"),
+        T.detect_language(c, DOMAIN_MARKERS).alias("lang_guess"),
+    )
+    kept = feat.where((F.col("q") >= 0.5) & (F.col("lang_guess") != "und"))
+    return (
+        kept.groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            rhalf(F.min("q"), 4).alias("min_quality"),
+            rhalf(F.max("q"), 4).alias("max_quality"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
 @query(
     "multimodal_decode_features",
     oracle="""

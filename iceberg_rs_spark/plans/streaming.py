@@ -247,3 +247,49 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = replay_to_memory(sessions, "stateful_sessions", "update")
     return out.orderBy("user_id")
+
+
+@query(
+    "stream_ingest_icelake",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM evt
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "table", "ingest"),
+)
+def stream_ingest_icelake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the table layer: the events stream is
+    replayed through a foreachBatch sink where every micro-batch is one
+    atomic icelake append commit carrying its batch id in the snapshot
+    summary (idempotent re-delivery — the effectively-once upgrade for
+    append-only sinks). The hash check then aggregates the TABLE scan,
+    proving the stream→commit→manifest→scan path end to end; at
+    cluster scale this is the continuous-ingest pattern with
+    per-micro-batch time travel for free."""
+    import tempfile
+
+    from iceberg_rs_spark.sources.icelake import Catalog
+
+    ev = events_stream(spark, sf_dir).select("event_id", "event_type", "value", "ts")
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_stream_"))
+    t = catalog.create_table("db.stream_ingest", ev.schema)
+    from iceberg_rs_spark.streaming import replay_to_icelake
+
+    replay_to_icelake(ev, t)
+    assert any(
+        "streaming-batch-id" in s.summary for s in t.metadata.snapshots
+    ), "ingest recorded no batch ids"
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

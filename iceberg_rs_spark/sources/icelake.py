@@ -591,8 +591,15 @@ class Table:
 
     # public write API (snapshot operations per reference snapshot.rs:14-31)
 
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> None:
-        """``append``: only data files added (snapshot.rs:19)."""
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = MAIN_BRANCH,
+        extra_summary: dict | None = None,
+    ) -> None:
+        """``append``: only data files added (snapshot.rs:19).
+        ``extra_summary`` entries are recorded in the snapshot summary
+        (e.g. a streaming micro-batch id for idempotent re-delivery)."""
         md = self.metadata
         new_entries = self._write_data_files(df, md)
 
@@ -601,7 +608,8 @@ class Table:
             return self._new_snapshot(
                 cur, "append", entries, branch,
                 {"added-data-files": str(len(new_entries)),
-                 "added-records": str(sum(e.record_count for e in new_entries))},
+                 "added-records": str(sum(e.record_count for e in new_entries)),
+                 **(extra_summary or {})},
             )
 
         self._commit(updater)

@@ -73,6 +73,47 @@ def replay_to_memory(
     return spark.table(qname)
 
 
+def replay_to_icelake(
+    stream_df: DataFrame,
+    table,
+    state_partitions: int = 8,
+) -> None:
+    """Stream sink into the icelake table layer: each micro-batch is
+    one atomic append commit (``foreachBatch``), replayed to
+    completion with ``availableNow``.
+
+    Idempotence: foreachBatch is at-least-once on retry, so the commit
+    records the micro-batch id in the snapshot summary and a batch
+    whose id is already present in the current branch's ancestry is
+    skipped — the standard batch-id dedup that upgrades foreachBatch
+    to effectively-once for append-only sinks. Commit retries
+    (`commit.retry.num-retries`) make concurrent writers safe; at
+    cluster scale this is the streaming→table ingest path, one
+    snapshot per micro-batch, time-travel per batch for free."""
+    spark = stream_df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {
+            s.summary.get("streaming-batch-id")
+            for s in table.metadata.snapshots
+        }
+        if str(batch_id) in seen:
+            return
+        table.append(batch_df, extra_summary={"streaming-batch-id": str(batch_id)})
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q: StreamingQuery = (
+            stream_df.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def tumbling_window_agg(
     events: DataFrame, window_len: str = "1 hour"
 ) -> DataFrame:

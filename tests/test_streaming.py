@@ -160,6 +160,28 @@ class TestIcelakeSink:
         assert set(ops) == {"append"} and len(ops) >= 1
 
 
+class TestReplayToIcelake:
+    def test_batch_id_idempotence(self, spark, sf_dir, tmp_path):
+        """Replaying the same stream twice must not duplicate rows: the
+        second delivery's micro-batch ids are already recorded in the
+        snapshot summaries and are skipped (the at-least-once →
+        effectively-once upgrade for append-only foreachBatch sinks)."""
+        from iceberg_rs_spark.sources.icelake import Catalog
+        from iceberg_rs_spark.streaming import events_stream, replay_to_icelake
+
+        ev = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+        catalog = Catalog(spark, str(tmp_path / "wh"))
+        t = catalog.create_table("db.ing", ev.schema)
+        replay_to_icelake(ev, t)
+        n1 = t.to_df().count()
+        assert n1 > 0
+        snaps1 = len(t.metadata.snapshots)
+        assert any("streaming-batch-id" in s.summary for s in t.metadata.snapshots)
+        replay_to_icelake(ev, t)  # re-delivery: same batch ids
+        assert t.to_df().count() == n1
+        assert len(t.metadata.snapshots) == snaps1
+
+
 class TestReplayHarness:
     def test_memory_sink_names_are_unique_per_run(self, spark, sf_dir):
         ev = events_stream(spark, sf_dir).groupBy("event_type").count()
