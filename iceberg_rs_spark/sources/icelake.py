@@ -709,7 +709,23 @@ class Table:
             ]
         )
         new_entries = self._write_data_files(merged, md)
-        self._commit(lambda cur: self._new_snapshot(cur, "overwrite", new_entries, branch))
+        base_paths = {e.path for e in self._current_entries(md, branch)}
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            # MERGE rewrote the whole table from the snapshot it read;
+            # committing over a concurrently-changed entry set would
+            # silently drop the concurrent writer's rows (or resurrect
+            # its deletes). Real Iceberg fails such commits with a
+            # validation exception — so do we.
+            cur_paths = {e.path for e in self._current_entries(cur, branch)}
+            if cur_paths != base_paths:
+                raise CommitConflict(
+                    f"merge on {self.identifier} conflicts with a concurrent "
+                    "write; re-run against fresh metadata"
+                )
+            return self._new_snapshot(cur, "overwrite", new_entries, branch)
+
+        self._commit(updater)
 
     def add_files(
         self,

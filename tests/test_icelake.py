@@ -605,6 +605,41 @@ class TestAdviceR2Fixes:
         assert state["deleted"] > 0
         assert t.to_df().count() == 50 - state["deleted"]
 
+    def test_merge_conflicts_with_concurrent_append(self, catalog, spark, events_df, monkeypatch):
+        """MERGE rewrites the whole table from its snapshot; committing
+        over a concurrent append would silently drop the appended rows
+        — must CommitConflict instead (Iceberg validation semantics)."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.mrace", events_df.schema)
+        base = events_df.limit(30)
+        t.append(base)
+        t2 = catalog.load_table("db.mrace")
+        extra = events_df.limit(40).subtract(base)
+        orig = lake._write_metadata_version
+        state = {"raced": False}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(lake, "_write_metadata_version", orig)
+                t2.append(extra)
+                monkeypatch.setattr(lake, "_write_metadata_version", racy)
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        src = events_df.limit(5)
+        with pytest.raises(lake.CommitConflict, match="concurrent"):
+            t.merge(src, on=["event_id"])
+        monkeypatch.undo()
+        # the concurrent append survived; merge never landed
+        assert t.to_df().count() == 40
+        # clean re-run on fresh metadata succeeds
+        t3 = catalog.load_table("db.mrace")
+        t3.merge(src, on=["event_id"])
+        assert t3.to_df().count() == 40
+
     def test_base_path_safe_with_equals_in_warehouse_dir(self, spark, tmp_path, events_df):
         """A warehouse path whose directory names contain '=' (legal on
         POSIX) must not confuse basePath anchoring — partition discovery
