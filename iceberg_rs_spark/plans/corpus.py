@@ -64,6 +64,8 @@ PRIORITY: list[str] = [
     "dedup_connected_components",   # new: iterative CC with recursive-CTE oracle
     "stream_ingest_icelake",        # new: streaming foreachBatch → table commits
     "pipeline_training_data",       # new: composed dedup→quality→lang pipeline
+    "table_mor_delete",             # new: v2 position-delete files (merge-on-read)
+    "table_merge_upsert_mor",       # new: v2 equality-delete upsert (CDC path)
 ]
 
 

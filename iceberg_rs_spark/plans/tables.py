@@ -422,3 +422,100 @@ def ingest_csv_json_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out.orderBy("fmt")
+
+
+@query(
+    "table_mor_delete",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey < 4000)
+    SELECT o_orderkey, o_orderstatus, price
+    FROM src
+    WHERE NOT coalesce(o_orderstatus = 'F' AND price > 100000, FALSE)
+    ORDER BY o_orderkey
+    """,
+    tags=("table", "delete", "merge-on-read"),
+)
+def table_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2 position-delete files; reference
+    snapshot.rs:28-29): the predicate's row POSITIONS are written to
+    delete files — no data file is rewritten — and the scan anti-joins
+    them out via the parquet `_metadata.row_index` column. The hash
+    check proves write-positions → manifest → scan-apply end to end;
+    the builder also asserts the data files really were left in place.
+    At 100 TB this is the delete path whose cost is proportional to the
+    deleted rows, not the files containing them."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_mor_"))
+    t = catalog.create_table("db.mor", src.schema)
+    t.append(src)
+    data_before = {
+        r.file_path for r in t.files().where("content = 'data'").collect()
+    }
+    t.delete("o_orderstatus = 'F' AND price > 100000", mode="merge-on-read")
+    files = t.files().collect()
+    assert {r.file_path for r in files if r.content == "data"} == data_before
+    assert any(r.content == "position-deletes" for r in files)
+    return t.scan().orderBy("o_orderkey")
+
+
+@query(
+    "table_merge_upsert_mor",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey < 3000),
+    batch AS (
+        SELECT o_orderkey, o_orderstatus, price * 2 AS price
+        FROM src WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS o_orderkey, o_orderstatus, price
+        FROM src WHERE o_orderkey < 50)
+    SELECT o_orderkey, o_orderstatus, price FROM batch
+    UNION ALL
+    SELECT s.o_orderkey, s.o_orderstatus, s.price FROM src s
+    WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    ORDER BY o_orderkey
+    """,
+    tags=("table", "merge", "merge-on-read"),
+)
+def table_merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE/upsert via Iceberg-v2 equality-delete files
+    (reference snapshot.rs:28-29 + schema.rs:197 identifier_field_ids):
+    one commit adds the batch as data files plus an equality-delete of
+    the batch's keys; scans anti-join on key equality AND row-sequence
+    < delete-sequence, so every pre-existing version of an upserted key
+    dies while the batch's own rows survive. The hash check proves the
+    whole write→sequence→scan pipeline; the builder also asserts no
+    original data file was rewritten. At 100 TB this is the CDC path:
+    write cost scales with the batch, not the table."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    ups = src.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "price", F.col("price") * 2
+    )
+    ins = src.where(F.col("o_orderkey") < 50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000
+    )
+    batch = ups.unionByName(ins)
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_upsert_"))
+    t = catalog.create_table("db.upsert_mor", src.schema)
+    t.append(src)
+    data_before = {
+        r.file_path for r in t.files().where("content = 'data'").collect()
+    }
+    t.merge(batch, on=["o_orderkey"], mode="merge-on-read")
+    files = t.files().collect()
+    assert data_before <= {r.file_path for r in files if r.content == "data"}
+    assert any(r.content == "equality-deletes" for r in files)
+    return t.scan().orderBy("o_orderkey")

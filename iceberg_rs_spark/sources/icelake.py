@@ -48,6 +48,7 @@ venues is asserted in tests.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import re
@@ -102,6 +103,20 @@ class DataFileEntry:
     spec_id: int
     partition: dict  # {partition field name: value}
     stats: dict  # {column: {"min": v, "max": v, "nulls": n}} (JSON-safe)
+    #: "data" | "position-deletes" | "equality-deletes" — Iceberg-v2
+    #: file content kinds (the reference's delete Operation doc:
+    #: "delete files were added to delete rows", snapshot.rs:28-29)
+    content: str = "data"
+    #: data sequence number: stamped once at the commit that first adds
+    #: the entry (``_new_snapshot``); equality deletes apply only to
+    #: entries with a STRICTLY smaller sequence, which is what lets an
+    #: upsert commit its new rows and the delete of their old versions
+    #: in one snapshot without the delete eating the new rows.
+    sequence_number: int | None = None
+    #: field ids of the key columns an equality-delete file matches on
+    #: (empty for data / position-delete files). Field ids — not names —
+    #: so key-column renames can never detach a delete file.
+    equality_ids: tuple = ()
 
     def to_json(self) -> dict:
         return {
@@ -112,6 +127,9 @@ class DataFileEntry:
             "spec-id": self.spec_id,
             "partition": self.partition,
             "stats": self.stats,
+            "content": self.content,
+            "sequence-number": self.sequence_number,
+            "equality-ids": list(self.equality_ids),
         }
 
     @staticmethod
@@ -124,7 +142,27 @@ class DataFileEntry:
             spec_id=int(obj["spec-id"]),
             partition=obj.get("partition", {}),
             stats=obj.get("stats", {}),
+            content=obj.get("content", "data"),
+            sequence_number=obj.get("sequence-number", 0),
+            equality_ids=tuple(obj.get("equality-ids", ())),
         )
+
+
+#: internal row-position / sequence column names for the merge-on-read
+#: delete read path
+_POS_FP = "__icelake_file_path"
+_POS_IDX = "__icelake_pos"
+_SEQ = "__icelake_seq"
+_DEL_SEQ = "__icelake_del_seq"
+
+
+def _data_entries(entries: "list[DataFileEntry]") -> "list[DataFileEntry]":
+    return [e for e in entries if e.content == "data"]
+
+
+def _delete_file_entries(entries: "list[DataFileEntry]") -> "list[DataFileEntry]":
+    """All delete-file entries (position AND equality kinds)."""
+    return [e for e in entries if e.content != "data"]
 
 
 class CommitConflict(Exception):
@@ -543,6 +581,19 @@ class Table:
             parent = md.refs[branch].snapshot_id
         elif branch == MAIN_BRANCH:
             parent = md.current_snapshot_id
+        # Data sequence number: stamped once, at the commit that first
+        # adds an entry; entries carried forward from earlier snapshots
+        # keep theirs. Equality deletes apply only to strictly-smaller
+        # sequences, so ordering across commits is what makes the v2
+        # upsert (new rows + delete of their old versions in ONE
+        # snapshot) self-consistent.
+        seq = md.last_sequence_number + 1
+        entries = [
+            dataclasses.replace(e, sequence_number=seq)
+            if e.sequence_number is None
+            else e
+            for e in entries
+        ]
         manifest = self._write_manifest(
             snap_id,
             entries,
@@ -638,22 +689,46 @@ class Table:
 
         self._commit(updater)
 
-    def delete(self, where: str, branch: str = MAIN_BRANCH) -> int:
-        """``delete``: rows logically deleted (snapshot.rs:30) —
-        copy-on-write: only files that *may* contain matching rows
-        (by partition + stats pruning) are rewritten."""
+    def delete(
+        self, where: str, branch: str = MAIN_BRANCH, mode: str = "copy-on-write"
+    ) -> int:
+        """``delete``: rows logically deleted (snapshot.rs:28-30).
+
+        ``mode="copy-on-write"`` (default): files that *may* contain
+        matching rows (by partition + stats pruning) are rewritten
+        without them — reads stay pure scans.
+
+        ``mode="merge-on-read"``: no data file is touched; matching row
+        POSITIONS are written to position-delete files ("delete files
+        were added to delete rows", reference snapshot.rs:28-29) and
+        every scan anti-joins them out. At 100 TB this is the
+        production delete path — the write cost is proportional to the
+        deleted rows, not to the files that contain them; compact()
+        later materializes the deletes and drops the delete files.
+        """
+        if mode == "merge-on-read":
+            return self._delete_merge_on_read(where, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown delete mode: {mode}")
         md = self.metadata
-        entries = self._current_entries(md, branch)
-        candidates, _ = _split_by_predicate(entries, where, md, self)
+        all_entries = self._current_entries(md, branch)
+        base_dels = _delete_file_entries(all_entries)
+        base_del_paths = {e.path for e in base_dels}
+        candidates, _ = _split_by_predicate(_data_entries(all_entries), where, md, self)
         candidate_paths = {e.path for e in candidates}
         deleted = 0
         rewritten: list[DataFileEntry] = []
         if candidates:
-            df = self._read_entries(md, candidates)
+            # Apply existing position deletes BEFORE the rewrite: raw
+            # file contents include rows already merge-on-read-deleted,
+            # and rewriting those would resurrect them.
+            df = self._read_entries_as(
+                md, candidates, md.current_schema(), delete_entries=base_dels
+            )
+            before = df.count()
             # SQL DELETE keeps rows where the predicate is NOT TRUE —
             # i.e. false *or NULL*. `NOT (where)` would drop NULL rows.
             remaining = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
-            before = sum(e.record_count for e in candidates)
             rewritten = self._write_data_files(remaining, md)
             after = sum(e.record_count for e in rewritten)
             deleted = before - after
@@ -678,6 +753,15 @@ class Table:
                     f"rewrite of {len(vanished)} input file(s); re-run against "
                     "fresh metadata"
                 )
+            # A concurrent merge-on-read delete added delete files this
+            # rewrite did not apply — committing would resurrect those
+            # rows inside the rewritten candidates.
+            cur_del_paths = {e.path for e in _delete_file_entries(cur_entries)}
+            if cur_del_paths != base_del_paths:
+                raise CommitConflict(
+                    f"delete on {self.identifier} conflicts with a concurrent "
+                    "merge-on-read delete; re-run against fresh metadata"
+                )
             untouched = [e for e in cur_entries if e.path not in candidate_paths]
             return self._new_snapshot(
                 cur, "delete", untouched + rewritten, branch,
@@ -687,11 +771,109 @@ class Table:
         self._commit(updater)
         return deleted
 
-    def merge(self, source: DataFrame, on: list[str], branch: str = MAIN_BRANCH) -> None:
+    def _delete_merge_on_read(self, where: str, branch: str = MAIN_BRANCH) -> int:
+        """Write position-delete files for rows matching ``where``."""
+        md = self.metadata
+        all_entries = self._current_entries(md, branch)
+        base_dels = _delete_file_entries(all_entries)
+        candidates, _ = _split_by_predicate(_data_entries(all_entries), where, md, self)
+        if not candidates:
+            return 0
+        candidate_paths = {e.path for e in candidates}
+        # Positions of LIVE matching rows only (existing deletes
+        # applied), so delete files never hold duplicate positions and
+        # `deleted-records` counts stay exact.
+        pos = self._read_entries_as(
+            md,
+            candidates,
+            md.current_schema(),
+            delete_entries=base_dels,
+            with_pos=True,
+        )
+        matches = pos.where(F.coalesce(F.expr(where), F.lit(False))).select(
+            F.col(_POS_FP).alias("file_path"), F.col(_POS_IDX).alias("pos")
+        )
+        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
+        matches.write.parquet(delete_dir)
+        new_dels: list[DataFileEntry] = []
+        for root, _dirs, files in os.walk(delete_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, name)
+                pf = pq.ParquetFile(path)
+                if pf.metadata.num_rows == 0:
+                    continue
+                new_dels.append(
+                    DataFileEntry(
+                        path=path,
+                        record_count=pf.metadata.num_rows,
+                        file_size_bytes=os.path.getsize(path),
+                        schema_id=md.current_schema_id,
+                        spec_id=md.default_spec_id,
+                        partition={},
+                        stats={},
+                        content="position-deletes",
+                    )
+                )
+        deleted = sum(e.record_count for e in new_dels)
+        if deleted == 0:
+            return 0
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            cur_entries = self._current_entries(cur, branch)
+            cur_paths = {e.path for e in cur_entries}
+            # Positions are bound to specific file paths: if a
+            # concurrent rewrite replaced a target file, these
+            # positions no longer apply to anything — conflict.
+            # Concurrent merge-on-read deletes COMMUTE (independent
+            # delete files union at read time), so they pass.
+            vanished = candidate_paths - cur_paths
+            if vanished:
+                raise CommitConflict(
+                    f"merge-on-read delete on {self.identifier} conflicts with "
+                    f"a concurrent rewrite of {len(vanished)} target file(s); "
+                    "re-run against fresh metadata"
+                )
+            return self._new_snapshot(
+                cur, "delete", cur_entries + new_dels, branch,
+                {"deleted-records": str(deleted),
+                 "added-delete-files": str(len(new_dels))},
+            )
+
+        self._commit(updater)
+        return deleted
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        branch: str = MAIN_BRANCH,
+        mode: str = "copy-on-write",
+    ) -> None:
         """MERGE INTO (upsert) keyed on ``on`` — the capability mandated
         by identifier_field_ids (reference schema.rs:197). Matched rows
         take the source's values; unmatched source rows insert.
-        Copy-on-write: full-outer join then overwrite snapshot."""
+
+        ``mode="copy-on-write"`` (default): full-outer join then
+        overwrite snapshot — reads stay pure scans, but the write cost
+        is the whole table.
+
+        ``mode="merge-on-read"``: the v2 CDC/streaming-upsert path
+        ("delete files were added to delete rows", reference
+        snapshot.rs:28-29). ONE commit adds (a) the source rows as new
+        data files and (b) an equality-delete file holding the source
+        key tuples, keyed by field id. The delete applies only to rows
+        with a strictly smaller sequence number, so it kills every
+        older version of each key while the commit's own rows survive.
+        Write cost is proportional to the BATCH, not the table — at
+        100 TB this is the only sane upsert cadence; compact() later
+        folds the deletes away.
+        """
+        if mode == "merge-on-read":
+            return self._merge_merge_on_read(source, on, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown merge mode: {mode}")
         md = self.metadata
         target = self.scan(branch=branch)
         src = self._align(source, md.current_schema())
@@ -724,6 +906,67 @@ class Table:
                     "write; re-run against fresh metadata"
                 )
             return self._new_snapshot(cur, "overwrite", new_entries, branch)
+
+        self._commit(updater)
+
+    def _merge_merge_on_read(
+        self, source: DataFrame, on: list[str], branch: str = MAIN_BRANCH
+    ) -> None:
+        """Upsert via equality-delete files (Iceberg v2 row-level ops)."""
+        md = self.metadata
+        schema = md.current_schema()
+        fids = []
+        for k in on:
+            f = schema.field_by_name(k)
+            if f is None:
+                raise ValueError(f"merge key {k!r} not in current schema")
+            fids.append(f.id)
+        src = self._align(source, schema)
+        new_data = self._write_data_files(src, md)
+        # Key tuples, columns named k<field_id>: a later rename of the
+        # key column can never detach the delete file from its field.
+        keys = src.select(
+            *[F.col(k).alias(f"k{fid}") for k, fid in zip(on, fids)]
+        ).dropDuplicates()
+        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
+        keys.coalesce(1).write.parquet(delete_dir)
+        eq_entries: list[DataFileEntry] = []
+        for root, _dirs, files in os.walk(delete_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, name)
+                pf = pq.ParquetFile(path)
+                if pf.metadata.num_rows == 0:
+                    continue
+                eq_entries.append(
+                    DataFileEntry(
+                        path=path,
+                        record_count=pf.metadata.num_rows,
+                        file_size_bytes=os.path.getsize(path),
+                        schema_id=md.current_schema_id,
+                        spec_id=md.default_spec_id,
+                        partition={},
+                        stats={},
+                        content="equality-deletes",
+                        equality_ids=tuple(fids),
+                    )
+                )
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            # Equality deletes COMMUTE with concurrent appends, other
+            # merge-on-read upserts, and copy-on-write rewrites: the
+            # sequence number is (re)assigned at commit time, so this
+            # delete applies to every entry committed before it —
+            # including files a concurrent compact/delete rewrote —
+            # and never to its own batch. No path-based conflict
+            # exists; just stack on whatever is current.
+            cur_entries = self._current_entries(cur, branch)
+            return self._new_snapshot(
+                cur, "overwrite", cur_entries + new_data + eq_entries, branch,
+                {"added-delete-files": str(len(eq_entries)),
+                 "equality-field-ids": json.dumps(fids)},
+            )
 
         self._commit(updater)
 
@@ -836,18 +1079,38 @@ class Table:
 
     def compact(self, target_file_size_bytes: int = 128 * 1024 * 1024, branch: str = MAIN_BRANCH) -> None:
         """``replace``: files rewritten, data unchanged (snapshot.rs:25;
-        CALL system.rewrite_data_files equivalent)."""
+        CALL system.rewrite_data_files equivalent). Position deletes
+        are MATERIALIZED: the rewrite applies them and the delete files
+        are dropped from the new snapshot — compaction is what turns
+        the cheap merge-on-read delete back into pure-scan reads."""
         md = self.metadata
-        entries = self._current_entries(md, branch)
+        all_entries = self._current_entries(md, branch)
+        entries = _data_entries(all_entries)
+        dels = _delete_file_entries(all_entries)
         total = sum(e.file_size_bytes for e in entries)
         n = max(1, round(total / target_file_size_bytes))
-        df = self._read_entries(md, entries).coalesce(n)
+        df = self._read_entries_as(
+            md, entries, md.current_schema(), delete_entries=dels
+        ).coalesce(n)
+        has_eq = any(e.content == "equality-deletes" for e in dels)
+        if has_eq:
+            # An equality-delete row may match 0..N data rows, so the
+            # manifest arithmetic below is unknowable — count the live
+            # rows for real (one extra scan; compaction is already a
+            # full-rewrite job, so this is noise at any scale).
+            before = df.count()
         new_entries = self._write_data_files(df, md)
-        before = sum(e.record_count for e in entries)
+        if not has_eq:
+            # Live rows = raw data rows minus applied delete positions
+            # (positions are exact: the MOR writer never double-marks).
+            before = sum(e.record_count for e in entries) - sum(
+                e.record_count for e in dels
+            )
         after = sum(e.record_count for e in new_entries)
         if before != after:
             raise RuntimeError(f"compaction changed record count: {before} -> {after}")
         input_paths = {e.path for e in entries}
+        base_del_paths = {e.path for e in dels}
 
         def updater(cur: TableMetadata) -> TableMetadata:
             # Recompute from `cur` on every (re)try so a concurrent
@@ -865,10 +1128,26 @@ class Table:
                     f"rewrite of {len(vanished)} input file(s); re-run against "
                     "fresh metadata"
                 )
-            kept = [e for e in cur_entries if e.path not in input_paths]
+            # A concurrent merge-on-read delete added positions this
+            # rewrite did not apply; dropping its delete file would
+            # undo the delete.
+            cur_del_paths = {
+                e.path for e in _delete_file_entries(cur_entries)
+            }
+            if cur_del_paths - base_del_paths:
+                raise CommitConflict(
+                    f"compact on {self.identifier} conflicts with a concurrent "
+                    "merge-on-read delete; re-run against fresh metadata"
+                )
+            kept = [
+                e
+                for e in cur_entries
+                if e.path not in input_paths and e.path not in base_del_paths
+            ]
             return self._new_snapshot(
                 cur, "replace", kept + new_entries, branch,
-                {"rewritten-data-files": str(len(entries))},
+                {"rewritten-data-files": str(len(entries)),
+                 "materialized-delete-files": str(len(dels))},
             )
 
         self._commit(updater)
@@ -911,20 +1190,26 @@ class Table:
                 if time_travel and snap.schema_id is not None
                 else md.current_schema()
             )
+            all_entries = self._read_manifest(snap)
+            # Position-delete entries are never predicate-pruned (they
+            # carry no data stats); they apply to whatever data files
+            # survive pruning.
+            dels = _delete_file_entries(all_entries)
             entries = None
             if where:
                 parts = self._manifest_parts(snap)
                 if parts and len(parts) > 1:
                     # sharded manifest: prune on executors, ship only
                     # survivors to the driver (the metadata-scale path)
-                    entries = _distributed_prune(self.spark, parts, where, md)
+                    pruned = _distributed_prune(self.spark, parts, where, md)
+                    entries = _data_entries(pruned) if pruned is not None else None
                 if entries is None:
                     entries, _ = _split_by_predicate(
-                        self._read_manifest(snap), where, md, self, keep_unmatched=False
+                        _data_entries(all_entries), where, md, self, keep_unmatched=False
                     )
             else:
-                entries = self._read_manifest(snap)
-            df = self._read_entries_as(md, entries, read_schema)
+                entries = _data_entries(all_entries)
+            df = self._read_entries_as(md, entries, read_schema, delete_entries=dels)
         if where:
             df = df.filter(where)
         if columns:
@@ -932,7 +1217,12 @@ class Table:
         return df
 
     def _read_entries_as(
-        self, md: TableMetadata, entries: list[DataFileEntry], target: IceSchema
+        self,
+        md: TableMetadata,
+        entries: list[DataFileEntry],
+        target: IceSchema,
+        delete_entries: list[DataFileEntry] | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read manifest entries projected to ``target``.
 
@@ -944,36 +1234,140 @@ class Table:
         cast to its schema-declared type. One read group per (schema,
         commit) — not per partition — keeps the plan size independent
         of partition count.
+
+        ``delete_entries`` are applied merge-on-read — the v2 read
+        path that avoids rewriting 100 TB to delete a slice:
+
+        * position deletes (content="position-deletes"): every row
+          carries its ``_metadata.file_path``/``row_index`` and
+          deleted positions are removed with one anti-join.
+        * equality deletes (content="equality-deletes"): key tuples
+          (columns ``k<field_id>`` — field ids, not names, so renames
+          never detach them) anti-join on null-safe key equality AND
+          ``row sequence < delete sequence``, so an upsert's own new
+          rows (same sequence as its delete file) survive while every
+          older version of the key dies. AQE broadcasts the delete
+          side when small — the common case for CDC batches.
+
+        ``with_pos`` keeps the position columns (_POS_FP/_POS_IDX) in
+        the output, which is how the delete WRITER computes positions.
         """
+        pos_dels = [e for e in (delete_entries or []) if e.content == "position-deletes"]
+        eq_dels = [e for e in (delete_entries or []) if e.content == "equality-deletes"]
+        need_pos = with_pos or bool(pos_dels)
+        # Row sequence numbers ride along as a per-read-group LITERAL
+        # (a commit is one sequence, so this doesn't fragment groups) —
+        # no join against manifest paths, no file-URI normalization.
+        need_seq = bool(eq_dels)
+        pos_cols = [_POS_FP, _POS_IDX] if need_pos else []
         if not entries:
-            return self.spark.createDataFrame([], target.to_spark())
-        groups: dict[tuple[int, str], list[str]] = {}
+            df = self.spark.createDataFrame([], target.to_spark())
+            for c in pos_cols:
+                df = df.withColumn(
+                    c, F.lit(None).cast("string" if c == _POS_FP else "long")
+                )
+            if need_seq:
+                df = df.withColumn(_SEQ, F.lit(None).cast("long"))
+            return df
+        groups: dict[tuple[int, str, int], list[str]] = {}
         for e in entries:
             groups.setdefault(
-                (e.schema_id, _base_path(e.path, self.location)), []
+                (
+                    e.schema_id,
+                    _base_path(e.path, self.location),
+                    int(e.sequence_number or 0),
+                ),
+                [],
             ).append(e.path)
         parts = []
-        for (sid, base), paths in sorted(groups.items()):
+        for (sid, base, seq), paths in sorted(groups.items()):
             if sid == RAW_SCHEMA_ID:
-                parts.append(self._read_raw_via_name_mapping(md, paths, target))
-                continue
-            file_schema = md.schema_by_id(sid)
-            df = (
-                self.spark.read.option("basePath", base)
-                .schema(file_schema.to_spark())
-                .parquet(*paths)
-                .select(*[f.name for f in file_schema.fields])
-            )
-            if sid != target.schema_id:
-                df = _project_by_field_id(df, file_schema, target)
+                df = self._read_raw_via_name_mapping(md, paths, target, pos_cols)
+            else:
+                file_schema = md.schema_by_id(sid)
+                df = (
+                    self.spark.read.option("basePath", base)
+                    .schema(file_schema.to_spark())
+                    .parquet(*paths)
+                )
+                if need_pos:
+                    df = df.withColumn(
+                        _POS_FP, F.col("_metadata.file_path")
+                    ).withColumn(_POS_IDX, F.col("_metadata.row_index"))
+                df = df.select(*[f.name for f in file_schema.fields], *pos_cols)
+                if sid != target.schema_id:
+                    df = _project_by_field_id(df, file_schema, target, extra=pos_cols)
+            if need_seq:
+                df = df.withColumn(_SEQ, F.lit(seq))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if pos_dels:
+            dels = (
+                self.spark.read.parquet(*[e.path for e in pos_dels])
+                .select(
+                    F.col("file_path").alias(_POS_FP), F.col("pos").alias(_POS_IDX)
+                )
+            )
+            out = out.join(dels, [_POS_FP, _POS_IDX], "left_anti")
+        if eq_dels:
+            out = self._apply_equality_deletes(out, eq_dels, target)
+        if not with_pos and need_pos:
+            out = out.drop(*pos_cols)
         return out
 
+    def _apply_equality_deletes(
+        self,
+        out: DataFrame,
+        eq_dels: list[DataFileEntry],
+        target: IceSchema,
+    ) -> DataFrame:
+        """Anti-join equality-delete key tuples against the scan.
+
+        A delete row kills a data row when every key column matches
+        null-safely AND the data row's sequence number (the _SEQ
+        read-group literal) is strictly smaller than the delete
+        file's — Iceberg v2's ordering rule (an upsert commits its new
+        rows and their delete in one snapshot; same sequence → the new
+        rows survive).
+        """
+        by_ids: dict[tuple, list[DataFileEntry]] = {}
+        for e in eq_dels:
+            by_ids.setdefault(tuple(e.equality_ids), []).append(e)
+        name_by_fid = {f.id: f.name for f in target.fields}
+        for fids, ents in sorted(by_ids.items()):
+            missing = [fid for fid in fids if fid not in name_by_fid]
+            if missing:
+                raise ValueError(
+                    f"equality-delete key field id(s) {missing} not in the "
+                    "read schema; identifier columns cannot be dropped while "
+                    "equality deletes reference them"
+                )
+            parts = []
+            for e in ents:
+                parts.append(
+                    self.spark.read.parquet(e.path).withColumn(
+                        _DEL_SEQ, F.lit(int(e.sequence_number or 0))
+                    )
+                )
+            dels = parts[0]
+            for p in parts[1:]:
+                dels = dels.unionByName(p)
+            # DataFrame-qualified references: a data column literally
+            # named "k<fid>" must not capture the delete side's key.
+            cond = out[_SEQ] < dels[_DEL_SEQ]
+            for fid in fids:
+                cond = cond & out[name_by_fid[fid]].eqNullSafe(dels[f"k{fid}"])
+            out = out.join(dels, cond, "left_anti")
+        return out.drop(_SEQ)
+
     def _read_raw_via_name_mapping(
-        self, md: TableMetadata, paths: list[str], target: IceSchema
+        self,
+        md: TableMetadata,
+        paths: list[str],
+        target: IceSchema,
+        pos_cols: list[str] | tuple[str, ...] = (),
     ) -> DataFrame:
         """Read add_files-registered (field-id-less) parquet through the
         name mapping: file column name → field id → target field."""
@@ -984,6 +1378,10 @@ class Table:
                 "schema.name-mapping.default property"
             )
         raw = self.spark.read.parquet(*paths)
+        if pos_cols:
+            raw = raw.withColumn(_POS_FP, F.col("_metadata.file_path")).withColumn(
+                _POS_IDX, F.col("_metadata.row_index")
+            )
         file_cols = set(raw.columns)
         by_field_id = {m.field_id: m for m in mapping}
         cols = []
@@ -995,7 +1393,7 @@ class Table:
                 cols.append(F.lit(None).cast(spark_t).alias(f.name))
             else:
                 cols.append(F.col(src).cast(spark_t).alias(f.name))
-        return raw.select(*cols)
+        return raw.select(*cols, *pos_cols)
 
     def _resolve_snapshot(
         self,
@@ -1408,23 +1806,29 @@ class Table:
         rows = [
             (
                 e.path,
+                e.content,
                 e.record_count,
                 e.file_size_bytes,
                 e.schema_id,
                 e.spec_id,
+                int(e.sequence_number or 0),
+                list(e.equality_ids),
                 {k: str(v) for k, v in e.partition.items()},
             )
             for e in self._current_entries(md)
         ]
         return self.spark.createDataFrame(
             rows,
-            "file_path string, record_count long, file_size_in_bytes long, "
-            "schema_id int, spec_id int, partition map<string,string>",
+            "file_path string, content string, record_count long, "
+            "file_size_in_bytes long, schema_id int, spec_id int, "
+            "sequence_number long, equality_ids array<int>, "
+            "partition map<string,string>",
         )
 
     def partitions(self) -> DataFrame:
         return (
             self.files()
+            .where("content = 'data'")
             .groupBy("partition")
             .agg(
                 F.count("*").alias("file_count"),
@@ -1478,10 +1882,16 @@ def _spark_type_of(f: IceField):
     return ice_to_spark(f.type)
 
 
-def _project_by_field_id(df: DataFrame, file_schema: IceSchema, target: IceSchema) -> DataFrame:
+def _project_by_field_id(
+    df: DataFrame,
+    file_schema: IceSchema,
+    target: IceSchema,
+    extra: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
     """Select/cast each target field from the file's column with the
     same field id; fields the file predates become NULL. This is what
-    makes rename/drop/add safe across file generations."""
+    makes rename/drop/add safe across file generations. ``extra``
+    columns (e.g. row-position metadata) pass through unchanged."""
     by_id = {f.id: f for f in file_schema.fields}
     cols = []
     for f in target.fields:
@@ -1491,7 +1901,7 @@ def _project_by_field_id(df: DataFrame, file_schema: IceSchema, target: IceSchem
             cols.append(F.col(old.name).cast(spark_t).alias(f.name))
         else:
             cols.append(F.lit(None).cast(spark_t).alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *extra)
 
 
 # ---------------------------------------------------------------------------

@@ -696,3 +696,296 @@ class TestAdviceR2Fixes:
         # duplicate registration rejected
         with pytest.raises(ValueError, match="already registered"):
             t.add_files(raw_dir)
+
+
+class TestMergeOnReadDeletes:
+    """Position-delete files (Iceberg v2 merge-on-read; reference
+    snapshot.rs:28-29 'delete files were added to delete rows')."""
+
+    def test_mor_matches_cow_and_leaves_data_files_untouched(self, catalog, events_df):
+        base = events_df.limit(200)
+        cow = catalog.create_table("db.cowdel", base.schema)
+        cow.append(base)
+        mor = catalog.create_table("db.mordel", base.schema)
+        mor.append(base)
+        pred = "event_type = 'click'"
+        n_cow = cow.delete(pred)
+        data_paths_before = {
+            r.file_path for r in mor.files().where("content = 'data'").collect()
+        }
+        n_mor = mor.delete(pred, mode="merge-on-read")
+        assert n_mor == n_cow > 0
+        # same surviving rows
+        assert mor.to_df().subtract(cow.to_df()).count() == 0
+        assert cow.to_df().subtract(mor.to_df()).count() == 0
+        # data files untouched; delete files added
+        files = mor.files().collect()
+        assert {
+            r.file_path for r in files if r.content == "data"
+        } == data_paths_before
+        dels = [r for r in files if r.content == "position-deletes"]
+        assert dels and sum(r.record_count for r in dels) == n_mor
+        assert mor.metadata.snapshots[-1].operation == "delete"
+
+    def test_mor_time_travel_and_second_delete_exact_counts(self, catalog, events_df):
+        base = events_df.limit(100)
+        t = catalog.create_table("db.mor2", base.schema)
+        t.append(base)
+        pre = t.metadata.current_snapshot_id
+        n1 = t.delete("value > 0.5", mode="merge-on-read")
+        # overlapping predicate: already-deleted rows must not recount
+        n2 = t.delete("value > 0.2", mode="merge-on-read")
+        total = t.to_df().count()
+        assert total == 100 - n1 - n2
+        exp = base.where("NOT coalesce(value > 0.2, false)").count()
+        assert total == exp
+        # time travel: pre-delete snapshot still sees every row
+        assert t.scan(snapshot_id=pre).count() == 100
+
+    def test_cow_delete_after_mor_does_not_resurrect(self, catalog, events_df):
+        base = events_df.limit(100)
+        t = catalog.create_table("db.morcow", base.schema)
+        t.append(base)
+        n1 = t.delete("event_type = 'click'", mode="merge-on-read")
+        n2 = t.delete("value > 0.5")  # copy-on-write rewrite
+        assert t.to_df().count() == 100 - n1 - n2
+        got = t.to_df()
+        assert got.where("event_type = 'click'").count() == 0
+        assert got.where("value > 0.5").count() == 0
+
+    def test_compact_materializes_deletes(self, catalog, events_df):
+        base = events_df.limit(100)
+        t = catalog.create_table("db.morcomp", base.schema)
+        t.append(base)
+        n = t.delete("event_type = 'view'", mode="merge-on-read")
+        assert n > 0
+        before = t.to_df().collect()
+        t.compact(target_file_size_bytes=1)
+        assert t.files().where("content = 'position-deletes'").count() == 0
+        after = t.to_df()
+        assert after.count() == len(before) == 100 - n
+        assert after.subtract(t.spark.createDataFrame(before, after.schema)).count() == 0
+        assert t.metadata.snapshots[-1].operation == "replace"
+
+    def test_mor_on_partitioned_table_with_pruning(self, catalog, events_df):
+        t = catalog.create_table(
+            "db.morpart", events_df.schema, partition_by=[("event_type", "identity")]
+        )
+        t.append(events_df.limit(200))
+        n = t.delete("event_type = 'click' AND value > 0.3", mode="merge-on-read")
+        got = t.scan(where="event_type = 'click'")
+        assert got.where("value > 0.3").count() == 0
+        exp = (
+            events_df.limit(200)
+            .where("event_type = 'click' AND NOT coalesce(value > 0.3, false)")
+            .count()
+        )
+        assert got.count() == exp and n > 0
+
+    def test_mor_conflicts_with_concurrent_compact(self, catalog, events_df, monkeypatch):
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.morrace", events_df.schema)
+        t.append(events_df.limit(50))
+        t2 = catalog.load_table("db.morrace")
+        orig = lake._write_metadata_version
+        state = {"raced": False}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(lake, "_write_metadata_version", orig)
+                t2.compact(target_file_size_bytes=1)  # rewrites target paths
+                monkeypatch.setattr(lake, "_write_metadata_version", racy)
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        with pytest.raises(lake.CommitConflict, match="concurrent"):
+            t.delete("event_type = 'click'", mode="merge-on-read")
+        monkeypatch.undo()
+        assert t.to_df().count() == 50
+
+    def test_compact_conflicts_with_concurrent_mor_delete(self, catalog, events_df, monkeypatch):
+        import iceberg_rs_spark.sources.icelake as lake
+
+        t = catalog.create_table("db.comprace", events_df.schema)
+        t.append(events_df.limit(50))
+        t2 = catalog.load_table("db.comprace")
+        orig = lake._write_metadata_version
+        state = {"raced": False, "n": 0}
+
+        def racy(location, version, md):
+            if not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(lake, "_write_metadata_version", orig)
+                state["n"] = t2.delete("event_type = 'click'", mode="merge-on-read")
+                monkeypatch.setattr(lake, "_write_metadata_version", racy)
+                raise FileExistsError(version)
+            return orig(location, version, md)
+
+        monkeypatch.setattr(lake, "_write_metadata_version", racy)
+        with pytest.raises(lake.CommitConflict, match="merge-on-read"):
+            t.compact(target_file_size_bytes=1)
+        monkeypatch.undo()
+        assert state["n"] > 0
+        assert t.to_df().count() == 50 - state["n"]
+
+    def test_mor_after_schema_evolution(self, catalog, spark, events_df):
+        base = events_df.select("event_id", "event_type", "value").limit(50)
+        t = catalog.create_table("db.morevo", base.schema)
+        t.append(base)
+        t.rename_column("value", "amount")
+        n = t.delete("amount > 0.5", mode="merge-on-read")
+        out = t.to_df()
+        assert out.where("amount > 0.5").count() == 0
+        assert out.count() == 50 - n and n > 0
+
+
+class TestEqualityDeleteUpserts:
+    """Equality-delete files (Iceberg v2 merge-on-read upsert; the
+    reference's identifier_field_ids, schema.rs:197, is what mandates
+    key-addressed row replacement). One commit = new data files + an
+    equality-delete file of key tuples; the delete applies only to
+    strictly-older sequence numbers."""
+
+    @staticmethod
+    def _upsert_src(spark, base, ids, bump):
+        return (
+            base.where(F.col("event_id").isin(ids))
+            .withColumn("value", F.col("value") + F.lit(bump))
+        )
+
+    def test_mor_merge_matches_cow_merge(self, catalog, spark, events_df):
+        base = events_df.limit(120).cache()
+        ids = [r.event_id for r in base.limit(10).collect()]
+        src = self._upsert_src(spark, base, ids, 100.0)
+        # add 3 brand-new keys (insert arm)
+        newbies = base.limit(3).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        src = src.unionByName(newbies)
+        cow = catalog.create_table("db.eqcow", base.schema)
+        cow.append(base)
+        cow.merge(src, on=["event_id"])
+        mor = catalog.create_table("db.eqmor", base.schema)
+        mor.append(base)
+        data_before = {
+            r.file_path for r in mor.files().where("content = 'data'").collect()
+        }
+        mor.merge(src, on=["event_id"], mode="merge-on-read")
+        # same rows either way
+        assert mor.to_df().subtract(cow.to_df()).count() == 0
+        assert cow.to_df().subtract(mor.to_df()).count() == 0
+        files = mor.files().collect()
+        # original data files untouched; new data + equality-delete added
+        assert data_before <= {r.file_path for r in files if r.content == "data"}
+        assert any(r.content == "equality-deletes" for r in files)
+        assert mor.metadata.snapshots[-1].operation == "overwrite"
+
+    def test_own_batch_survives_and_old_versions_die(self, catalog, spark, events_df):
+        base = events_df.limit(50)
+        t = catalog.create_table("db.eqseq", base.schema)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(5).collect()]
+        t.merge(self._upsert_src(spark, base, ids, 1000.0), on=["event_id"],
+                mode="merge-on-read")
+        got = t.to_df()
+        # exactly one row per key, and it is the NEW version
+        assert got.count() == 50
+        upd = got.where(F.col("event_id").isin(ids))
+        assert upd.count() == len(ids)
+        assert upd.where("value < 999").count() == 0
+
+    def test_append_after_merge_not_eaten(self, catalog, spark, events_df):
+        base = events_df.limit(40)
+        t = catalog.create_table("db.eqapp", base.schema)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(4).collect()]
+        t.merge(self._upsert_src(spark, base, ids, 7.0), on=["event_id"],
+                mode="merge-on-read")
+        # re-append the SAME keys after the merge: higher sequence, so
+        # the older equality delete must not touch them
+        late = base.where(F.col("event_id").isin(ids))
+        t.append(late)
+        got = t.to_df().where(F.col("event_id").isin(ids))
+        assert got.count() == 2 * len(ids)
+
+    def test_second_merge_kills_first_batch(self, catalog, spark, events_df):
+        base = events_df.limit(30)
+        t = catalog.create_table("db.eqtwice", base.schema)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(3).collect()]
+        t.merge(self._upsert_src(spark, base, ids, 10.0), on=["event_id"],
+                mode="merge-on-read")
+        t.merge(self._upsert_src(spark, base, ids, 20.0), on=["event_id"],
+                mode="merge-on-read")
+        upd = t.to_df().where(F.col("event_id").isin(ids)).collect()
+        assert len(upd) == len(ids)
+        base_vals = {r.event_id: r.value for r in base.collect()}
+        for r in upd:
+            assert abs(r.value - (base_vals[r.event_id] + 20.0)) < 1e-9
+
+    def test_rename_key_column_keeps_deletes_attached(self, catalog, spark, events_df):
+        base = events_df.limit(30)
+        t = catalog.create_table("db.eqren", base.schema)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(3).collect()]
+        t.merge(self._upsert_src(spark, base, ids, 5.0), on=["event_id"],
+                mode="merge-on-read")
+        t.rename_column("event_id", "eid")
+        got = t.to_df().where(F.col("eid").isin(ids))
+        assert got.count() == len(ids)  # field-id keyed: rename is free
+        assert got.where("value < 5").count() == 0
+
+    def test_compact_materializes_equality_deletes(self, catalog, spark, events_df):
+        base = events_df.limit(60)
+        t = catalog.create_table("db.eqcomp", base.schema)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(6).collect()]
+        t.merge(self._upsert_src(spark, base, ids, 3.0), on=["event_id"],
+                mode="merge-on-read")
+        before = t.to_df().orderBy("event_id").collect()
+        t.compact(target_file_size_bytes=1)
+        assert t.files().where("content != 'data'").count() == 0
+        after = t.to_df().orderBy("event_id").collect()
+        assert after == before
+        assert t.metadata.snapshots[-1].operation == "replace"
+
+    def test_time_travel_before_merge(self, catalog, spark, events_df):
+        base = events_df.limit(25)
+        t = catalog.create_table("db.eqtt", base.schema)
+        t.append(base)
+        pre = t.metadata.current_snapshot_id
+        ids = [r.event_id for r in base.limit(2).collect()]
+        t.merge(self._upsert_src(spark, base, ids, 9.0), on=["event_id"],
+                mode="merge-on-read")
+        old = t.scan(snapshot_id=pre)
+        assert old.count() == 25
+        assert old.subtract(base).count() == 0
+
+    def test_mixed_position_and_equality_deletes(self, catalog, spark, events_df):
+        base = events_df.limit(80)
+        t = catalog.create_table("db.eqmix", base.schema)
+        t.append(base)
+        n_pos = t.delete("event_type = 'click'", mode="merge-on-read")
+        survivors = [
+            r.event_id
+            for r in t.to_df().limit(5).collect()
+        ]
+        t.merge(self._upsert_src(spark, base, survivors, 50.0), on=["event_id"],
+                mode="merge-on-read")
+        got = t.to_df()
+        exp_base = base.where("NOT coalesce(event_type = 'click', false)")
+        assert got.count() == exp_base.count()
+        assert n_pos > 0
+        assert got.where(F.col("event_id").isin(survivors)).where(
+            "value < 49"
+        ).count() == 0
+
+    def test_merge_key_missing_raises(self, catalog, spark, events_df):
+        base = events_df.limit(10)
+        t = catalog.create_table("db.eqbad", base.schema)
+        t.append(base)
+        with pytest.raises(ValueError, match="not in current schema"):
+            t.merge(base, on=["no_such_col"], mode="merge-on-read")

@@ -180,3 +180,53 @@ class TestCodegen:
         ]:
             plan = final_plan(CORPUS[name].builder(spark, sf_dir))
             assert "EvalPython" not in plan, name
+
+
+class TestMergeOnReadPlans:
+    """The v2 delete-file read path must cost nothing when absent and
+    stay broadcast-able when present."""
+
+    def _table(self, spark, tmp_path, sf_dir):
+        import tempfile
+
+        from iceberg_rs_spark.sources.fixtures import load_table
+        from iceberg_rs_spark.sources.icelake import Catalog
+
+        events = load_table(spark, sf_dir, "events").limit(200)
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="icelake_plan_"))
+        t = cat.create_table("db.morplan", events.schema)
+        t.append(events)
+        return t, events
+
+    def test_clean_scan_has_no_join_or_metadata(self, spark, tmp_path, sf_dir):
+        """A table with NO delete files must read as a pure scan: the
+        MOR machinery may not tax the common case (at 100 TB almost
+        every scan is delete-free after compaction)."""
+        t, _ = self._table(spark, tmp_path, sf_dir)
+        plan = final_plan(t.scan())
+        assert "Join" not in plan
+        assert "_metadata" not in plan
+        assert "__icelake" not in plan
+
+    def test_position_delete_scan_is_single_anti_join(self, spark, tmp_path, sf_dir):
+        t, _ = self._table(spark, tmp_path, sf_dir)
+        t.delete("event_type = 'click'", mode="merge-on-read")
+        # AQE's toString repeats the pre-adaptive plan under
+        # "== Initial Plan ==" — count joins in the FINAL section only
+        plan = final_plan(t.scan()).split("== Initial Plan ==")[0]
+        assert plan.count("LeftAnti") == 1
+        # delete side is tiny → AQE must broadcast, never shuffle the fact side
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_equality_delete_scan_broadcasts_keys(self, spark, tmp_path, sf_dir):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        t, events = self._table(spark, tmp_path, sf_dir)
+        ids = [r.event_id for r in events.limit(5).collect()]
+        batch = events.where(F.col("event_id").isin(ids)).withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        )
+        t.merge(batch, on=["event_id"], mode="merge-on-read")
+        plan = final_plan(t.scan()).split("== Initial Plan ==")[0]
+        assert plan.count("LeftAnti") == 1
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
