@@ -66,6 +66,13 @@ PRIORITY: list[str] = [
     "pipeline_training_data",       # new: composed dedup→quality→lang pipeline
     "table_mor_delete",             # new: v2 position-delete files (merge-on-read)
     "table_merge_upsert_mor",       # new: v2 equality-delete upsert (CDC path)
+    "stream_cdc_upsert_icelake",    # new: streaming CDC → eq-delete commits
+    "q7_nation_volume",             # new: TPC-H Q7 shape
+    "q10_returned_items",           # new: TPC-H Q10 shape
+    "q14_promo_revenue",            # new: TPC-H Q14 shape
+    "q15_top_supplier",             # new: TPC-H Q15 shape
+    "q18_large_volume_customers",   # new: TPC-H Q18 shape
+    "q22_idle_customers",           # new: TPC-H Q22 shape
 ]
 
 

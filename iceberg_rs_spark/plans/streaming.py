@@ -293,3 +293,53 @@ def stream_ingest_icelake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_cdc_upsert_icelake",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    ranked AS (
+        SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM evt)
+    SELECT user_id, event_id, event_type, value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("streaming", "table", "cdc", "merge-on-read"),
+)
+def stream_cdc_upsert_icelake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert stream into the table layer: every micro-batch
+    collapses to its newest row per user and lands as ONE merge-on-read
+    commit — the batch as data files plus an equality-delete of the
+    batch's keys (Iceberg v2; reference snapshot.rs:28-29 +
+    schema.rs:197). The final table holds exactly the latest event per
+    user with no data file ever rewritten; the hash check proves
+    stream → row_number collapse → equality-delete commit → sequence-
+    ordered scan end to end. At 100 TB this is the Debezium/Flink-style
+    continuously-upserted dimension table, write cost per trigger
+    proportional to the batch."""
+    import tempfile
+
+    from iceberg_rs_spark.sources.icelake import Catalog
+    from iceberg_rs_spark.streaming import replay_cdc_to_icelake
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_cdc_"))
+    t = catalog.create_table("db.cdc_latest_per_user", ev.schema)
+    replay_cdc_to_icelake(ev, t, keys=["user_id"], order=["ts", "event_id"])
+    files = t.files().collect()
+    assert any(r.content == "equality-deletes" for r in files), "no eq-deletes"
+    assert any(
+        "streaming-batch-id" in s.summary for s in t.metadata.snapshots
+    ), "CDC replay recorded no batch ids"
+    return (
+        t.scan()
+        .select("user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"))
+        .orderBy("user_id")
+    )

@@ -185,3 +185,302 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           strftime(l.l_shipdate, '%Y') AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional nation-pair
+    trade by year. The two nation dims broadcast; the OR-of-ANDs pair
+    filter evaluates AFTER both broadcast joins, so the only shuffle
+    is the final 3-key aggregate — lineitem is never re-partitioned
+    for the dimension lookups."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue. Both selective filters (date range, returnflag) push
+    to the scans; customer+nation broadcast; orderBy+limit plans as
+    TakeOrderedAndProject so only 20 rows survive per partition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            _r2(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio
+    over one month of shipments. part broadcasts; the date range prunes
+    at the parquet scan, so the join input is one month of the fact —
+    at 100 TB the month filter is the difference between scanning the
+    table and scanning ~1% of it."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): aggregate-then-argmax via a
+    scalar subquery over the derived revenue view. Revenue is rounded
+    BEFORE the max comparison so the argmax is bit-stable across
+    engines; Catalyst evaluates the max as a subquery broadcast, not a
+    self-join shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+    tags=("join", "agg", "semi-join", "tpch"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered semi
+    join back onto the fact. The qualifying-orders set is tiny after
+    the HAVING cut, so it broadcasts into the semi join — the fact
+    table is scanned twice but shuffled only once (for its own
+    group-by); no row explosion ever reaches the driver."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _r2(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("agg", "anti-join", "subquery", "tpch"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): scalar-subquery
+    threshold + anti join — above-average-balance customers who never
+    placed a large order (every fixture customer has SOME order, so the
+    idleness predicate is 'no order over 400k' to keep the result
+    non-empty — the plan shape is Q22's). The average-balance scalar
+    broadcasts as a 1-row cross join; the NOT EXISTS is a left-anti
+    against the filtered orders key projection — two scans, one
+    broadcast, no correlated per-row subquery execution."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000.0)
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -850,6 +850,7 @@ class Table:
         on: list[str],
         branch: str = MAIN_BRANCH,
         mode: str = "copy-on-write",
+        extra_summary: dict | None = None,
     ) -> None:
         """MERGE INTO (upsert) keyed on ``on`` — the capability mandated
         by identifier_field_ids (reference schema.rs:197). Matched rows
@@ -871,7 +872,7 @@ class Table:
         folds the deletes away.
         """
         if mode == "merge-on-read":
-            return self._merge_merge_on_read(source, on, branch)
+            return self._merge_merge_on_read(source, on, branch, extra_summary)
         if mode != "copy-on-write":
             raise ValueError(f"unknown merge mode: {mode}")
         md = self.metadata
@@ -910,7 +911,11 @@ class Table:
         self._commit(updater)
 
     def _merge_merge_on_read(
-        self, source: DataFrame, on: list[str], branch: str = MAIN_BRANCH
+        self,
+        source: DataFrame,
+        on: list[str],
+        branch: str = MAIN_BRANCH,
+        extra_summary: dict | None = None,
     ) -> None:
         """Upsert via equality-delete files (Iceberg v2 row-level ops)."""
         md = self.metadata
@@ -965,7 +970,8 @@ class Table:
             return self._new_snapshot(
                 cur, "overwrite", cur_entries + new_data + eq_entries, branch,
                 {"added-delete-files": str(len(eq_entries)),
-                 "equality-field-ids": json.dumps(fids)},
+                 "equality-field-ids": json.dumps(fids),
+                 **(extra_summary or {})},
             )
 
         self._commit(updater)

@@ -15,6 +15,7 @@ same fixture — the batch-replay equivalence check of SURVEY.md §5.
 
 from iceberg_rs_spark.streaming.ops import (  # noqa: F401
     events_stream,
+    replay_cdc_to_icelake,
     replay_to_icelake,
     replay_to_memory,
     session_agg,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -100,6 +100,66 @@ def replay_to_icelake(
         if str(batch_id) in seen:
             return
         table.append(batch_df, extra_summary={"streaming-batch-id": str(batch_id)})
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q: StreamingQuery = (
+            stream_df.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def replay_cdc_to_icelake(
+    stream_df: DataFrame,
+    table,
+    keys: list[str],
+    order: list[str],
+    state_partitions: int = 8,
+) -> None:
+    """CDC upsert sink: stream → merge-on-read table commits.
+
+    Each micro-batch first collapses to its LAST row per key (ROW_NUMBER
+    over the CDC ordering — a batch may carry several versions of one
+    key and only the newest may land), then commits as ONE
+    ``merge(mode="merge-on-read")``: the batch's rows as data files plus
+    an equality-delete of the batch's keys. Sequence numbers order the
+    commits, so replaying N batches leaves exactly the last version of
+    every key with no data file ever rewritten — the Iceberg-v2 CDC
+    pattern (Flink/Debezium-style) whose write cost per trigger is the
+    batch, not the table.
+
+    Idempotence mirrors ``replay_to_icelake``: the micro-batch id rides
+    in the snapshot summary and an already-committed id is skipped, so
+    foreachBatch's at-least-once retries stay effectively-once.
+    """
+    spark = stream_df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {
+            s.summary.get("streaming-batch-id")
+            for s in table.metadata.snapshots
+        }
+        if str(batch_id) in seen:
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.merge(
+            latest,
+            on=keys,
+            mode="merge-on-read",
+            extra_summary={"streaming-batch-id": str(batch_id)},
+        )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

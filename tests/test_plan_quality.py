@@ -230,3 +230,28 @@ class TestMergeOnReadPlans:
         plan = final_plan(t.scan()).split("== Initial Plan ==")[0]
         assert plan.count("LeftAnti") == 1
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestTpchWideningPlans:
+    """Round-3 TPC-H shapes: the joins that must broadcast, do."""
+
+    def test_q18_semi_join_broadcasts(self, spark, sf_dir):
+        """The HAVING-filtered qualifying-order set is tiny — the semi
+        join back onto lineitem must be a broadcast, and the top-25
+        must plan TakeOrderedAndProject (never a full sort)."""
+        plan = final_plan(CORPUS["q18_large_volume_customers"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q10_top20_no_global_sort(self, spark, sf_dir):
+        plan = final_plan(CORPUS["q10_returned_items"].builder(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        # both selective filters reached the scans
+        assert "PushedFilters: []" not in plan
+
+    def test_q22_anti_join_broadcasts(self, spark, sf_dir):
+        """NOT EXISTS must plan as a broadcast left-anti against the
+        filtered orders keys — no shuffle of the customer side."""
+        plan = final_plan(CORPUS["q22_idle_customers"].builder(spark, sf_dir))
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

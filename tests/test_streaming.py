@@ -188,3 +188,56 @@ class TestReplayHarness:
         t1 = replay_to_memory(ev, "uniq", "complete")
         t2 = replay_to_memory(ev, "uniq", "complete")
         assert t1.count() == t2.count() > 0
+
+
+class TestCdcUpsertSink:
+    def test_multi_batch_last_writer_wins(self, spark, tmp_path):
+        """Three CDC files streamed one-per-trigger: each micro-batch
+        is one merge-on-read commit, later batches' versions replace
+        earlier ones by sequence ordering, and within a batch only the
+        newest row per key lands."""
+        from iceberg_rs_spark.streaming import replay_cdc_to_icelake
+
+        src = tmp_path / "cdc"
+        src.mkdir()
+        base = dt.datetime(2024, 1, 1)
+
+        def write_file(name, rows):
+            spark.createDataFrame(
+                [Row(event_id=i, ts=base + dt.timedelta(minutes=m), value=v)
+                 for (i, m, v) in rows],
+                SCHEMA,
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+        # key = event_id; file 1: keys 1,2; file 2: re-upserts key 1
+        # (twice in-batch — only minute 20 may win); file 3: key 3
+        write_file("f1", [(1, 0, 1.0), (2, 0, 2.0)])
+        write_file("f2", [(1, 10, 10.0), (1, 20, 20.0)])
+        write_file("f3", [(3, 30, 3.0)])
+
+        catalog = Catalog(spark, str(tmp_path / "wh"))
+        t = catalog.create_table("db.cdc", SCHEMA)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        replay_cdc_to_icelake(stream, t, keys=["event_id"], order=["ts"])
+
+        got = {r.event_id: r.value for r in t.to_df().collect()}
+        assert got == {1: 20.0, 2: 2.0, 3: 3.0}
+        # one merge-on-read commit per micro-batch, each with eq-deletes
+        merges = [
+            s for s in t.metadata.snapshots
+            if "streaming-batch-id" in s.summary
+        ]
+        assert len(merges) == 3
+        assert all(int(s.summary["added-delete-files"]) >= 1 for s in merges)
+        # no data file was ever rewritten: every committed one survives
+        files = t.files().collect()
+        assert sum(1 for r in files if r.content == "data") == 3
+        assert sum(1 for r in files if r.content == "equality-deletes") == 3
+        # compaction folds it all down
+        t.compact(target_file_size_bytes=1)
+        assert t.files().where("content != 'data'").count() == 0
+        assert {r.event_id: r.value for r in t.to_df().collect()} == got
