@@ -95,6 +95,19 @@ def main() -> None:
         "bench_warmup",
         "complete",
     ).count()
+    # Stateful-operator machinery warms separately from plain streaming
+    # aggregation: session-window codegen and the applyInPandasWithState
+    # Python state workers each cost ~2s on first use, billed to
+    # whichever query hits them first. Warm them on the sf0.001 fixture
+    # (different files, fresh checkpoints — only JVM codegen and worker
+    # pools carry over, no data/footer caching of the benched sf).
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for warm_q in ("stream_session_windows", "stream_stateful_user_sessions"):
+            try:
+                CORPUS[warm_q].builder(spark, warm_sf).collect()
+            except Exception:
+                pass
 
     # Reference timings from the last recorded full run (committed
     # BENCH_FULL.json): used to flag per-query regressions BEFORE the

@@ -73,6 +73,19 @@ PRIORITY: list[str] = [
     "q15_top_supplier",             # new: TPC-H Q15 shape
     "q18_large_volume_customers",   # new: TPC-H Q18 shape
     "q22_idle_customers",           # new: TPC-H Q22 shape
+    # Full TPC-H sweep completion (remaining 12 query shapes):
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q13_customer_order_counts",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -20,21 +20,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from iceberg_rs_spark.sources.fixtures import _EVENTS_TS_EXPR
+from iceberg_rs_spark.sources.fixtures import normalize_events_ts
 
 _name_counter = itertools.count()
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture as a file-source stream (same ns-timestamp
-    rebuild as the batch loader, so stream and batch plans see
+    """The events fixture as a file-source stream (same ts
+    normalization as the batch loader, so stream and batch plans see
     identical rows). The watermark column is `ts`."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # glob, not the bare file path: FileStreamSource derives basePath
     # from the non-glob prefix, and basePath must be a directory
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.*")
-    return raw.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
+    return normalize_events_ts(raw)
 
 
 def replay_to_memory(
