@@ -163,3 +163,60 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(quality_score(c), 4).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per document:
+    duplicate-word fraction (1 - distinct/total tokens) plus the mass
+    fraction of the single most frequent word bigram and trigram.
+
+    The duplicate-word fraction is a pure column expression. The
+    top-n-gram fractions need per-gram counts, so the n-grams explode
+    into (doc, k, gram) rows — bigrams and trigrams TOGETHER in one
+    generator pass — then two keyed aggregations (count per gram, then
+    max/total per doc) roll them back up. One explode and two shuffles
+    on the doc key total, pivoted by k in the second aggregate; at
+    100 TB this is the shape that works — per-doc HOF counting of
+    distinct grams would be O(grams²) per row in interpreted lambdas,
+    and a driver-side counter would not be distributed at all."""
+    c = F.col(text_col)
+    staged = df.select(F.col(id_col), tokens(c).alias("w"))
+    base = staged.select(
+        id_col,
+        F.size("w").alias("n_tok"),
+        F.when(
+            F.size("w") > 0,
+            1.0 - F.size(F.array_distinct("w")) / F.size("w"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    )
+    grams = staged.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform(
+                    shingles_of_tokens(F.col("w"), 2),
+                    lambda g: F.struct(F.lit(2).alias("k"), g.alias("g")),
+                ),
+                F.transform(
+                    shingles_of_tokens(F.col("w"), 3),
+                    lambda g: F.struct(F.lit(3).alias("k"), g.alias("g")),
+                ),
+            )
+        ).alias("kg"),
+    ).select(id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    per_gram = grams.groupBy(id_col, "k", "g").agg(F.count("*").alias("c"))
+    per_doc = (
+        per_gram.groupBy(id_col)
+        .pivot("k", [2, 3])
+        .agg((F.max("c") / F.sum("c")).alias("frac"))
+        .withColumnsRenamed({"2": "top_bigram_frac", "3": "top_trigram_frac"})
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumn("top_trigram_frac", F.coalesce("top_trigram_frac", F.lit(0.0)))
+    )

@@ -86,6 +86,10 @@ PRIORITY: list[str] = [
     "q19_disjunctive_revenue",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    # Training-pipeline additions (repetition quality, split, packing):
+    "text_repetition_signals",
+    "pipeline_train_test_split",
+    "pipeline_sequence_packing",
 ]
 
 

@@ -12,9 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_rs_spark.functions.hashing import h60_seeded_sql, h60_sql
+from iceberg_rs_spark.functions.hashing import h60, h60_seeded_sql, h60_sql
 from iceberg_rs_spark.operators import dedup as D
 from iceberg_rs_spark.operators import multimodal as M
+from iceberg_rs_spark.operators import packing as P
 from iceberg_rs_spark.operators import similarity as S
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
@@ -746,3 +747,178 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "byte_len", "width", "height", F.col("n_channels").cast("int").alias("n_channels")
     ).orderBy("doc_id")
+
+
+#: DuckDB word-2gram list over a token list column named w
+_BIGRAMS_SQL = (
+    "[array_to_string(list_slice(w, i, i + 1), ' ') "
+    "for i in generate_series(1, len(w) - 1)]"
+)
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w FROM documents),
+    base AS (
+        SELECT doc_id, len(w) AS n_tok,
+               CASE WHEN len(w) > 0
+                    THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                    ELSE 0.0 END AS dup_word_frac
+        FROM toks),
+    grams AS (
+        SELECT doc_id, 2 AS k, unnest({_BIGRAMS_SQL}) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS k, unnest({SHINGLES_SQL}) AS g FROM toks),
+    cnt AS (SELECT doc_id, k, g, COUNT(*) AS c FROM grams GROUP BY doc_id, k, g),
+    fr AS (
+        SELECT doc_id,
+               MAX(CASE WHEN k = 2 THEN mx_frac END) AS top_bigram_frac,
+               MAX(CASE WHEN k = 3 THEN mx_frac END) AS top_trigram_frac
+        FROM (SELECT doc_id, k, MAX(c) * 1.0 / SUM(c) AS mx_frac
+              FROM cnt GROUP BY doc_id, k)
+        GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tok,
+           {rhalf_sql('b.dup_word_frac', 4)} AS dup_word_frac,
+           {rhalf_sql('COALESCE(fr.top_bigram_frac, 0.0)', 4)} AS top_bigram_frac,
+           {rhalf_sql('COALESCE(fr.top_trigram_frac, 0.0)', 4)} AS top_trigram_frac,
+           (b.dup_word_frac <= 0.55 AND COALESCE(fr.top_bigram_frac, 0.0) <= 0.05)
+               AS keep
+    FROM base b LEFT JOIN fr ON b.doc_id = fr.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters: duplicate-word
+    fraction plus top-bigram/-trigram mass fraction per document, with
+    the keep/drop verdict a pretraining pipeline would apply
+    (thresholds sit at the fixture's median so both classes are
+    populated). The n-gram counting explodes bigrams and trigrams in
+    ONE generator pass and rolls up with two keyed aggregations — the
+    distributed shape; per-doc HOF counting would be O(grams²) per row
+    (operators/text.py:repetition_signals)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = T.repetition_signals(docs)
+    return sig.select(
+        "doc_id",
+        "n_tok",
+        rhalf(F.col("dup_word_frac"), 4).alias("dup_word_frac"),
+        rhalf(F.col("top_bigram_frac"), 4).alias("top_bigram_frac"),
+        rhalf(F.col("top_trigram_frac"), 4).alias("top_trigram_frac"),
+        (
+            (F.col("dup_word_frac") <= 0.55) & (F.col("top_bigram_frac") <= 0.05)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_train_test_split",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {h60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+        FROM documents),
+    toks AS (
+        SELECT bucket, text, {TOKENS_SQL.format(c='text')} AS w FROM split),
+    labeled AS (
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               w,
+               {_QUALITY_SQL} AS q
+        FROM toks)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+           {rhalf_sql('MIN(q)', 4)} AS min_quality,
+           {rhalf_sql('MAX(q)', 4)} AS max_quality
+    FROM labeled
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("llm", "pipeline", "split"),
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: the portable h60 hash of the
+    (salted) document id buckets every doc 80/10/10, so the assignment
+    is reproducible across engines, runs, and cluster sizes — no
+    randomSplit, whose sampling is partition-dependent and would both
+    defeat the oracle and silently reshuffle the split when the input
+    repartitions at 100 TB. Per-split corpus accounting (doc count,
+    token total, quality envelope) is the standard pre-training split
+    audit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.col("text")
+    bucket = (
+        h60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    )
+    labeled = docs.select(
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        T.token_count(c).alias("n_tok"),
+        T.quality_score(c).alias("q"),
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            rhalf(F.min("q"), 4).alias("min_quality"),
+            rhalf(F.max("q"), 4).alias("max_quality"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length({NORM_SQL.format(c='text')}) = 0 THEN 0
+                    ELSE len({TOKENS_SQL.format(c='text')}) END AS n_tok
+        FROM documents),
+    cum AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS start_offset
+        FROM toks)
+    SELECT CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("llm", "pipeline", "packing", "prefix-sum"),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order are
+    laid into a token stream and each doc is assigned the 512-token
+    context bin its offset starts in — the pretraining-dataloader
+    batching contract. The global offset is a TWO-PASS distributed
+    prefix sum (range partition → per-partition totals → broadcast
+    offsets + within-partition window; operators/packing.py) — the
+    oracle's global-order window is the semantic spec, but a
+    single-partition window never appears in the Spark plan, which is
+    what makes this runnable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tok"))
+    binned = P.pack_bins(toks, order_col="doc_id", weight_col="n_tok", ctx=512)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin")
+    )

@@ -255,3 +255,52 @@ class TestTpchWideningPlans:
         plan = final_plan(CORPUS["q22_idle_customers"].builder(spark, sf_dir))
         assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestPipelinePlans:
+    """Round-3 training-pipeline additions."""
+
+    def test_sequence_packing_has_no_global_window(self, spark, sf_dir):
+        """The prefix sum must be the two-pass partition-offset scheme:
+        every Window in the plan is partitioned (no Exchange
+        SinglePartition feeding a window), so no task ever sees the
+        whole corpus."""
+        df = CORPUS["pipeline_sequence_packing"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        assert "Window" in plan
+        assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+    def test_sequence_packing_offsets_are_exact(self, spark, sf_dir):
+        """Cross-check the distributed prefix sum against a local one,
+        at several partition counts (partitioning must not change the
+        answer)."""
+        import pandas as pd
+
+        from iceberg_rs_spark.operators import packing as P
+        from iceberg_rs_spark.operators import text as T
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", T.token_count(F.col("text")).alias("n_tok"))
+        )
+        local = toks.orderBy("doc_id").toPandas()
+        expected = (local["n_tok"].cumsum() - local["n_tok"]).astype("int64")
+        for n_part in (1, 5, 32):
+            got = (
+                P.with_global_offset(toks, "doc_id", "n_tok", n_part)
+                .orderBy("doc_id")
+                .select("start_offset")
+                .toPandas()["start_offset"]
+            )
+            pd.testing.assert_series_equal(
+                got, expected, check_names=False, check_index=False
+            )
+
+    def test_repetition_signals_stay_jvm_side(self, spark, sf_dir):
+        """The n-gram explode/count path must contain no Python
+        evaluation and keep a partial aggregation before the shuffle."""
+        df = CORPUS["text_repetition_signals"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        assert "EvalPython" not in plan
+        assert "partial_count" in plan or "partial" in plan
