@@ -90,6 +90,8 @@ PRIORITY: list[str] = [
     "text_repetition_signals",
     "pipeline_train_test_split",
     "pipeline_sequence_packing",
+    # Clustered rewrite (z-order multi-dimensional file skipping):
+    "table_zorder_rewrite",
 ]
 
 

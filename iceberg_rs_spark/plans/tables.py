@@ -519,3 +519,54 @@ def table_merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert data_before <= {r.file_path for r in files if r.content == "data"}
     assert any(r.content == "equality-deletes" for r in files)
     return t.scan().orderBy("o_orderkey")
+
+
+@query(
+    "table_zorder_rewrite",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM evt
+    WHERE user_id >= 4 AND user_id <= 8 AND value >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("table", "rewrite", "zorder", "pruning"),
+)
+def table_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite end to end: unsorted appends →
+    compact(strategy="zorder") on (user_id, value) → a two-dimensional
+    predicate scan. The rewrite lays files along the Z-curve (each
+    column's range-bucket rank, rescaled to the full bit range, bit-
+    interleaved — sources/icelake.py:_cluster_for_write), so BOTH
+    predicate columns prune files via min/max stats; the in-query
+    assertion pins that the 2-D scan reads a strict subset of files
+    whenever the table has more than one. The hash check proves the
+    rewrite moved no data. This is CALL rewrite_data_files(strategy =>
+    'sort', sort_order => 'zorder(...)') for a 100 TB table whose
+    queries filter on two independent dimensions."""
+    import tempfile
+
+    from iceberg_rs_spark.sources.icelake import Catalog, _split_by_predicate
+
+    ev = load_table(spark, sf_dir, "events")
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_zorder_"))
+    t = catalog.create_table("db.events_zorder", ev.schema)
+    for i in range(2):
+        t.append(ev.where(F.col("event_id") % 2 == i))
+    t.compact(
+        target_file_size_bytes=64 * 1024,
+        cluster_by=["user_id", "value"],
+        strategy="zorder",
+    )
+    where = "user_id >= 4 AND user_id <= 8 AND value >= 50"
+    entries = t._current_entries(t.metadata)
+    if len(entries) > 1:
+        kept, _ = _split_by_predicate(entries, where, t.metadata, t)
+        assert len(kept) < len(entries), "z-order rewrite produced no pruning"
+    return (
+        t.scan(where=where)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )

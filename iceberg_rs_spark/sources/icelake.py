@@ -1083,29 +1083,59 @@ class Table:
         self._commit(updater)
         return len(new_entries)
 
-    def compact(self, target_file_size_bytes: int = 128 * 1024 * 1024, branch: str = MAIN_BRANCH) -> None:
+    def compact(
+        self,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        branch: str = MAIN_BRANCH,
+        cluster_by: "list[str] | None" = None,
+        strategy: str = "bin-pack",
+        zorder_bits: int = 8,
+    ) -> None:
         """``replace``: files rewritten, data unchanged (snapshot.rs:25;
         CALL system.rewrite_data_files equivalent). Position deletes
         are MATERIALIZED: the rewrite applies them and the delete files
         are dropped from the new snapshot — compaction is what turns
-        the cheap merge-on-read delete back into pure-scan reads."""
+        the cheap merge-on-read delete back into pure-scan reads.
+
+        ``cluster_by`` + ``strategy`` select the file layout:
+
+        - ``"bin-pack"`` (default): coalesce to target-size files.
+        - ``"sort"``: range-partition + sort by the cluster columns —
+          tight min/max envelopes on the LEADING column (classic
+          linear clustering; later columns barely prune).
+        - ``"zorder"``: interleave the columns' range-bucket ranks into
+          a Z-value and lay files along the Z-curve, so EVERY cluster
+          column gets a bounded min/max envelope per file — the
+          multi-dimensional file-skipping layout (Delta/Iceberg
+          z-order rewrite). Bucket ranks come from one
+          ``repartitionByRange`` pass per column (sampling-based range
+          boundaries — rank-ordered, so skewed value distributions
+          still spread evenly across buckets, unlike min/max scaling).
+        """
         md = self.metadata
         all_entries = self._current_entries(md, branch)
         entries = _data_entries(all_entries)
         dels = _delete_file_entries(all_entries)
         total = sum(e.file_size_bytes for e in entries)
         n = max(1, round(total / target_file_size_bytes))
-        df = self._read_entries_as(
+        base = self._read_entries_as(
             md, entries, md.current_schema(), delete_entries=dels
-        ).coalesce(n)
+        )
+        if cluster_by:
+            df = _cluster_for_write(base, cluster_by, strategy, n, zorder_bits)
+        else:
+            df = base.coalesce(n)
         has_eq = any(e.content == "equality-deletes" for e in dels)
         if has_eq:
             # An equality-delete row may match 0..N data rows, so the
             # manifest arithmetic below is unknowable — count the live
             # rows for real (one extra scan; compaction is already a
             # full-rewrite job, so this is noise at any scale).
-            before = df.count()
+            before = base.count()
         new_entries = self._write_data_files(df, md)
+        cache = getattr(df, "_icelake_zorder_cache", None)
+        if cache is not None:
+            cache.unpersist()
         if not has_eq:
             # Live rows = raw data rows minus applied delete positions
             # (positions are exact: the MOR writer never double-marks).
@@ -1153,7 +1183,9 @@ class Table:
             return self._new_snapshot(
                 cur, "replace", kept + new_entries, branch,
                 {"rewritten-data-files": str(len(entries)),
-                 "materialized-delete-files": str(len(dels))},
+                 "materialized-delete-files": str(len(dels)),
+                 "rewrite-strategy": strategy if cluster_by else "bin-pack",
+                 **({"cluster-by": ",".join(cluster_by)} if cluster_by else {})},
             )
 
         self._commit(updater)
@@ -1924,6 +1956,79 @@ def _load_name_mapping(md: TableMetadata) -> tuple[NameMapping, ...] | None:
     if raw:
         return tuple(NameMapping.from_json(o) for o in json.loads(raw))
     return md.current_schema().name_mapping
+
+
+def _cluster_for_write(
+    df: DataFrame,
+    cols: "list[str]",
+    strategy: str,
+    n_files: int,
+    zorder_bits: int = 8,
+) -> DataFrame:
+    """Arrange a rewrite's rows into the requested clustered layout;
+    the writer then emits one file per partition, so file boundaries
+    ARE cluster boundaries and per-file min/max stats become the
+    skipping index.
+
+    Z-order: each column's rank bucket is its partition id under a
+    sampling-based ``repartitionByRange`` (the Delta
+    ``range_partition_id`` trick — rank-ordered buckets, skew-immune,
+    no min/max scaling), then the bucket bits interleave into a
+    Z-value entirely in JVM bit expressions. Cost: one range shuffle
+    per cluster column + the final layout shuffle — a full-rewrite job
+    shuffles everything anyway, so clustering adds only the per-column
+    bucket passes. ``zorder_bits`` bounds bucket-pass task size at
+    scale (2^bits tasks over the table; raise it so a bucket fits an
+    executor); bits * len(cols) must stay under 63.
+    """
+    n_files = max(1, n_files)
+    if strategy == "sort":
+        return df.repartitionByRange(
+            n_files, *[F.col(c) for c in cols]
+        ).sortWithinPartitions(*cols)
+    if strategy != "zorder":
+        raise ValueError(f"unknown rewrite strategy: {strategy!r}")
+    if zorder_bits * len(cols) > 62:
+        raise ValueError("zorder_bits * len(cluster_by) must be <= 62")
+    tagged = df
+    bucket_cols = []
+    for c in cols:
+        bc = f"_zb_{c}"
+        tagged = tagged.repartitionByRange(2**zorder_bits, F.col(c)).withColumn(
+            bc, F.spark_partition_id()
+        )
+        bucket_cols.append(bc)
+    # A low-cardinality column occupies only the first few bucket ids
+    # (one distinct key per range partition), which would leave its
+    # high interleave bits permanently zero and let the other columns
+    # dominate the Z-value — the curve degenerates to a linear sort.
+    # Rescale every column's bucket ids onto the full 2^bits range.
+    # The max-bucket agg is one tiny job; persisting the tagged frame
+    # (spill-safe) keeps the bucket shuffles from running twice.
+    from pyspark.storagelevel import StorageLevel
+
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    maxes = tagged.agg(
+        *[F.max(bc).alias(bc) for bc in bucket_cols]
+    ).collect()[0]
+    top = 2**zorder_bits - 1
+    z = F.lit(0).cast("long")
+    for i in range(zorder_bits):
+        for ci, bc in enumerate(bucket_cols):
+            mx = maxes[bc] or 0
+            scaled = (
+                F.floor(F.col(bc) * (top / mx)).cast("int") if mx > 0 else F.lit(0)
+            )
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit.cast("long"), i * len(cols) + ci))
+    out = (
+        tagged.withColumn("_zval", z)
+        .repartitionByRange(n_files, F.col("_zval"))
+        .sortWithinPartitions("_zval")
+        .drop("_zval", *bucket_cols)
+    )
+    out._icelake_zorder_cache = tagged  # released by compact() after the write
+    return out
 
 
 def _base_path(path: str, location: str | None = None) -> str:

@@ -989,3 +989,88 @@ class TestEqualityDeleteUpserts:
         t.append(base)
         with pytest.raises(ValueError, match="not in current schema"):
             t.merge(base, on=["no_such_col"], mode="merge-on-read")
+
+
+class TestClusteredRewrite:
+    """compact(cluster_by=..., strategy=...): sort and z-order layouts.
+
+    The z-order claim worth testing: after the rewrite, a point/range
+    predicate on EITHER cluster column prunes most files via min/max
+    stats, while a linear sort leaves every non-leading column with
+    table-wide envelopes (at sf0.001 the fixture has 15 users and a
+    continuous value column, so `value` leads the linear sort to make
+    the contrast visible)."""
+
+    @staticmethod
+    def _pruned(t, where):
+        from iceberg_rs_spark.sources.icelake import _split_by_predicate
+
+        md = t.metadata
+        return _split_by_predicate(t._current_entries(md), where, md, t)
+
+    def _fixture(self, catalog, events_df, name, **compact_kw):
+        t = catalog.create_table(f"db.{name}", events_df.schema)
+        # several unsorted appends -> every file spans both dimensions
+        for i in range(4):
+            t.append(events_df.where(F.col("event_id") % 4 == i))
+        t.compact(target_file_size_bytes=512, **compact_kw)
+        return t
+
+    def test_zorder_preserves_data(self, catalog, events_df, spark):
+        t = self._fixture(
+            catalog, events_df, "z1", cluster_by=["user_id", "value"], strategy="zorder"
+        )
+        got = t.to_df().agg(
+            F.count("*"), F.sum("user_id"), F.round(F.sum("value"), 2)
+        ).collect()[0]
+        exp = events_df.agg(
+            F.count("*"), F.sum("user_id"), F.round(F.sum("value"), 2)
+        ).collect()[0]
+        assert tuple(got) == tuple(exp)
+        latest = max(t.metadata.snapshots, key=lambda sn: sn.sequence_number)
+        assert latest.summary["rewrite-strategy"] == "zorder"
+        assert latest.summary["cluster-by"] == "user_id,value"
+
+    def test_zorder_prunes_both_dimensions(self, catalog, events_df):
+        t = self._fixture(
+            catalog, events_df, "z2", cluster_by=["user_id", "value"], strategy="zorder"
+        )
+        total = len(t._current_entries(t.metadata))
+        assert total >= 16, "fixture must produce enough files to measure pruning"
+        kept_u, _ = self._pruned(t, "user_id = 7")
+        kept_v, _ = self._pruned(t, "value >= 90")
+        # Z-curve: a point predicate on either dimension touches only
+        # the files whose envelope covers that bucket range.
+        assert len(kept_u) <= total / 2
+        assert len(kept_v) <= total / 2
+
+    def test_linear_sort_only_prunes_leading_column(self, catalog, events_df):
+        t = self._fixture(
+            catalog, events_df, "s1", cluster_by=["value", "user_id"], strategy="sort"
+        )
+        total = len(t._current_entries(t.metadata))
+        kept_v, _ = self._pruned(t, "value >= 90")
+        kept_u, _ = self._pruned(t, "user_id = 7")
+        assert len(kept_v) <= total / 2  # leading column clusters tightly
+        assert len(kept_u) >= total * 0.9  # trailing column does not prune
+
+    def test_zorder_beats_linear_sort_on_trailing_column(self, catalog, events_df):
+        tz = self._fixture(
+            catalog, events_df, "z3", cluster_by=["value", "user_id"], strategy="zorder"
+        )
+        ts_ = self._fixture(
+            catalog, events_df, "s2", cluster_by=["value", "user_id"], strategy="sort"
+        )
+        kz, _ = self._pruned(tz, "user_id = 7")
+        ks, _ = self._pruned(ts_, "user_id = 7")
+        frac_z = len(kz) / len(tz._current_entries(tz.metadata))
+        frac_s = len(ks) / len(ts_._current_entries(ts_.metadata))
+        assert frac_z < frac_s / 2
+
+    def test_unknown_strategy_rejected(self, catalog, events_df):
+        t = catalog.create_table("db.badstrat", events_df.schema)
+        t.append(events_df)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown rewrite strategy"):
+            t.compact(cluster_by=["user_id"], strategy="hilbert")
