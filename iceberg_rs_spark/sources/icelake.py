@@ -1122,6 +1122,15 @@ class Table:
             md, entries, md.current_schema(), delete_entries=dels
         )
         if cluster_by:
+            if self._partition_exprs(md):
+                # _write_data_files re-shuffles partitioned writes by the
+                # partition columns, which would silently destroy the
+                # clustered layout — refuse rather than pretend.
+                raise ValueError(
+                    "cluster_by rewrite supports unpartitioned tables; "
+                    "partitioned tables get one file per partition per "
+                    "write, so in-partition clustering has nothing to lay out"
+                )
             df = _cluster_for_write(base, cluster_by, strategy, n, zorder_bits)
         else:
             df = base.coalesce(n)
@@ -1629,6 +1638,50 @@ class Table:
             )
 
         self._commit(updater)
+
+    def remove_orphan_files(
+        self, older_than_ms: int | None = None, dry_run: bool = False
+    ) -> list[str]:
+        """Delete data files not referenced by ANY snapshot on any
+        branch — the leftovers of writers that crashed between writing
+        files and committing (CALL system.remove_orphan_files).
+
+        ``older_than_ms`` (absolute epoch ms) protects in-flight
+        writes: only files last modified BEFORE it are removed — real
+        deployments pass now minus a safety window, because a
+        concurrent writer's files are orphans only until its commit
+        lands. ``dry_run`` lists without deleting.
+
+        Referenced-set construction reads every snapshot's manifest
+        (metadata, not data); the directory walk is driver-side here —
+        at real scale both sides become distributed listings joined on
+        path, same shape as `_distributed_prune`."""
+        md = self.metadata
+        referenced: set[str] = set()
+        for s in md.snapshots:
+            referenced.update(e.path for e in self._read_manifest(s))
+        data_root = os.path.join(self.location, "data")
+        orphans: list[str] = []
+        for root, _dirs, files in os.walk(data_root):
+            for name in files:
+                if name.startswith((".", "_")):
+                    # Hadoop convention: _SUCCESS markers and .crc
+                    # sidecars are commit plumbing, not data — every
+                    # PathFilter skips them and so does this walk.
+                    continue
+                path = os.path.join(root, name)
+                if path in referenced:
+                    continue
+                if (
+                    older_than_ms is not None
+                    and os.path.getmtime(path) * 1000 >= older_than_ms
+                ):
+                    continue
+                orphans.append(path)
+        if not dry_run:
+            for path in orphans:
+                os.remove(path)
+        return sorted(orphans)
 
     def expire_snapshots(
         self, older_than_ms: int | None = None, retain_last: int = 1

@@ -1074,3 +1074,74 @@ class TestClusteredRewrite:
 
         with _pytest.raises(ValueError, match="unknown rewrite strategy"):
             t.compact(cluster_by=["user_id"], strategy="hilbert")
+
+
+class TestOrphanFiles:
+    def _orphan(self, t, name="orphan-00000.parquet"):
+        import os
+
+        d = os.path.join(t.location, "data", "deadbeef")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(b"not a real parquet file")
+        return p
+
+    def test_orphans_removed_referenced_kept(self, catalog, events_df):
+        import os
+
+        t = catalog.create_table("db.orph", events_df.schema)
+        t.append(events_df)
+        live = {e.path for e in t._current_entries(t.metadata)}
+        p = self._orphan(t)
+        removed = t.remove_orphan_files()
+        assert removed == [p]
+        assert not os.path.exists(p)
+        assert all(os.path.exists(f) for f in live)
+        assert t.to_df().count() == events_df.count()
+
+    def test_dry_run_and_age_guard(self, catalog, events_df):
+        import os
+
+        from iceberg_rs_spark.sources.icelake import _now_ms
+
+        t = catalog.create_table("db.orph2", events_df.schema)
+        t.append(events_df)
+        p = self._orphan(t)
+        assert t.remove_orphan_files(dry_run=True) == [p]
+        assert os.path.exists(p)  # dry run deletes nothing
+        # a fresh file is protected by an age cutoff in the past
+        assert t.remove_orphan_files(older_than_ms=_now_ms() - 60_000) == []
+        assert os.path.exists(p)
+        # snapshot-referenced files on a NON-current branch also survive
+        t.create_branch("keepme")
+        t.remove_orphan_files()
+        assert not os.path.exists(p)
+
+    def test_all_branch_files_are_referenced(self, catalog, events_df):
+        """Files reachable only from an old snapshot (rolled back away
+        from main) are still not orphans — every snapshot counts."""
+        import os
+
+        t = catalog.create_table("db.orph3", events_df.schema)
+        t.append(events_df.limit(10))
+        first = min(t.metadata.snapshots, key=lambda s: s.sequence_number)
+        t.append(events_df.limit(20))
+        second_files = {
+            e.path for e in t._current_entries(t.metadata)
+        }
+        t.rollback_to_snapshot(first.snapshot_id)
+        assert t.remove_orphan_files() == []
+        assert all(os.path.exists(f) for f in second_files)
+
+
+class TestClusterByPartitionedGuard:
+    def test_partitioned_cluster_by_rejected(self, catalog, events_df):
+        import pytest as _pytest
+
+        t = catalog.create_table(
+            "db.partz", events_df.schema, partition_by=[("ts", "day")]
+        )
+        t.append(events_df)
+        with _pytest.raises(ValueError, match="unpartitioned"):
+            t.compact(cluster_by=["user_id"], strategy="zorder")
