@@ -92,6 +92,8 @@ PRIORITY: list[str] = [
     "pipeline_sequence_packing",
     # Clustered rewrite (z-order multi-dimensional file skipping):
     "table_zorder_rewrite",
+    # Outer stream-stream join (watermark state eviction):
+    "stream_stream_abandoned_clicks",
 ]
 
 

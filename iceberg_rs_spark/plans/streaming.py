@@ -343,3 +343,72 @@ def stream_cdc_upsert_icelake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_stream_abandoned_clicks",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE}
+    SELECT c.event_id AS l_id, c.user_id
+    FROM evt c
+    LEFT JOIN evt p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+      AND p.event_id IS NULL
+      AND c.ts <= (SELECT LEAST(
+                       (SELECT MAX(ts) FROM evt WHERE event_type = 'click'),
+                       (SELECT MAX(ts) FROM evt WHERE event_type = 'purchase'))
+                   - INTERVAL 95 MINUTE)
+    ORDER BY l_id
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — funnel abandonment:
+    clicks with NO purchase by the same user within 30 minutes. The
+    outer side exercises watermark-driven state eviction: an unmatched
+    click is emitted (with NULL purchase columns) only when the
+    watermark closes its join window, so the streaming result is the
+    anti-join a batch engine would compute.
+
+    Rows whose window is still open at end-of-replay are never emitted,
+    and — the part every production consumer must know — the global
+    watermark under the default multipleWatermarkPolicy=min is the MIN
+    over BOTH sides' event-time maxima: the slower stream (here clicks,
+    whose last event precedes the last purchase by hours) gates
+    eviction for everyone. Both engines therefore restrict to windows
+    closed by `least(max_click_ts, max_purchase_ts) - watermark -
+    interval` (minus slack so boundary strictness cannot differ).
+    State on both sides stays watermark-bounded at any scale."""
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        interval="30 minutes",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    out = replay_to_memory(
+        joined.select("l_id", F.col("l_key").alias("user_id"), "l_ts", "r_id"),
+        "ss_louter",
+        "append",
+    )
+    evb = load_table(spark, sf_dir, "events")
+    maxes = evb.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    closed = F.lit(min(maxes["mc"], maxes["mp"])).cast("timestamp") - F.expr(
+        "INTERVAL 95 MINUTES"
+    )
+    return (
+        out.where(F.col("r_id").isNull())
+        .where(F.col("l_ts") <= closed)
+        .select("l_id", "user_id")
+        .orderBy("l_id")
+    )

@@ -255,11 +255,20 @@ def stream_stream_interval_join(
     key: str,
     interval: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within an event-time interval:
-    right.ts in [left.ts, left.ts + interval]. Both sides watermarked
-    so the join buffers are bounded; the time-range condition lets
-    Spark evict matched state."""
+    """Stream-stream join within an event-time interval: right.ts in
+    [left.ts, left.ts + interval]. Both sides watermarked so the join
+    buffers are bounded; the time-range condition lets Spark evict
+    matched state.
+
+    ``how="left_outer"`` emits unmatched left rows with NULL right
+    columns — but only once the watermark CLOSES a row's join window
+    (left.ts + interval + watermark delay), because until then a match
+    could still arrive. Consequence at end-of-stream: rows whose
+    window is still open when the replay finishes are never emitted;
+    deterministic consumers must filter to closed windows
+    (`l_ts <= max_event_time - watermark - interval`)."""
     lt = (
         left.withColumn("l_ts", F.col("ts").cast("timestamp"))
         .withWatermark("l_ts", watermark)
@@ -275,4 +284,5 @@ def stream_stream_interval_join(
         F.expr(
             f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {interval}"
         ),
+        how,
     )
