@@ -197,3 +197,94 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_nth))),
     )
+
+
+def _bmp_pixel_rows(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a 24-bit BI_RGB BMP into (width, height, rows), where
+    rows are in WRITTEN (file) order with the 4-byte padding stripped.
+    Validation is _decode_bmp's; this adds only the pixel copy."""
+    payload = bytes(payload)
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height, channels = _decode_bmp(payload)
+    if channels != 3:
+        raise ValueError(f"pixel ops support 24-bit BMP only, got {channels * 8}bpp")
+    stride = (width * 3 + 3) // 4 * 4
+    off = struct.unpack_from("<I", payload, 10)[0]
+    rows = [
+        payload[off + y * stride : off + y * stride + width * 3]
+        for y in range(height)
+    ]
+    return width, height, rows
+
+
+def resize_image(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resize of a 24-bit BMP, re-encoded as BMP —
+    the thumbnailing stage of an image-curation pipeline, pure Python
+    so it runs for real in this container. Source pixel for dst (x, y)
+    is (x * w // dst_w, y * h // dst_h) in written-row coordinates."""
+    w, h, rows = _bmp_pixel_rows(payload)
+    stride = (dst_w * 3 + 3) // 4 * 4
+    size = 54 + stride * dst_h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0, stride * dst_h, 2835, 2835, 0, 0
+        )
+    )
+    body = bytearray()
+    for y in range(dst_h):
+        src_row = rows[y * h // dst_h]
+        line = bytearray()
+        for x in range(dst_w):
+            sx = x * w // dst_w
+            line += src_row[sx * 3 : sx * 3 + 3]
+        line += b"\x00" * (stride - len(line))
+        body += line
+    return header + bytes(body)
+
+
+def resize_and_featurize(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dst_w: int = 8,
+    dst_h: int = 8,
+    sample_xy: tuple[int, int] = (4, 4),
+) -> DataFrame:
+    """mapInPandas resize stage: decode → nearest-neighbor resize →
+    BMP re-encode → decode AGAIN and sample one pixel of the result.
+    The round trip inside the executor proves the re-encoded payload
+    is a valid image, and the sampled pixel is arithmetically
+    derivable for synthetic fixtures, so the whole pixel path is
+    oracle-checkable. Arrow batches, no driver involvement."""
+    out_fields = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("rs_payload", T.BinaryType()),
+            T.StructField("rs_width", T.IntegerType()),
+            T.StructField("rs_height", T.IntegerType()),
+            T.StructField("rs_byte_len", T.LongType()),
+            T.StructField("px0", T.IntegerType()),
+            T.StructField("px1", T.IntegerType()),
+            T.StructField("px2", T.IntegerType()),
+        ]
+    )
+    sx, sy = sample_xy
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized = [resize_image(p, dst_w, dst_h) for p in pdf[payload_col]]
+            dims = [_bmp_pixel_rows(p) for p in resized]  # re-decode round trip
+            out["rs_payload"] = resized
+            out["rs_width"] = [d[0] for d in dims]
+            out["rs_height"] = [d[1] for d in dims]
+            out["rs_byte_len"] = [len(p) for p in resized]
+            px = [d[2][sy][sx * 3 : sx * 3 + 3] for d in dims]
+            out["px0"] = [p[0] for p in px]
+            out["px1"] = [p[1] for p in px]
+            out["px2"] = [p[2] for p in px]
+            yield out
+
+    return df.mapInPandas(resize_batches, schema=out_fields)

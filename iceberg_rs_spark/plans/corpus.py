@@ -94,6 +94,8 @@ PRIORITY: list[str] = [
     "table_zorder_rewrite",
     # Outer stream-stream join (watermark state eviction):
     "stream_stream_abandoned_clicks",
+    # Multimodal resize (pixel-path oracle):
+    "multimodal_resize_thumbnail",
 ]
 
 

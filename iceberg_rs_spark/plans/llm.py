@@ -922,3 +922,45 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "multimodal_resize_thumbnail",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + (doc_id % 32) AS w,
+               16 + ((doc_id // 32) % 32) AS h
+        FROM documents WHERE doc_id < 50),
+    sampled AS (
+        SELECT doc_id, w, h,
+               ((w // 2) * 7 + (h // 2) * 13 + doc_id) % 256 AS v
+        FROM dims)
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS rs_width,
+           CAST(8 AS INTEGER) AS rs_height,
+           CAST(246 AS BIGINT) AS rs_byte_len,
+           CAST(v AS INTEGER) AS px0,
+           CAST((v * 3) % 256 AS INTEGER) AS px1,
+           CAST((v * 5) % 256 AS INTEGER) AS px2
+    FROM sampled
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "resize", "pandas-udf"),
+)
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the multimodal plumbing: real BMP payloads
+    → mapInPandas nearest-neighbor thumbnail (8×8) → BMP re-encode →
+    re-decode and sample the center pixel. The oracle derives the
+    sampled pixel arithmetically from the synthetic image formula
+    (pixel(x,y) = ((x*7 + y*13 + seed) % 256) · (1,3,5) with the
+    nearest-neighbor source at (w//2, h//2)), so the hash match proves
+    actual pixels flowed through decode → resize → encode → decode —
+    not just headers. Same Arrow-batched executor-side shape a real
+    thumbnailing pipeline uses at scale."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    with_payload = M.attach_image_payload(docs)
+    rs = M.resize_and_featurize(with_payload, dst_w=8, dst_h=8, sample_xy=(4, 4))
+    return rs.select(
+        "doc_id", "rs_width", "rs_height", "rs_byte_len", "px0", "px1", "px2"
+    ).orderBy("doc_id")

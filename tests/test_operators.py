@@ -483,3 +483,53 @@ class TestMultimodal:
             assert r.byte_len == lens[r.doc_id]
             assert r.width == 16 + (r.byte_len % 64)
             assert r.height == 16 + ((r.byte_len // 64) % 64)
+
+
+class TestMultimodalResize:
+    def test_resize_pixel_exactness(self):
+        """NN resize picks source pixel (x*w//dw, y*h//dh); verify the
+        whole resized raster against the synth formula."""
+        from iceberg_rs_spark.operators.multimodal import (
+            _bmp_pixel_rows,
+            resize_image,
+            synth_bmp,
+        )
+
+        src = synth_bmp(20, 30, seed=5)
+        out = resize_image(src, 8, 8)
+        w, h, rows = _bmp_pixel_rows(out)
+        assert (w, h) == (8, 8)
+        for y in range(8):
+            sy = y * 30 // 8
+            for x in range(8):
+                sx = x * 20 // 8
+                v = (sx * 7 + sy * 13 + 5) % 256
+                assert rows[y][x * 3 : x * 3 + 3] == bytes(
+                    (v, (v * 3) % 256, (v * 5) % 256)
+                )
+
+    def test_resize_output_is_decodable_bmp(self):
+        from iceberg_rs_spark.operators.multimodal import (
+            decode_image,
+            resize_image,
+            synth_bmp,
+        )
+
+        out = resize_image(synth_bmp(33, 17), 5, 9)
+        assert decode_image(out) == (5, 9, 3)
+
+    def test_resize_rejects_non_bmp(self):
+        import pytest as _pytest
+
+        from iceberg_rs_spark.operators.multimodal import resize_image
+
+        with _pytest.raises(ValueError, match="not a BMP"):
+            resize_image(b"P6 2 2 255\n" + b"\x00" * 12, 2, 2)
+
+    def test_resize_rejects_truncated(self):
+        import pytest as _pytest
+
+        from iceberg_rs_spark.operators.multimodal import resize_image, synth_bmp
+
+        with _pytest.raises(ValueError, match="truncated"):
+            resize_image(synth_bmp(16, 16)[:100], 4, 4)
