@@ -288,3 +288,130 @@ def resize_and_featurize(
             yield out
 
     return df.mapInPandas(resize_batches, schema=out_fields)
+
+
+# --- audio (WAV/PCM) ------------------------------------------------------
+
+
+def synth_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (RIFF) — a *real* audio file,
+    generated without codecs. Sample i = ((i*7919 + seed*104729) %
+    65536) - 32768, reproducible arithmetically by the oracle."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((i * 7919 + seed * 104729) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _decode_wav(payload: bytes):
+    """Minimal RIFF/WAVE parse for 16-bit PCM: returns (n_channels,
+    sample_rate, samples int16 ndarray). Raises ValueError on
+    malformed/truncated/compressed payloads."""
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if len(payload) < 44:
+        raise ValueError("WAV truncated: header needs 44 bytes")
+    # walk chunks (fmt may not be first in the wild)
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("WAV truncated: data chunk short")
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if len(data) % (2 * channels) != 0:
+        raise ValueError("WAV truncated: data not a whole number of frames")
+    return channels, rate, np.frombuffer(data, dtype="<i2")
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter with *real* audio: a deterministic PCM clip per
+    row (length derived from the id), as binary payload + typed
+    metadata. Pandas-UDF batch generation, executor-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.apply(
+            lambda i: synth_wav(400 + int(i) % 400, sample_rate=8000, seed=int(i))
+        )
+
+    return df.withColumn("payload", make_wav(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio/wav").alias("content_type"),
+            F.length(F.col("payload")).cast("long").alias("content_length"),
+        ),
+    )
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas audio feature extraction: decode PCM and compute the
+    classic clip statistics — duration, peak amplitude, RMS, zero
+    crossings — vectorized in numpy per Arrow batch. Every feature is
+    integer-deterministic (RMS is the IEEE sqrt of an exactly-
+    representable integer mean), so the whole signal path is
+    oracle-checkable."""
+    import numpy as np
+
+    out_fields = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("n_zero_cross", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, durs, peaks, zcs, rmss = [], [], [], [], [], []
+            for p in pdf[payload_col]:
+                _ch, rate, s = _decode_wav(p)
+                s64 = s.astype(np.int64)
+                n = len(s)
+                rates.append(rate)
+                counts.append(n)
+                durs.append(n * 1000 // rate)
+                peaks.append(int(np.abs(s64).max()) if n else 0)
+                pos = s64 >= 0
+                zcs.append(int((pos[1:] != pos[:-1]).sum()) if n > 1 else 0)
+                rmss.append(float(np.sqrt((s64 * s64).sum() / n)) if n else 0.0)
+            out = pdf.copy()
+            out["sample_rate"] = rates
+            out["n_samples"] = counts
+            out["duration_ms"] = durs
+            out["peak"] = peaks
+            out["n_zero_cross"] = zcs
+            out["rms"] = rmss
+            yield out
+
+    return df.mapInPandas(feature_batches, schema=out_fields)

@@ -96,6 +96,8 @@ PRIORITY: list[str] = [
     "stream_stream_abandoned_clicks",
     # Multimodal resize (pixel-path oracle):
     "multimodal_resize_thumbnail",
+    # Multimodal audio (PCM decode + DSP features):
+    "multimodal_audio_features",
 ]
 
 

@@ -964,3 +964,55 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs.select(
         "doc_id", "rs_width", "rs_height", "rs_byte_len", "px0", "px1", "px2"
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, 400 + (doc_id % 400) AS n
+        FROM documents WHERE doc_id < 50),
+    samples AS (
+        SELECT d.doc_id, t.i,
+               ((t.i * 7919 + d.doc_id * 104729) % 65536) - 32768 AS s
+        FROM docs d, unnest(generate_series(0, d.n - 1)) AS t(i)),
+    lagged AS (
+        SELECT doc_id, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samples)
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_cross,
+           {rhalf_sql('sqrt(SUM(s * s) * 1.0 / COUNT(*))', 4)} AS rms
+    FROM lagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio through the multimodal plumbing: real 16-bit PCM WAV
+    payloads (RIFF chunks walked, not assumed in order) → Arrow-batched
+    mapInPandas → numpy signal features: duration, peak amplitude, zero
+    crossings, RMS. Every feature is integer-deterministic — RMS is the
+    IEEE sqrt of an exactly-representable integer mean — so the oracle
+    regenerates the identical PCM stream arithmetically and the hash
+    match certifies the full decode + DSP path, the audio counterpart
+    of the image decode/resize queries."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    with_payload = M.attach_audio_payload(docs)
+    feats = M.audio_features(with_payload)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        "n_zero_cross",
+        rhalf(F.col("rms"), 4).alias("rms"),
+    ).orderBy("doc_id")

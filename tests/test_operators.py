@@ -533,3 +533,52 @@ class TestMultimodalResize:
 
         with _pytest.raises(ValueError, match="truncated"):
             resize_image(synth_bmp(16, 16)[:100], 4, 4)
+
+
+class TestMultimodalAudio:
+    def test_wav_roundtrip_features(self):
+        import numpy as np
+
+        from iceberg_rs_spark.operators.multimodal import _decode_wav, synth_wav
+
+        ch, rate, s = _decode_wav(synth_wav(100, 8000, seed=3))
+        assert (ch, rate, len(s)) == (1, 8000, 100)
+        i = np.arange(100, dtype=np.int64)
+        expected = (i * 7919 + 3 * 104729) % 65536 - 32768
+        assert (s.astype(np.int64) == expected).all()
+
+    def test_wav_chunk_walk_tolerates_extra_chunks(self):
+        import struct
+
+        from iceberg_rs_spark.operators.multimodal import _decode_wav, synth_wav
+
+        raw = synth_wav(10)
+        # splice a LIST chunk between header and fmt
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = raw[:12] + extra + raw[12:]
+        ch, rate, s = _decode_wav(spliced)
+        assert (ch, rate, len(s)) == (1, 8000, 10)
+
+    def test_wav_rejects_non_riff_and_truncated(self):
+        import pytest as _pytest
+
+        from iceberg_rs_spark.operators.multimodal import _decode_wav, synth_wav
+
+        with _pytest.raises(ValueError, match="not a RIFF"):
+            _decode_wav(b"OggS" + b"\x00" * 60)
+        with _pytest.raises(ValueError, match="truncated|fmt/data"):
+            _decode_wav(synth_wav(10)[:40])
+        with _pytest.raises(ValueError, match="data chunk short"):
+            _decode_wav(synth_wav(30)[:50])  # header ok, data chunk cut
+
+    def test_wav_rejects_non_pcm16(self):
+        import struct
+
+        import pytest as _pytest
+
+        from iceberg_rs_spark.operators.multimodal import _decode_wav, synth_wav
+
+        raw = bytearray(synth_wav(10))
+        struct.pack_into("<H", raw, 34, 8)  # bits-per-sample -> 8
+        with _pytest.raises(ValueError, match="16-bit PCM"):
+            _decode_wav(bytes(raw))
