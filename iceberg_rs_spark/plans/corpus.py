@@ -98,6 +98,8 @@ PRIORITY: list[str] = [
     "multimodal_resize_thumbnail",
     # Multimodal audio (PCM decode + DSP features):
     "multimodal_audio_features",
+    # Time-series gap fill + interpolation:
+    "ts_gapfill_interpolate",
 ]
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.operators.skew import salted_agg, salted_join
-from iceberg_rs_spark.plans.canon import rhalf_sql
+from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
 
@@ -140,3 +140,110 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    hourly AS (
+        SELECT user_id,
+               CAST(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                             date_trunc('hour', ts)) AS BIGINT) AS hidx,
+               AVG(value) AS v
+        FROM evt WHERE user_id < 40
+        GROUP BY user_id, hidx),
+    spans AS (
+        SELECT user_id, MIN(hidx) AS mn, MAX(hidx) AS mx
+        FROM hourly GROUP BY user_id),
+    grid AS (
+        SELECT s.user_id, t.h AS hidx
+        FROM spans s, unnest(generate_series(s.mn, s.mx)) AS t(h)),
+    j AS (
+        SELECT g.user_id, g.hidx, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hidx = h.hidx),
+    ctx AS (
+        SELECT user_id, hidx, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hidx END IGNORE NULLS)
+                   OVER w_prev AS ph,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hidx END IGNORE NULLS)
+                   OVER w_next AS nh
+        FROM j
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY hidx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY user_id ORDER BY hidx
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hidx,
+           {rhalf_sql('COALESCE(v, pv + (nv - pv) * (hidx - ph) * 1.0 / (nh - ph))', 4)}
+               AS value,
+           CAST(v IS NULL AS BOOLEAN) AS interpolated
+    FROM ctx
+    ORDER BY user_id, hidx
+    """,
+    tags=("timeseries", "window", "gapfill"),
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation (the
+    TimescaleDB time_bucket_gapfill / interpolate shape): hourly
+    averages per user, a dense hour grid spanned per user via
+    sequence+explode, missing hours filled by interpolating between
+    the nearest present neighbors (last/first over IGNORE NULLS
+    windows). Hour indexes are integer hours-since-epoch computed with
+    timezone-independent date arithmetic — never unix_timestamp, which
+    would shift under the driver's session timezone. The per-user
+    windows partition by user_id, so no single-partition window exists
+    and the plan scales with the user count."""
+    from pyspark.sql import Window
+
+    from iceberg_rs_spark.functions.transforms import hours_from_epoch
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    hourly = (
+        ev.select(
+            "user_id",
+            hours_from_epoch(F.col("ts")).cast("long").alias("hidx"),
+            "value",
+        )
+        .groupBy("user_id", "hidx")
+        .agg(F.avg("value").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hidx").alias("mn"), F.max("hidx").alias("mx")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hidx")
+    )
+    j = grid.join(hourly, ["user_id", "hidx"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hidx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_h = F.when(F.col("v").isNotNull(), F.col("hidx"))
+    ctx = j.select(
+        "user_id",
+        "hidx",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(present_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(present_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("hidx") - F.col("ph")
+    ) * 1.0 / (F.col("nh") - F.col("ph"))
+    return ctx.select(
+        "user_id",
+        "hidx",
+        rhalf(F.coalesce(F.col("v"), interp), 4).alias("value"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("user_id", "hidx")
