@@ -415,3 +415,113 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(feature_batches, schema=out_fields)
+
+
+# --- video (frame container) ----------------------------------------------
+
+
+def synth_video(n_frames: int, width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic toy video container: b"VID0" + u32 frame count,
+    then length-prefixed BMP frames (frame k encoded with seed+k). A
+    stand-in for a real container with the same access pattern —
+    sequential frame records an extractor walks."""
+    out = bytearray(b"VID0" + struct.pack("<I", n_frames))
+    for k in range(n_frames):
+        frame = synth_bmp(width, height, seed=seed + k)
+        out += struct.pack("<I", len(frame)) + frame
+    return bytes(out)
+
+
+def _video_frames(payload: bytes) -> list[bytes]:
+    payload = bytes(payload)
+    if payload[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames, pos = [], 8
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("video truncated: frame header short")
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if pos + ln > len(payload):
+            raise ValueError("video truncated: frame body short")
+        frames.append(payload[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter with *real* frame data: a VID0 clip per row
+    (frame count and geometry derived from the id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_vid(ids: pd.Series) -> pd.Series:
+        return ids.apply(
+            lambda i: synth_video(
+                4 + int(i) % 5, 16 + int(i) % 8, 16, seed=int(i) * 31
+            )
+        )
+
+    return df.withColumn("payload", make_vid(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video/vid0").alias("content_type"),
+            F.length(F.col("payload")).cast("long").alias("content_length"),
+        ),
+    )
+
+
+def sample_frames_and_featurize(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_nth: int = 2,
+    sample_xy: tuple[int, int] = (3, 5),
+) -> DataFrame:
+    """mapInPandas frame sampling: walk the container, keep every Nth
+    frame, decode each kept BMP and sample one pixel — the fan-out
+    shape (one input row → one row per sampled frame) used for
+    per-frame feature extraction. Output rows carry (frame_idx,
+    n_frames, frame dims, sampled pixel)."""
+    out_fields = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("f_width", T.IntegerType()),
+            T.StructField("f_height", T.IntegerType()),
+            T.StructField("px0", T.IntegerType()),
+            T.StructField("px1", T.IntegerType()),
+            T.StructField("px2", T.IntegerType()),
+        ]
+    )
+    sx, sy = sample_xy
+    keep_cols = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = _video_frames(r[payload_col])
+                for k in range(0, len(frames), every_nth):
+                    w, h, rws = _bmp_pixel_rows(frames[k])
+                    px = rws[sy][sx * 3 : sx * 3 + 3]
+                    rows.append(
+                        {
+                            **{c: r[c] for c in keep_cols},
+                            "n_frames": len(frames),
+                            "frame_idx": k,
+                            "f_width": w,
+                            "f_height": h,
+                            "px0": px[0],
+                            "px1": px[1],
+                            "px2": px[2],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=keep_cols
+                + ["n_frames", "frame_idx", "f_width", "f_height", "px0", "px1", "px2"],
+            )
+
+    return df.mapInPandas(frame_batches, schema=out_fields)

@@ -100,6 +100,8 @@ PRIORITY: list[str] = [
     "multimodal_audio_features",
     # Time-series gap fill + interpolation:
     "ts_gapfill_interpolate",
+    # Multimodal video (container walk + frame decode):
+    "multimodal_video_frame_sample",
 ]
 
 

@@ -1016,3 +1016,47 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_cross",
         rhalf(F.col("rms"), 4).alias("rms"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               4 + (doc_id % 5) AS n_frames,
+               16 + (doc_id % 8) AS w
+        FROM documents WHERE doc_id < 40),
+    frames AS (
+        SELECT d.doc_id, d.n_frames, d.w, t.k AS frame_idx
+        FROM docs d, unnest(generate_series(0, d.n_frames - 1, 2)) AS t(k))
+    SELECT doc_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS f_width,
+           CAST(16 AS INTEGER) AS f_height,
+           CAST((86 + doc_id * 31 + frame_idx) % 256 AS INTEGER) AS px0,
+           CAST(((86 + doc_id * 31 + frame_idx) % 256) * 3 % 256 AS INTEGER) AS px1,
+           CAST(((86 + doc_id * 31 + frame_idx) % 256) * 5 % 256 AS INTEGER) AS px2
+    FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video", "frame-sample", "pandas-udf"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling with REAL frame decode: per-row VID0 clips
+    (length-prefixed BMP frames) → mapInPandas walks the container,
+    keeps every 2nd frame, decodes each kept BMP, and samples a pixel —
+    the one-row-in, row-per-sampled-frame fan-out of per-frame feature
+    extraction. The oracle regenerates frame counts, geometry, and the
+    sampled pixel (frame k uses seed doc_id*31 + k) arithmetically, so
+    the hash match certifies container walk + frame decode + pixel
+    sampling — completing the image/audio/video triad with real
+    decoders."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    with_payload = M.attach_video_payload(docs.select("doc_id"))
+    frames = M.sample_frames_and_featurize(
+        with_payload.select("doc_id", "payload"), every_nth=2, sample_xy=(3, 5)
+    )
+    return frames.select(
+        "doc_id", "n_frames", "frame_idx", "f_width", "f_height", "px0", "px1", "px2"
+    ).orderBy("doc_id", "frame_idx")

@@ -582,3 +582,37 @@ class TestMultimodalAudio:
         struct.pack_into("<H", raw, 34, 8)  # bits-per-sample -> 8
         with _pytest.raises(ValueError, match="16-bit PCM"):
             _decode_wav(bytes(raw))
+
+
+class TestMultimodalVideo:
+    def test_container_roundtrip(self):
+        from iceberg_rs_spark.operators.multimodal import (
+            _video_frames,
+            decode_image,
+            synth_video,
+        )
+
+        vid = synth_video(5, 20, 16, seed=7)
+        frames = _video_frames(vid)
+        assert len(frames) == 5
+        assert all(decode_image(f) == (20, 16, 3) for f in frames)
+
+    def test_frame_pixels_vary_by_seed(self):
+        from iceberg_rs_spark.operators.multimodal import (
+            _bmp_pixel_rows,
+            _video_frames,
+            synth_video,
+        )
+
+        f0, f1 = _video_frames(synth_video(2, 16, 16, seed=0))
+        assert _bmp_pixel_rows(f0)[2] != _bmp_pixel_rows(f1)[2]
+
+    def test_truncated_and_bad_magic_rejected(self):
+        import pytest as _pytest
+
+        from iceberg_rs_spark.operators.multimodal import _video_frames, synth_video
+
+        with _pytest.raises(ValueError, match="not a VID0"):
+            _video_frames(b"MOOV" + b"\x00" * 20)
+        with _pytest.raises(ValueError, match="truncated"):
+            _video_frames(synth_video(3, 16, 16)[:-10])
