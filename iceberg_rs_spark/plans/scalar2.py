@@ -386,3 +386,76 @@ def agg_dispersion_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "fn_unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice
+    FROM part WHERE p_partkey < 200
+    ORDER BY p_partkey, metric
+    """,
+    tags=("relational", "unpivot"),
+)
+def fn_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long): each part row fans out to one row
+    per measure column. Spark's native unpivot operator (an Expand
+    node — one pass, no join, no union re-scan); the oracle is the
+    equivalent stacked UNION ALL. The value columns cast to one common
+    type, which is the unpivot contract."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers by balance per
+    nation. The lateral per-row subquery is the declarative form;
+    Catalyst de-correlates it into the windowed ranked-join a
+    distributed engine actually runs (never one subquery execution per
+    outer row), which is why LATERAL is safe at 100 TB on Spark.
+    Deterministic via the (balance, name) tiebreak."""
+    from iceberg_rs_spark.sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )

@@ -304,3 +304,22 @@ class TestPipelinePlans:
         plan = final_plan(df)
         assert "EvalPython" not in plan
         assert "partial_count" in plan or "partial" in plan
+
+    def test_lateral_topn_decorrelates_to_ranked_join(self, spark, sf_dir):
+        """The correlated LATERAL subquery must compile to one windowed
+        ranked join (WindowGroupLimit pushes the per-group top-k below
+        the shuffle) — never a per-outer-row subquery execution or a
+        nested-loop product."""
+        plan = final_plan(CORPUS["join_lateral_topn"].builder(spark, sf_dir))
+        assert "Window" in plan and "WindowGroupLimit" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_unpivot_is_single_pass_expand(self, spark, sf_dir):
+        """unpivot must plan as one Expand over one scan — not a UNION
+        of per-measure re-scans."""
+        plan = final_plan(CORPUS["fn_unpivot_melt"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Expand" in final
+        assert final.count("FileScan parquet") == 1
