@@ -102,6 +102,9 @@ PRIORITY: list[str] = [
     "ts_gapfill_interpolate",
     # Multimodal video (container walk + frame decode):
     "multimodal_video_frame_sample",
+    # Relational-surface additions:
+    "fn_unpivot_melt",
+    "join_lateral_topn",
 ]
 
 
