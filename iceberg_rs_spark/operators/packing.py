@@ -32,36 +32,54 @@ def with_global_offset(
     weight_col: str,
     num_partitions: int = 32,
     out_col: str = "start_offset",
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Add the exclusive prefix sum of ``weight_col`` in ``order_col``
     order as ``out_col``, computed with the two-pass partition-offset
-    scheme (no global-order window)."""
-    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+    scheme (no global-order window).
+
+    ``group_cols`` makes it a GROUPED prefix sum: the running total
+    restarts at every group boundary (rows ordered by group, then
+    order_col). The shape is identical — range partition on
+    (group..., order), per-(partition, group) totals to the driver,
+    per-group running offsets broadcast back — so a group larger than
+    any one partition still never funnels through a single task."""
+    groups = list(group_cols or [])
+    range_cols = [F.col(c) for c in groups] + [F.col(order_col)]
+    ranged = df.repartitionByRange(num_partitions, *range_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # Partition totals: N rows cross to the driver (partition METADATA,
-    # not data). Offsets are assigned in partition key-range order.
+    # Partition totals: one row per (partition, group) crosses to the
+    # driver (partition METADATA, not data). Offsets accumulate in
+    # (group, key-range) order and reset per group.
     totals = (
-        ranged.groupBy("_pid")
+        ranged.groupBy("_pid", *groups)
         .agg(F.sum(weight_col).alias("_tot"), F.min(order_col).alias("_lo"))
         .collect()
     )
-    offsets, acc = {}, 0
-    for row in sorted(totals, key=lambda r: r["_lo"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_tot"]
     spark = df.sparkSession
+    acc_by_group: dict = {}
+    rows = []
+    for row in sorted(
+        totals, key=lambda r: (tuple(r[g] for g in groups), r["_lo"])
+    ):
+        gkey = tuple(row[g] for g in groups)
+        off = acc_by_group.get(gkey, 0)
+        rows.append((int(row["_pid"]), *gkey, int(off)))
+        acc_by_group[gkey] = off + row["_tot"]
+    gschema = "".join(
+        f"{g} {dict(df.dtypes)[g]}, " for g in groups
+    )
     off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        "_pid int, _part_offset bigint",
+        rows, f"_pid int, {gschema}_part_offset bigint"
     )
     win = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *groups)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.join(F.broadcast(off_df), "_pid")
+        ranged.join(F.broadcast(off_df), ["_pid", *groups])
         .withColumn(
             out_col,
             (
@@ -80,11 +98,16 @@ def pack_bins(
     weight_col: str,
     ctx: int,
     num_partitions: int = 32,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Assign each row the context-window bin its stream offset starts
     in: ``bin = floor(start_offset / ctx)`` (documents may straddle
-    bins, exactly like a concat-and-chunk dataloader)."""
-    with_off = with_global_offset(df, order_col, weight_col, num_partitions)
+    bins, exactly like a concat-and-chunk dataloader). With
+    ``group_cols`` the stream — and the bin numbering — restarts per
+    group (e.g. one packed stream per train/val/test split)."""
+    with_off = with_global_offset(
+        df, order_col, weight_col, num_partitions, group_cols=group_cols
+    )
     return with_off.withColumn(
         "bin", F.floor(F.col("start_offset") / F.lit(float(ctx))).cast("long")
     )

@@ -105,6 +105,8 @@ PRIORITY: list[str] = [
     # Relational-surface additions:
     "fn_unpivot_melt",
     "join_lateral_topn",
+    # Composed round-3 pipeline (repetition gate → split → packing):
+    "prepare_training_corpus",
 ]
 
 

@@ -1060,3 +1060,92 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return frames.select(
         "doc_id", "n_frames", "frame_idx", "f_width", "f_height", "px0", "px1", "px2"
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "prepare_training_corpus",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL.format(c='text')} AS w FROM documents),
+    base AS (
+        SELECT doc_id, len(w) AS n_tok,
+               CASE WHEN len(w) > 0
+                    THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                    ELSE 0.0 END AS dup_word_frac
+        FROM toks),
+    cnt AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS g FROM toks)
+        GROUP BY doc_id, g),
+    fr AS (
+        SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac
+        FROM cnt GROUP BY doc_id),
+    kept AS (
+        SELECT b.doc_id, b.n_tok
+        FROM base b LEFT JOIN fr ON b.doc_id = fr.doc_id
+        WHERE b.dup_word_frac <= 0.55
+          AND COALESCE(fr.top_bigram_frac, 0.0) <= 0.05),
+    labeled AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN {h60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                        THEN 'train'
+                    WHEN {h60_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept),
+    packed AS (
+        SELECT split, n_tok,
+               SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS start_offset
+        FROM labeled)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(start_offset // 512) + 1 AS BIGINT) AS n_bins
+    FROM packed
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("llm", "pipeline", "composed", "repetition", "split", "packing"),
+)
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 training-data pipeline COMPOSED end to end in one
+    declarative plan: repetition quality gate (dup-word + top-bigram
+    thresholds) → deterministic hash train/val/test split → per-split
+    concat-and-chunk sequence packing (the GROUPED two-pass prefix
+    sum: bin numbering restarts per split, running totals reset at
+    group boundaries, still no single-partition window) → per-split
+    corpus accounting with packed-bin counts. Each stage is an
+    already-verified operator; this row certifies their composition,
+    the counterpart of pipeline_training_data for the round-3
+    additions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = T.repetition_signals(docs)
+    kept = sig.where(
+        (F.col("dup_word_frac") <= 0.55) & (F.col("top_bigram_frac") <= 0.05)
+    ).select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+    bucket = (
+        h60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    )
+    labeled = kept.select(
+        "doc_id",
+        "n_tok",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    packed = P.pack_bins(
+        labeled, order_col="doc_id", weight_col="n_tok", ctx=512,
+        group_cols=["split"],
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.max(F.col("bin")) + 1).alias("n_bins"),
+        )
+        .orderBy("split")
+    )

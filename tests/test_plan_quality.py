@@ -323,3 +323,38 @@ class TestPipelinePlans:
         final = plan.split("== Initial Plan ==")[0]
         assert "Expand" in final
         assert final.count("FileScan parquet") == 1
+
+    def test_grouped_prefix_sum_is_exact_and_partition_invariant(self, spark, sf_dir):
+        """The grouped variant must equal a per-group local cumsum at
+        any partition count — running totals reset at group
+        boundaries."""
+        import pandas as pd
+
+        from iceberg_rs_spark.operators import packing as P
+        from iceberg_rs_spark.operators import text as Tx
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                (F.col("doc_id") % 3).cast("string").alias("grp"),
+                Tx.token_count(F.col("text")).alias("n_tok"),
+            )
+        )
+        local = toks.orderBy("grp", "doc_id").toPandas()
+        expected = (
+            local.groupby("grp")["n_tok"].cumsum() - local["n_tok"]
+        ).astype("int64")
+        for n_part in (1, 7, 32):
+            got = (
+                P.with_global_offset(
+                    toks, "doc_id", "n_tok", n_part, group_cols=["grp"]
+                )
+                .orderBy("grp", "doc_id")
+                .select("start_offset")
+                .toPandas()["start_offset"]
+            )
+            pd.testing.assert_series_equal(
+                got, expected, check_names=False, check_index=False
+            )
