@@ -107,6 +107,8 @@ PRIORITY: list[str] = [
     "join_lateral_topn",
     # Composed round-3 pipeline (repetition gate → split → packing):
     "prepare_training_corpus",
+    # Exact percentiles + regression aggregate family:
+    "agg_percentiles_regression",
 ]
 
 

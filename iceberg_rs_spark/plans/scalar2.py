@@ -459,3 +459,46 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
         """
     )
+
+
+@query(
+    "agg_percentiles_regression",
+    oracle=f"""
+    SELECT l_returnflag,
+           {rhalf_sql('quantile_cont(l_extendedprice, 0.25)', 4)} AS p25,
+           {rhalf_sql('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50,
+           {rhalf_sql('quantile_cont(l_extendedprice, 0.75)', 4)} AS p75,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           {rhalf_sql('regr_slope(l_extendedprice, l_quantity)', 4)} AS slope,
+           {rhalf_sql('regr_intercept(l_extendedprice, l_quantity)', 4)} AS intercept,
+           {rhalf_sql('regr_r2(l_extendedprice, l_quantity)', 6)} AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "regression"),
+)
+def agg_percentiles_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation — the sort-based
+    `percentile`, not the approx sketch) plus the linear-regression
+    aggregate family (regr_count/slope/intercept/r2) per return flag.
+    Both engines interpolate quantiles identically and compute the
+    regression from the same second moments; outputs are
+    half-up-rounded so summation-order ulps cannot leak into the
+    hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            rhalf(pct.getItem(0), 4).alias("p25"),
+            rhalf(pct.getItem(1), 4).alias("p50"),
+            rhalf(pct.getItem(2), 4).alias("p75"),
+            F.regr_count(y, x).alias("n_pairs"),
+            rhalf(F.regr_slope(y, x), 4).alias("slope"),
+            rhalf(F.regr_intercept(y, x), 4).alias("intercept"),
+            rhalf(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
