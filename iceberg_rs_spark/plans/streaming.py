@@ -393,22 +393,34 @@ def stream_stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFram
         watermark="1 hour",
         how="left_outer",
     )
-    out = replay_to_memory(
+    from iceberg_rs_spark.streaming import replay_to_parquet
+
+    # Two-pass drain (not the memory sink): outer-join NULL rows flush
+    # one batch after the watermark closes their window, and whether
+    # availableNow runs that extra no-data batch before terminating is
+    # scheduling-dependent. The second pass resumes from the checkpoint
+    # and deterministically drains stragglers (exactly-once file sink).
+    out = replay_to_parquet(
         joined.select("l_id", F.col("l_key").alias("user_id"), "l_ts", "r_id"),
         "ss_louter",
-        "append",
+        passes=2,
     )
     evb = load_table(spark, sf_dir, "events")
     maxes = evb.groupBy().agg(
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
     ).collect()[0]
-    closed = F.lit(min(maxes["mc"], maxes["mp"])).cast("timestamp") - F.expr(
-        "INTERVAL 95 MINUTES"
-    )
+    # Compare in NTZ: a naive-datetime literal and a session-tz cast
+    # disagree about which instant a wall time means whenever the
+    # driver's session timezone is not the process default, silently
+    # shifting the cutoff by the zone offset. Casting l_ts back to NTZ
+    # (inverse of the watermark cast, same session) and parsing the
+    # threshold as an NTZ string keeps every comparison wall-clock.
+    wall = min(maxes["mc"], maxes["mp"]).strftime("%Y-%m-%d %H:%M:%S.%f")
+    closed = F.lit(wall).cast("timestamp_ntz") - F.expr("INTERVAL 95 MINUTES")
     return (
         out.where(F.col("r_id").isNull())
-        .where(F.col("l_ts") <= closed)
+        .where(F.col("l_ts").cast("timestamp_ntz") <= closed)
         .select("l_id", "user_id")
         .orderBy("l_id")
     )

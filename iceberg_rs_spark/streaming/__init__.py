@@ -18,6 +18,7 @@ from iceberg_rs_spark.streaming.ops import (  # noqa: F401
     replay_cdc_to_icelake,
     replay_to_icelake,
     replay_to_memory,
+    replay_to_parquet,
     session_agg,
     sliding_window_agg,
     stateful_dedup,

@@ -286,3 +286,48 @@ def stream_stream_interval_join(
         ),
         how,
     )
+
+
+def replay_to_parquet(
+    stream_df: DataFrame,
+    name: str,
+    passes: int = 2,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Replay a streaming plan into an exactly-once parquet file sink,
+    draining it in ``passes`` consecutive availableNow runs over ONE
+    persistent checkpoint, and return the materialized result.
+
+    Why two passes: a stream-stream OUTER join emits its NULL rows only
+    when a watermark that CLOSES their window is processed, and the
+    watermark advances at the END of a micro-batch — so the last
+    eviction needs a no-data batch after the final data batch. Whether
+    availableNow squeezes that extra batch in before terminating is
+    scheduling-dependent (observed: the latest-closing row occasionally
+    missing under load). A second availableNow run resumes from the
+    checkpoint, processes no new data, runs its own no-data batch with
+    the final watermark, and flushes any straggler — which is exactly
+    what a production consumer restarting from the checkpoint does.
+    The file sink's commit manifest makes the union of passes
+    exactly-once, so drained rows never duplicate."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    base = tempfile.mkdtemp(prefix=f"replay_{name}_")
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        for _ in range(max(1, passes)):
+            q: StreamingQuery = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_dir)
