@@ -49,6 +49,14 @@ def with_global_offset(
     ranged = df.repartitionByRange(num_partitions, *range_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Spill-safe barrier: the totals pass and the final offset pass MUST
+    # see identical partition contents (a re-derived upstream could
+    # reassign range boundaries and desync offsets from rows), and an
+    # expensive upstream should not run twice. Persisted, not
+    # localCheckpoint, so lineage survives executor loss on clusters.
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     # Partition totals: one row per (partition, group) crosses to the
     # driver (partition METADATA, not data). Offsets accumulate in
     # (group, key-range) order and reset per group.
