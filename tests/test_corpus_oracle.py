@@ -42,3 +42,31 @@ def test_priority_queries_lead_registry():
     assert names[: len(registered_priority)] == registered_priority
     # Everything registered is still present exactly once.
     assert sorted(names) == sorted(corpus.CORPUS)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the queries whose semantics touch timestamps hardest: stream
+        # watermark casts + closed-window cutoff, epoch transforms,
+        # datetime scalar family, hour-grid interpolation
+        "stream_stream_abandoned_clicks",
+        "fn_epoch_transforms",
+        "fn_datetime_family2",
+        "ts_gapfill_interpolate",
+    ],
+)
+def test_timezone_independence(name, spark, duck, sf_dir):
+    """The driver's session timezone is not guaranteed to be UTC; every
+    query must produce identical (hash-equal) results regardless. This
+    sweep caught a real bug once: a naive-datetime literal cast under a
+    non-UTC session shifted the outer stream join's closed-window
+    cutoff by the zone offset."""
+    spec = CORPUS[name]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert_frames_match(spark_pdf, duck.sql(spec.oracle).df(), name=f"tz:{name}")
