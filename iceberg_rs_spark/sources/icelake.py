@@ -1625,6 +1625,76 @@ class Table:
 
         self._commit(updater)
 
+    def fast_forward(self, branch: str, source_ref: str) -> None:
+        """Move ``branch`` to ``source_ref``'s head, allowed only when
+        the branch's current head is an ancestor of (or equal to) the
+        source head — CALL system.fast_forward. The audit-branch
+        pattern: write to a staging branch, validate, fast-forward main
+        (metadata-only, no data moves); a diverged branch refuses, the
+        same contract as git."""
+
+        def updater(md: TableMetadata) -> TableMetadata:
+            if source_ref not in md.refs:
+                raise KeyError(f"unknown ref: {source_ref}")
+            src_head = md.refs[source_ref].snapshot_id
+            cur_ref = md.refs.get(branch)
+            if cur_ref is not None:
+                cur_head = cur_ref.snapshot_id
+            elif branch == MAIN_BRANCH:
+                cur_head = md.current_snapshot_id
+            else:
+                raise KeyError(f"unknown branch: {branch}")
+            sid, ok = src_head, cur_head is None
+            while sid is not None and not ok:
+                if sid == cur_head:
+                    ok = True
+                    break
+                sid = md.snapshot_by_id(sid).parent_snapshot_id
+            if not ok:
+                raise ValueError(
+                    f"cannot fast-forward {branch!r} to {source_ref!r}: "
+                    f"{branch!r} has diverged (its head is not an ancestor "
+                    "of the source head)"
+                )
+            refs = dict(md.refs)
+            refs[branch] = Reference(
+                snapshot_id=src_head,
+                type="branch",
+                min_snapshots_to_keep=cur_ref.min_snapshots_to_keep if cur_ref else None,
+                max_snapshot_age_ms=cur_ref.max_snapshot_age_ms if cur_ref else None,
+                max_ref_age_ms=cur_ref.max_ref_age_ms if cur_ref else None,
+            )
+            return md.evolve(
+                refs=refs,
+                current_snapshot_id=(
+                    src_head if branch == MAIN_BRANCH else md.current_snapshot_id
+                ),
+                snapshot_log=md.snapshot_log
+                + (SnapshotLogEntry(src_head, _now_ms()),),
+            )
+
+        self._commit(updater)
+
+    def rewrite_manifests(
+        self, shard_size: int | None = None, branch: str = MAIN_BRANCH
+    ) -> None:
+        """Metadata-only commit rewriting the current manifest layout —
+        CALL system.rewrite_manifests. Data files are untouched; the
+        entry list is re-written under the (optionally updated)
+        ``write.manifest.shard-size``, re-balancing scan-planning
+        parallelism after the shard target changes or after many
+        small commits."""
+        if shard_size is not None:
+            self.set_properties(**{"write.manifest.shard-size": str(shard_size)})
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            entries = self._current_entries(cur, branch)
+            return self._new_snapshot(
+                cur, "replace", entries, branch, {"rewrite-manifests": "true"}
+            )
+
+        self._commit(updater)
+
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         def updater(md: TableMetadata) -> TableMetadata:
             md.snapshot_by_id(snapshot_id)  # must exist

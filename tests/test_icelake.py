@@ -1145,3 +1145,47 @@ class TestClusterByPartitionedGuard:
         t.append(events_df)
         with _pytest.raises(ValueError, match="unpartitioned"):
             t.compact(cluster_by=["user_id"], strategy="zorder")
+
+
+class TestFastForwardAndManifests:
+    def test_fast_forward_main_to_audit_branch(self, catalog, events_df):
+        t = catalog.create_table("db.ffwd", events_df.schema)
+        t.append(events_df.limit(10))
+        t.create_branch("staging")
+        t.append(events_df.limit(25), branch="staging")
+        assert t.scan().count() == 10          # main unchanged
+        t.fast_forward("main", "staging")
+        assert t.scan().count() == 35          # main now at staging head
+        # ff is metadata-only: no new snapshot was created
+        heads = {r["name"]: r["snapshot_id"] for r in t.refs().collect()}
+        assert heads["main"] == heads["staging"]
+
+    def test_fast_forward_refuses_diverged_branch(self, catalog, events_df):
+        import pytest as _pytest
+
+        t = catalog.create_table("db.ffwd2", events_df.schema)
+        t.append(events_df.limit(10))
+        t.create_branch("staging")
+        t.append(events_df.limit(25), branch="staging")
+        t.append(events_df.limit(5))  # main moves too -> diverged
+        with _pytest.raises(ValueError, match="diverged"):
+            t.fast_forward("main", "staging")
+        with _pytest.raises(KeyError):
+            t.fast_forward("main", "nope")
+
+    def test_rewrite_manifests_reshards_without_touching_data(self, catalog, events_df):
+        t = catalog.create_table("db.rwm", events_df.schema)
+        for i in range(3):
+            t.append(events_df.where(F.col("event_id") % 3 == i))
+        before_rows = t.to_df().count()
+        before_files = {e.path for e in t._current_entries(t.metadata)}
+        snap0 = max(t.metadata.snapshots, key=lambda s: s.sequence_number)
+        assert t._manifest_parts(snap0) is None  # few entries: monolithic
+        t.rewrite_manifests(shard_size=1)
+        snap1 = max(t.metadata.snapshots, key=lambda s: s.sequence_number)
+        assert snap1.summary["operation"] == "replace"
+        assert snap1.summary["rewrite-manifests"] == "true"
+        parts = t._manifest_parts(snap1)
+        assert parts is not None and len(parts) == len(before_files)
+        assert {e.path for e in t._current_entries(t.metadata)} == before_files
+        assert t.to_df().count() == before_rows
