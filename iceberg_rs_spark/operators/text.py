@@ -220,3 +220,78 @@ def repetition_signals(
         .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
         .withColumn("top_trigram_frac", F.coalesce("top_trigram_frac", F.lit(0.0)))
     )
+
+
+def winnowing_fingerprints(
+    col: Column, k: int = 8, window: int = 6, seed: int = 7
+) -> Column:
+    """Winnowing sketch as a single column expression — ONLY for tiny
+    inputs: interpreted HOF lambdas re-evaluate the outer expression
+    per element, so the window-minimum pass re-derives the whole
+    k-gram hash array per window position (O(n²) hashing per row).
+    Pipelines must use :func:`winnowing_fingerprints_staged`, which
+    stages the hash array as a materialized column first."""
+    norm_c = normalize(col)
+    hs = _kgram_hashes(norm_c, k, seed)
+    return _window_minima(hs, window)
+
+
+def _kgram_hashes(norm_c: Column, k: int, seed: int) -> Column:
+    n = F.length(norm_c)
+    # guard n < k explicitly: Spark's sequence(1, 0) is DESCENDING
+    # [1, 0], not empty
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: h60_seeded(seed, norm_c.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _window_minima(hs: Column, window: int) -> Column:
+    n_windows = F.size(hs) - (window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        ),
+    ).otherwise(
+        # short doc: one window over whatever k-grams exist (possibly none)
+        F.when(F.size(hs) > 0, F.array(F.array_min(hs))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnowing_fingerprints_staged(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 6,
+    seed: int = 7,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every character k-gram of the normalized text,
+    slide a window of ``window`` consecutive k-gram hashes, and keep
+    the minimum of each window; the distinct minima (sorted) are the
+    document's sketch. Guarantees every exact match of length
+    >= k + window - 1 shares a fingerprint — the rolling-hash dedup
+    sketch (Rabin-Karp's rolling update is an O(1)-per-shift
+    optimization of the same k-gram hash sequence; the portable h60
+    keeps the sketch oracle-checkable).
+
+    The k-gram hash array is STAGED as a materialized column between
+    the two HOF passes — an interpreted lambda re-evaluates its outer
+    expression per element, so an unstaged window-minimum pass would
+    re-derive the whole hash array per window position (O(n²) hashing
+    per row; same trap as shingles_of_tokens)."""
+    staged = df.withColumn("_norm", normalize(F.col(text_col))).withColumn(
+        "_hs", _kgram_hashes(F.col("_norm"), k, seed)
+    )
+    return staged.withColumn(out_col, _window_minima(F.col("_hs"), window)).drop(
+        "_norm", "_hs"
+    )

@@ -109,6 +109,8 @@ PRIORITY: list[str] = [
     "prepare_training_corpus",
     # Exact percentiles + regression aggregate family:
     "agg_percentiles_regression",
+    # Winnowing (MOSS) rolling-hash document sketches:
+    "text_winnowing_fingerprints",
 ]
 
 

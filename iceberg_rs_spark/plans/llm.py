@@ -1149,3 +1149,63 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+#: winnowing parameters shared by the Spark operator and the oracle SQL
+WINNOW_K, WINNOW_W, WINNOW_SEED = 8, 6, 7
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {NORM_SQL.format(c='text')} AS norm
+        FROM documents WHERE doc_id < 200),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= {WINNOW_K}
+                    THEN [{h60_sql(f"'{WINNOW_SEED}' || '|' || substr(norm, i, {WINNOW_K})")}
+                          for i in generate_series(1, length(norm) - {WINNOW_K - 1})]
+                    ELSE [] END AS hs
+        FROM docs),
+    wins AS (
+        SELECT doc_id, hs,
+               CASE WHEN len(hs) >= {WINNOW_W}
+                    THEN [list_min(list_slice(hs, j, j + {WINNOW_W - 1}))
+                          for j in generate_series(1, len(hs) - {WINNOW_W - 1})]
+                    WHEN len(hs) > 0 THEN [list_min(hs)]
+                    ELSE [] END AS mins
+        FROM grams)
+    SELECT doc_id,
+           CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints,
+           list_sort(list_distinct(mins)) AS fingerprints
+    FROM wins
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document sketches: k-gram rolling-hash minima
+    over sliding windows, the fingerprinting scheme whose guarantee is
+    that any exact match of length >= k + w - 1 between two documents
+    shares a fingerprint. The full sorted sketch per document is
+    hash-checked — the oracle rebuilds the identical k-gram hash
+    sequence from the shared portable h60 — so the window-minimum
+    selection logic itself is certified, not just a summary statistic.
+    All JVM array expressions, with the k-gram hash array STAGED as a
+    materialized column between the two HOF passes (an interpreted
+    lambda re-evaluates its outer expression per element — unstaged,
+    the window-minimum pass would re-derive the hash array per window
+    position, O(n²) hashing per row;
+    operators/text.py:winnowing_fingerprints_staged). At 100 TB the
+    sketch column feeds the same band-bucket join as MinHash for
+    plagiarism/overlap detection."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    fp = T.winnowing_fingerprints_staged(
+        docs, "text", k=WINNOW_K, window=WINNOW_W, seed=WINNOW_SEED
+    )
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("int").alias("n_fingerprints"),
+        "fingerprints",
+    ).orderBy("doc_id")
