@@ -1209,3 +1209,62 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fingerprints").cast("int").alias("n_fingerprints"),
         "fingerprints",
     ).orderBy("doc_id")
+
+
+_QZ_SQL = (
+    "[GREATEST(-127, LEAST(127, CAST(FLOOR({v}[i] / "
+    "(list_max([abs(x) for x in {v}]) / 127.0) + 0.5) AS INTEGER))) "
+    "for i in generate_series(1, 64)]"
+)
+
+
+@query(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (
+        SELECT vec_id, v, {_QZ_SQL.format(v='v')} AS qv FROM base),
+    e AS (SELECT vec_id, v AS ea, qv AS qea FROM qz),
+    q AS (SELECT vec_id AS query_id, v AS qa, qv AS qqa FROM qz WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_sum([qqa[i] * qea[i] for i in generate_series(1, 64)])
+                   / (sqrt(CAST(list_sum([qqa[i] * qqa[i] for i in generate_series(1, 64)]) AS DOUBLE))
+                      * sqrt(CAST(list_sum([qea[i] * qea[i] for i in generate_series(1, 64)]) AS DOUBLE)))
+                   AS qcos,
+               {_DOT_SQL} / ({_NORM_A} * {_NORM_B}) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.query_id)
+    SELECT query_id, vec_id,
+           {rhalf_sql('qcos', 4)} AS qcos,
+           {rhalf_sql('abs(qcos - cos)', 4)} AS quant_err,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "quantization", "topk"),
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search under int8 scalar quantization: per-vector
+    symmetric quantization (max|x|/127 scale), integer dot products,
+    top-5 by QUANTIZED cosine with the per-hit quantization error
+    against the exact float cosine. At 100 TB this is the 4× memory/IO
+    lever for ANN — and because the quantized grid, the integer dot
+    (exact, summation-order-free), and floor(+0.5) rounding are all
+    bit-reproducible, the whole quantized pipeline hash-checks against
+    the oracle, errors included
+    (operators/similarity.py:quantize_int8/quantized_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.quantized_topk(emb, queries, k=5, dim=64)
+    return topk.select(
+        "query_id",
+        "vec_id",
+        rhalf(F.col("qcos"), 4).alias("qcos"),
+        rhalf(F.abs(F.col("qcos") - F.col("cos")), 4).alias("quant_err"),
+        "rank",
+    ).orderBy("query_id", "rank")

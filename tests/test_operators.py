@@ -616,3 +616,46 @@ class TestMultimodalVideo:
             _video_frames(b"MOOV" + b"\x00" * 20)
         with _pytest.raises(ValueError, match="truncated"):
             _video_frames(synth_video(3, 16, 16)[:-10])
+
+
+class TestQuantization:
+    def test_quantized_grid_bounds_and_zero_guard(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Row
+
+        from iceberg_rs_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 0.0]),
+             Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0])]
+        )
+        rows = {r.vec_id: r.qvec for r in quantize_int8(df).collect()}
+        assert rows[1] == [127, -63, 32, 0]   # floor(x/scale + 0.5)
+        assert rows[2] == [0, 0, 0, 0]        # zero vector stays zero
+        assert all(-127 <= v <= 127 for q in rows.values() for v in q)
+
+    def test_quantized_topk_recall_vs_exact(self, spark, sf_dir):
+        """int8 cosine must agree with exact cosine on nearly all of
+        the top-5 sets (quantization error ~1e-3 vs typical score gaps)."""
+        import pyspark.sql.functions as F
+
+        from iceberg_rs_spark.operators.similarity import (
+            brute_force_topk,
+            quantized_topk,
+        )
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        quant = {
+            (r.query_id, r.vec_id)
+            for r in quantized_topk(emb, queries, k=5).collect()
+        }
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, f"quantized top-5 recall {recall}"
