@@ -659,3 +659,48 @@ class TestQuantization:
         }
         recall = len(exact & quant) / len(exact)
         assert recall >= 0.9, f"quantized top-5 recall {recall}"
+
+
+class TestWinnowing:
+    def _sketches(self, spark, texts):
+        from pyspark.sql import Row
+
+        from iceberg_rs_spark.operators.text import winnowing_fingerprints_staged
+
+        df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        out = winnowing_fingerprints_staged(df, "text", k=8, window=6)
+        return {r.doc_id: set(r.fingerprints) for r in out.collect()}
+
+    def test_guarantee_shared_long_substring_shares_fingerprint(self, spark):
+        """The winnowing theorem: any exact match of length >= k+w-1
+        (= 13 here) between two documents shares at least one
+        fingerprint — for arbitrary surroundings."""
+        import random
+
+        rnd = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        cases = []
+        for _ in range(10):
+            common = " ".join(rnd.choices(words, k=6))  # >= 13 chars shared
+            left = " ".join(rnd.choices(words, k=4)) + " " + common
+            right = common + " " + " ".join(rnd.choices(words, k=4))
+            cases.append((left, right))
+        texts = [t for pair in cases for t in pair]
+        fps = self._sketches(spark, texts)
+        for i in range(0, len(texts), 2):
+            assert fps[i] & fps[i + 1], f"case {i//2}: no shared fingerprint"
+
+    def test_disjoint_texts_share_nothing(self, spark):
+        fps = self._sketches(
+            spark,
+            ["aaaa bbbb cccc dddd eeee ffff", "gggg hhhh iiii jjjj kkkk llll"],
+        )
+        assert not (fps[0] & fps[1])
+
+    def test_sketch_stable_under_prefix_shift(self, spark):
+        """Winnowing is position-robust: prepending text preserves the
+        tail's fingerprints (unlike fixed-stride chunk hashing)."""
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        fps = self._sketches(spark, [base, "zzzz yyyy xxxx " + base])
+        shared = fps[0] & fps[1]
+        assert len(shared) >= len(fps[0]) * 0.7

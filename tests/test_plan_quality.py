@@ -358,3 +358,43 @@ class TestPipelinePlans:
             pd.testing.assert_series_equal(
                 got, expected, check_names=False, check_index=False
             )
+
+
+class TestTpchCompletionPlans:
+    """The round-3 TPC-H completions: the plans that must avoid the
+    classic scale bugs, do."""
+
+    def test_q2_uses_window_not_self_join_for_min(self, spark, sf_dir):
+        """The per-part minimum must be a window over the derived
+        relation, not a groupBy+rejoin that scans it twice."""
+        plan = final_plan(CORPUS["q2_min_cost_supplier"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" in final
+        # one lineitem scan only (the derived ps relation is not re-read)
+        assert final.count("lineitem.parquet") == 1
+
+    def test_q21_semi_and_anti_join_present_no_cartesian(self, spark, sf_dir):
+        plan = final_plan(CORPUS["q21_waiting_suppliers"].builder(spark, sf_dir))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q13_left_join_survives_filter(self, spark, sf_dir):
+        """The order-priority filter lives in the join condition, so
+        zero-order customers must still appear: the c_count=0 histogram
+        bucket exists and the join stays outer in the plan."""
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        df = CORPUS["q13_customer_order_counts"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        assert "LeftOuter" in plan or "RightOuter" in plan
+        # every customer appears in exactly one histogram bucket
+        total = sum(r.custdist for r in df.collect())
+        assert total == load_table(spark, sf_dir, "customer").count()
+
+    def test_q20_single_lineitem_scan(self, spark, sf_dir):
+        """The filtered-year partial sum rides the same grouped pass as
+        the all-time sum — Q20's nested-subquery formulation would scan
+        lineitem twice."""
+        plan = final_plan(CORPUS["q20_excess_shippers"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("lineitem.parquet") == 1
