@@ -247,3 +247,75 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhalf(F.coalesce(F.col("v"), interp), 4).alias("value"),
         F.col("v").isNull().alias("interpolated"),
     ).orderBy("user_id", "hidx")
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    s1 AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM evt WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM evt e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM evt e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+          AND e.ts <= s2.t_click + INTERVAL 7 DAY
+        GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click_after_signup', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase_within_7d', COUNT(*) FROM s3)
+    ORDER BY ord
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (the ClickHouse windowFunnel shape):
+    users who signed up, then clicked AFTER the signup, then purchased
+    after that click within 7 days — each stage anchored at the
+    EARLIEST qualifying prior-stage event, so the count is exact
+    sequence matching, not mere event co-occurrence. Expressed as
+    three conditional-min aggregations, each joined to the previous
+    stage's anchors (stage tables shrink monotonically, every join key
+    is user_id, the dimension side broadcasts); the same declarative
+    chain at 100 TB shuffles only per-user anchors between stages."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    spark_counts = [
+        s1.agg(F.lit(1).alias("ord"), F.lit("signup").alias("stage"), F.count("*").alias("n_users")),
+        s2.agg(F.lit(2).alias("ord"), F.lit("click_after_signup").alias("stage"), F.count("*").alias("n_users")),
+        s3.agg(F.lit(3).alias("ord"), F.lit("purchase_within_7d").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = spark_counts[0]
+    for c in spark_counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("ord").select("stage", "n_users")
