@@ -319,3 +319,67 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in spark_counts[1:]:
         out = out.unionByName(c)
     return out.orderBy("ord").select("stage", "n_users")
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    cohorts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM evt WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(datediff('week', c.cohort_week,
+                             date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+        FROM evt e JOIN cohorts c ON e.user_id = c.user_id
+        WHERE e.ts >= c.cohort_week)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE week_offset <= 4
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week, counted
+    as active in each later week they produced ANY event — the product
+    dashboard's retention triangle. Week truncation is Monday-anchored
+    in both engines and the offset is integer week arithmetic, so the
+    matrix hash-checks exactly. One aggregation to anchor cohorts, one
+    distinct-activity projection, one roll-up — the cohort anchor
+    broadcast-joins onto the fact, so the events scan never
+    re-shuffles on anything but the final small group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_offset") <= 4)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
