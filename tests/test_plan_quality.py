@@ -398,3 +398,19 @@ class TestTpchCompletionPlans:
         plan = final_plan(CORPUS["q20_excess_shippers"].builder(spark, sf_dir))
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("lineitem.parquet") == 1
+
+
+class TestEventAnalyticsPlans:
+    def test_funnel_stage_anchors_broadcast(self, spark, sf_dir):
+        """Each funnel stage joins the fact against the previous
+        stage's per-user anchors — those anchors must broadcast, and no
+        stage may degenerate into a cartesian product."""
+        plan = final_plan(CORPUS["events_funnel_conversion"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_cohort_anchor_broadcasts(self, spark, sf_dir):
+        plan = final_plan(CORPUS["events_cohort_retention"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
