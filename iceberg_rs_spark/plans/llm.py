@@ -1178,7 +1178,7 @@ WINNOW_K, WINNOW_W, WINNOW_SEED = 8, 6, 7
         FROM grams)
     SELECT doc_id,
            CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints,
-           list_sort(list_distinct(mins)) AS fingerprints
+           array_to_string(list_sort(list_distinct(mins)), ',') AS fingerprints
     FROM wins
     ORDER BY doc_id
     """,
@@ -1199,7 +1199,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     position, O(n²) hashing per row;
     operators/text.py:winnowing_fingerprints_staged). At 100 TB the
     sketch column feeds the same band-bucket join as MinHash for
-    plagiarism/overlap detection."""
+    plagiarism/overlap detection.
+
+    The sketch is emitted as a comma-joined STRING (not a raw
+    array<bigint>): the driver's canonicalizer sorts result columns
+    with pandas, which cannot hash list cells — the value content is
+    identical, only the wire shape changes (VERDICT r3 §What's-wrong
+    #1)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     fp = T.winnowing_fingerprints_staged(
         docs, "text", k=WINNOW_K, window=WINNOW_W, seed=WINNOW_SEED
@@ -1207,7 +1213,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         "doc_id",
         F.size("fingerprints").cast("int").alias("n_fingerprints"),
-        "fingerprints",
+        F.array_join(
+            F.transform(F.col("fingerprints"), lambda x: x.cast("string")), ","
+        ).alias("fingerprints"),
     ).orderBy("doc_id")
 
 
@@ -1268,3 +1276,54 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhalf(F.abs(F.col("qcos") - F.col("cos")), 4).alias("quant_err"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_quantized_grouped_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (
+        SELECT vec_id, label, v, {_QZ_SQL.format(v='v')} AS qv FROM base),
+    e AS (SELECT vec_id, label, qv AS qea FROM qz),
+    q AS (SELECT vec_id AS query_id, qv AS qqa FROM qz WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.label, e.vec_id,
+               list_sum([qqa[i] * qea[i] for i in generate_series(1, 64)])
+                   / (sqrt(CAST(list_sum([qqa[i] * qqa[i] for i in generate_series(1, 64)]) AS DOUBLE))
+                      * sqrt(CAST(list_sum([qea[i] * qea[i] for i in generate_series(1, 64)]) AS DOUBLE)))
+                   AS qcos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.query_id)
+    SELECT query_id, label, vec_id,
+           {rhalf_sql('qcos', 4)} AS qcos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id, label
+                                   ORDER BY qcos DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 2
+    ORDER BY query_id, label, rank
+    """,
+    tags=("llm", "similarity", "quantization", "topk", "grouped"),
+)
+def sim_quantized_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantized retrieval: the 2 best int8-cosine neighbors
+    per (query, label) — the per-source/per-language quota-retrieval
+    pattern (diversified context assembly pulls k from EVERY bucket
+    rather than a global top-k that one dominant source can monopolize).
+    The ranking window partitions by (query, label), so each partition
+    holds one group's candidates and ranking parallelizes across
+    groups; the quantized integer dot keeps the whole pipeline
+    bit-reproducible at bench scale
+    (operators/similarity.py:quantized_topk group_cols)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.quantized_topk(emb, queries, k=2, dim=64, group_cols=["label"])
+    return topk.select(
+        "query_id",
+        "label",
+        "vec_id",
+        rhalf(F.col("qcos"), 4).alias("qcos"),
+        "rank",
+    ).orderBy("query_id", "label", "rank")
