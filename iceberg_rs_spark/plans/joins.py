@@ -31,12 +31,14 @@ def _r2(c):
     tags=("join", "inner", "having"),
 )
 def join_inner_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join + aggregate + HAVING. customer is the broadcast
-    side; the groupBy reuses the join key so no extra shuffle."""
+    """Inner equi-join + aggregate + HAVING. customer broadcasts at
+    test scale via size stats (no forced hint — it is SF-proportional,
+    so the planner must stay free to shuffle it at 100 TB); the
+    groupBy reuses the join key so no extra shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("total_spent"))
         .where(F.col("n_orders") >= 12)

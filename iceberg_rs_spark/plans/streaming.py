@@ -156,13 +156,15 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: purchase events enriched with the customer
-    dimension (broadcast per micro-batch, no stream-side state), then
-    revenue by market segment."""
+    dimension (no stream-side state), then revenue by market segment.
+    No forced broadcast — customer is SF-proportional, so the
+    micro-batch planner chooses broadcast from size stats at small
+    scale and may shuffle the static side at 100 TB."""
     ev = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = stream_static_join(ev, F.broadcast(cust), "user_id")
+    joined = stream_static_join(ev, cust, "user_id")
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
@@ -410,6 +412,16 @@ def stream_stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFram
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
     ).collect()[0]
+    if maxes["mc"] is None or maxes["mp"] is None:
+        # No click or no purchase events in this slice: neither
+        # stream's watermark ever advances, so no outer-join window is
+        # provably closed — the correct result is empty, not a crash
+        # on min(None, ...) (ADVICE r3).
+        return (
+            out.where(F.lit(False))
+            .select("l_id", "user_id")
+            .orderBy("l_id")
+        )
     # Compare in NTZ: a naive-datetime literal and a session-tz cast
     # disagree about which instant a wall time means whenever the
     # driver's session timezone is not the process default, silently

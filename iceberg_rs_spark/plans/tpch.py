@@ -100,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select(
@@ -146,9 +146,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -228,8 +228,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -281,7 +281,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -329,7 +329,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -419,9 +419,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        l.join(big, "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
         .select(
@@ -542,8 +542,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        ps.join(F.broadcast(eur), ps.l_suppkey == eur.s_suppkey)
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(eur, ps.l_suppkey == eur.s_suppkey)
+        .join(p, ps.l_partkey == p.p_partkey)
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .where(F.col("unit_cost") == F.col("min_cost"))
         .select(
@@ -653,12 +653,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
         .agg(rhalf(F.sum(nat5) / F.sum(vol), 4).alias("mkt_share"))
         .orderBy("o_year")
@@ -701,9 +701,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * 0.5 * F.col("l_quantity")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.date_format("o_orderdate", "yyyy").alias("o_year"),
@@ -745,7 +745,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("p_key"))
         .agg(
@@ -885,8 +885,8 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0.0
     ).select("s_suppkey")
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -923,8 +923,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("a_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(rhalf(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -976,7 +976,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li_pre = li.where(F.col("l_quantity").between(1, 30))
     return (
-        li_pre.join(F.broadcast(p_pre), li.l_partkey == p.p_partkey)
+        li_pre.join(p_pre, li.l_partkey == p.p_partkey)
         .where(g1 | g2 | g3)
         .agg(
             _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
@@ -1029,9 +1029,9 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        shipped.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        shipped.join(p, F.col("l_partkey") == p.p_partkey)
         .where(F.col("qty_1997") > 0.3 * F.col("total_qty"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
         .orderBy("s_suppkey")
@@ -1105,7 +1105,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l1.l_orderkey == F.col("lo_key")) & (l1.l_suppkey != F.col("lo_supp")),
             "left_anti",
         )
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -401,16 +401,29 @@ class TestTpchCompletionPlans:
 
 
 class TestEventAnalyticsPlans:
-    def test_funnel_stage_anchors_broadcast(self, spark, sf_dir):
-        """Each funnel stage joins the fact against the previous
-        stage's per-user anchors — those anchors must broadcast, and no
-        stage may degenerate into a cartesian product."""
+    """The funnel/cohort anchor sides are PER-USER aggregates — they
+    scale with the user population, so the code must NOT force a
+    broadcast (a forced broadcast of a population-sized relation OOMs
+    every executor at 100 TB). At test scale AQE chooses broadcast on
+    its own, which these tests pin; what the code guarantees at any
+    scale is the absence of a degenerate join."""
+
+    def test_funnel_stage_anchors_broadcast_via_aqe(self, spark, sf_dir):
         plan = final_plan(CORPUS["events_funnel_conversion"].builder(spark, sf_dir))
+        # AQE picks broadcast at sf0.01 without any hint in the code
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
-        assert "SortMergeJoin" not in plan
 
-    def test_cohort_anchor_broadcasts(self, spark, sf_dir):
+    def test_funnel_code_has_no_forced_broadcast(self):
+        import inspect
+
+        from iceberg_rs_spark.plans import misc
+
+        src = inspect.getsource(misc.events_funnel_conversion)
+        src += inspect.getsource(misc.events_cohort_retention)
+        assert "broadcast(" not in src  # no forced hint on an unbounded side
+
+    def test_cohort_anchor_broadcasts_via_aqe(self, spark, sf_dir):
         plan = final_plan(CORPUS["events_cohort_retention"].builder(spark, sf_dir))
         assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
