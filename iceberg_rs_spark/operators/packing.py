@@ -25,6 +25,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Persisted barrier frames not yet released (ADVICE r3: a long
+#: session running many pack_bins calls must not accumulate cached
+#: partitions). Each entry is unpersisted by :func:`release_caches`.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every barrier frame cached by prior
+    :func:`with_global_offset` / :func:`pack_bins` calls. Call after
+    the consuming action completes (bench harness does, per query);
+    returns the number of frames released. The handle also rides on
+    the returned DataFrame as ``_icelake_packing_cache`` (the
+    z-order-rewrite pattern) for callers that want per-result
+    control."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def with_global_offset(
     df: DataFrame,
@@ -57,6 +77,7 @@ def with_global_offset(
     from pyspark.storagelevel import StorageLevel
 
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(ranged)
     # Partition totals: one row per (partition, group) crosses to the
     # driver (partition METADATA, not data). Offsets accumulate in
     # (group, key-range) order and reset per group.
@@ -86,7 +107,7 @@ def with_global_offset(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         ranged.join(F.broadcast(off_df), ["_pid", *groups])
         .withColumn(
             out_col,
@@ -98,6 +119,8 @@ def with_global_offset(
         )
         .drop("_pid", "_part_offset")
     )
+    out._icelake_packing_cache = ranged
+    return out
 
 
 def pack_bins(
@@ -116,6 +139,10 @@ def pack_bins(
     with_off = with_global_offset(
         df, order_col, weight_col, num_partitions, group_cols=group_cols
     )
-    return with_off.withColumn(
+    out = with_off.withColumn(
         "bin", F.floor(F.col("start_offset") / F.lit(float(ctx))).cast("long")
     )
+    out._icelake_packing_cache = getattr(
+        with_off, "_icelake_packing_cache", None
+    )
+    return out

@@ -58,6 +58,18 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     dt = df.schema["ts"].dataType.typeName()
     if dt in ("long", "bigint"):
         return df.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
+    if dt == "timestamp":
+        # A TIMESTAMP_LTZ read (isAdjustedToUTC parquet files) would
+        # make the NTZ cast below session-timezone-dependent and
+        # silently shift rows relative to the oracle's epoch_ns
+        # rewrite. No fixture generation has produced LTZ so far; fail
+        # loudly rather than shift (ADVICE r3). The safe conversion,
+        # if ever needed: to_utc_timestamp(ts, session tz) → NTZ.
+        raise TypeError(
+            "events.ts read as session-zoned TIMESTAMP_LTZ; refusing the "
+            "tz-dependent cast to TIMESTAMP_NTZ — convert via UTC micros "
+            "arithmetic instead"
+        )
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 

@@ -1237,25 +1237,31 @@ class Table:
                 if time_travel and snap.schema_id is not None
                 else md.current_schema()
             )
-            all_entries = self._read_manifest(snap)
-            # Position-delete entries are never predicate-pruned (they
-            # carry no data stats); they apply to whatever data files
-            # survive pruning.
-            dels = _delete_file_entries(all_entries)
-            entries = None
+            entries = dels = None
             if where:
                 parts = self._manifest_parts(snap)
                 if parts and len(parts) > 1:
                     # sharded manifest: prune on executors, ship only
-                    # survivors to the driver (the metadata-scale path)
+                    # survivors (plus the never-pruned delete entries)
+                    # to the driver — the metadata-scale path. The
+                    # driver NEVER json-loads the full manifest here:
+                    # its work is O(survivors + deletes), not O(files).
                     pruned = _distributed_prune(self.spark, parts, where, md)
-                    entries = _data_entries(pruned) if pruned is not None else None
-                if entries is None:
+                    if pruned is not None:
+                        entries = _data_entries(pruned)
+                        dels = _delete_file_entries(pruned)
+            if entries is None:
+                all_entries = self._read_manifest(snap)
+                # Position-delete entries are never predicate-pruned
+                # (they carry no data stats); they apply to whatever
+                # data files survive pruning.
+                dels = _delete_file_entries(all_entries)
+                if where:
                     entries, _ = _split_by_predicate(
                         _data_entries(all_entries), where, md, self, keep_unmatched=False
                     )
-            else:
-                entries = _data_entries(all_entries)
+                else:
+                    entries = _data_entries(all_entries)
             df = self._read_entries_as(md, entries, read_schema, delete_entries=dels)
         if where:
             df = df.filter(where)
@@ -1645,11 +1651,16 @@ class Table:
             else:
                 raise KeyError(f"unknown branch: {branch}")
             sid, ok = src_head, cur_head is None
+            by_id = {s.snapshot_id: s for s in md.snapshots}
             while sid is not None and not ok:
                 if sid == cur_head:
                     ok = True
                     break
-                sid = md.snapshot_by_id(sid).parent_snapshot_id
+                # A retained snapshot may point at a parent removed by
+                # expire_snapshots; a missing ancestor ends the chain
+                # (→ diverged), it must not crash the walk.
+                snap = by_id.get(sid)
+                sid = snap.parent_snapshot_id if snap is not None else None
             if not ok:
                 raise ValueError(
                     f"cannot fast-forward {branch!r} to {source_ref!r}: "
@@ -2501,7 +2512,13 @@ def _distributed_prune(
             with open(p) as f:
                 for obj in json.load(f)["entries"]:
                     e = DataFileEntry.from_json(obj)
-                    if _entry_survives(e, conjuncts, md_local, buckets):
+                    # delete entries carry no data stats and are never
+                    # pruned — ship them all back (the caller applies
+                    # them to whatever data files survive), so the
+                    # driver needs no full manifest read of its own
+                    if e.content != "data" or _entry_survives(
+                        e, conjuncts, md_local, buckets
+                    ):
                         yield e.to_json()
 
     n_tasks = min(len(part_paths), spark.sparkContext.defaultParallelism)

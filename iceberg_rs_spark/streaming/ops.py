@@ -309,11 +309,20 @@ def replay_to_parquet(
     the final watermark, and flushes any straggler — which is exactly
     what a production consumer restarting from the checkpoint does.
     The file sink's commit manifest makes the union of passes
-    exactly-once, so drained rows never duplicate."""
+    exactly-once, so drained rows never duplicate.
+
+    The scratch dir (sink output + checkpoint) is registered for
+    removal at interpreter exit — the returned DataFrame reads the
+    parquet lazily, so it cannot be deleted eagerly, but a long
+    session re-running streaming corpus queries must not leak temp
+    disk per invocation (ADVICE r3)."""
+    import atexit
+    import shutil
     import tempfile
 
     spark = stream_df.sparkSession
     base = tempfile.mkdtemp(prefix=f"replay_{name}_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -1173,6 +1173,25 @@ class TestFastForwardAndManifests:
         with _pytest.raises(KeyError):
             t.fast_forward("main", "nope")
 
+    def test_fast_forward_survives_expired_ancestors(self, catalog, events_df):
+        """A retained snapshot may point at a parent removed by
+        expire_snapshots; the ancestry walk must treat the missing
+        ancestor as end-of-chain (→ diverged), never KeyError
+        (ADVICE r3)."""
+        import pytest as _pytest
+
+        t = catalog.create_table("db.ffwd3", events_df.schema)
+        t.append(events_df.limit(10))
+        t.append(events_df.limit(5))
+        t.create_branch("staging")
+        t.append(events_df.limit(25), branch="staging")
+        t.append(events_df.limit(3))  # main moves too -> truly diverged
+        # expire everything not reachable-protected; staging's chain now
+        # crosses snapshots whose parents were removed
+        t.expire_snapshots(retain_last=1)
+        with _pytest.raises(ValueError, match="diverged"):
+            t.fast_forward("main", "staging")
+
     def test_rewrite_manifests_reshards_without_touching_data(self, catalog, events_df):
         t = catalog.create_table("db.rwm", events_df.schema)
         for i in range(3):
