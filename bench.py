@@ -122,6 +122,24 @@ def main() -> None:
     except (OSError, json.JSONDecodeError):
         pass
 
+    # PINNED baseline (BENCH_BASELINE.json): the driver's 2× contract is
+    # per-query against the round-2 recording (BASELINE.md) — NOT merely
+    # against the previous run, which would let a slow creep compound
+    # 1.4× per round unflagged. Queries newer than the pin get their
+    # first full recording appended (first-recording semantics, same as
+    # the round-2 pin itself).
+    pin_path = os.path.join(REPO, "BENCH_BASELINE.json")
+    pinned: dict[str, float] = {}
+    try:
+        with open(pin_path) as f:
+            pinned = {
+                k: v for k, v in json.load(f)["queries"].items() if v > 0
+            }
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+
+    from iceberg_rs_spark.operators import packing
+
     timings: dict[str, float] = {}
     for name, spec in sorted(CORPUS.items()):
         t0 = time.perf_counter()
@@ -132,6 +150,10 @@ def main() -> None:
         except Exception as exc:  # keep the harness alive; surface the failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            # packing queries persist a barrier frame; release it so a
+            # 143-query run doesn't accumulate cached partitions
+            packing.release_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # Regression early-warning: any query >1.5× its last recorded time
@@ -147,6 +169,37 @@ def main() -> None:
             f"({info['ratio']}x)",
             file=sys.stderr,
         )
+    # The hard contract: per-query ratio vs the PINNED baseline must
+    # stay ≤ 2.0 (same 0.3s absolute slack — a 0.2s query jittering to
+    # 0.45s is noise, not a regression). Full ratio table emitted so
+    # the flag list is auditable even when empty.
+    ratios_vs_pinned = {
+        name: round(t / pinned[name], 2)
+        for name, t in timings.items()
+        if name in pinned and t >= 0
+    }
+    flagged_pinned = {
+        name: {"pinned": pinned[name], "now": timings[name], "ratio": r}
+        for name, r in ratios_vs_pinned.items()
+        if r > 2.0 and timings[name] - pinned[name] > 0.3
+    }
+    for name, info in sorted(flagged_pinned.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(
+            f"BENCH OVER-2x-PINNED {name}: {info['pinned']}s -> "
+            f"{info['now']}s ({info['ratio']}x)",
+            file=sys.stderr,
+        )
+    # First-recording semantics for queries newer than the pin.
+    new_pins = {
+        name: t for name, t in timings.items() if name not in pinned and t > 0
+    }
+    if new_pins and pinned:
+        pinned.update(new_pins)
+        with open(pin_path) as f:
+            pin_doc = json.load(f)
+        pin_doc["queries"] = dict(sorted(pinned.items()))
+        with open(pin_path, "w") as f:
+            json.dump(pin_doc, f, indent=1)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(
@@ -156,6 +209,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "flagged_vs_previous": flagged,
+                "flagged_vs_pinned": flagged_pinned,
+                "ratios_vs_pinned": ratios_vs_pinned,
                 "sf": sf_val,
             },
             f,
