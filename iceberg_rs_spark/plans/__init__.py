@@ -25,3 +25,5 @@ import iceberg_rs_spark.plans.misc  # noqa: F401,E402
 import iceberg_rs_spark.plans.udfs  # noqa: F401,E402
 import iceberg_rs_spark.plans.tables  # noqa: F401,E402
 import iceberg_rs_spark.plans.streaming  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4b  # noqa: F401,E402

@@ -400,6 +400,57 @@ class TestTpchCompletionPlans:
         assert final.count("lineitem.parquet") == 1
 
 
+class TestRound4Plans:
+    """Round-4 additions: every windowed query partitions its windows,
+    the bloom prefilter broadcasts only the bit set, and the n-gram
+    joins key on fixed-width values."""
+
+    def test_sessionization_windows_are_partitioned(self, spark, sf_dir):
+        plan = final_plan(CORPUS["events_sessionization_batch"].builder(spark, sf_dir))
+        assert "Window" in plan
+        assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+    def test_attribution_window_is_partitioned(self, spark, sf_dir):
+        plan = final_plan(
+            CORPUS["events_attribution_last_touch"].builder(spark, sf_dir)
+        )
+        assert "Window" in plan
+        assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+    def test_bloom_prefilter_broadcasts_bits_not_dim(self, spark, sf_dir):
+        """The three left joins (two bit-set, one truth-accounting)
+        must all be broadcast at this scale, and none may degenerate —
+        the whole point of the operator is that the fact table never
+        shuffles."""
+        plan = final_plan(CORPUS["join_bloom_prefilter"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_decontamination_joins_on_hash_not_gram(self, spark, sf_dir):
+        """The contamination join must key on the fixed-width h60 of
+        the 8-gram, never the gram string (shuffle bytes per key stay
+        constant as documents grow)."""
+        plan = final_plan(
+            CORPUS["pipeline_decontaminate_ngrams"].builder(spark, sf_dir)
+        )
+        assert "gh" in plan  # the hashed key is the join column
+        assert "CartesianProduct" not in plan
+
+    def test_pii_redaction_has_no_shuffle_before_sort(self, spark, sf_dir):
+        """Redaction is embarrassingly parallel: the only exchange in
+        the plan is the final presentation ORDER BY."""
+        df = CORPUS["text_pii_redaction"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        import re
+
+        exchanges = [
+            ln for ln in final.splitlines() if re.search(r"\bExchange\b", ln)
+        ]
+        assert all("rangepartitioning" in ln.lower() for ln in exchanges), exchanges
+
+
 class TestEventAnalyticsPlans:
     """The funnel/cohort anchor sides are PER-USER aggregates — they
     scale with the user population, so the code must NOT force a
