@@ -570,3 +570,107 @@ def table_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "table_changelog_scan",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey < 3000),
+    evens AS (SELECT * FROM src WHERE k % 2 = 0),
+    odds  AS (SELECT * FROM src WHERE k % 2 = 1),
+    d1 AS (SELECT * FROM evens WHERE status = 'F' AND price > 120000),
+    live2 AS (SELECT * FROM evens EXCEPT ALL SELECT * FROM d1),
+    live3 AS (SELECT * FROM live2 UNION ALL SELECT * FROM odds),
+    d3 AS (SELECT * FROM live3 WHERE status = 'P')
+    SELECT k, status, price, 'insert' AS change_type, 0 AS change_ordinal FROM evens
+    UNION ALL SELECT k, status, price, 'delete', 1 FROM d1
+    UNION ALL SELECT k, status, price, 'insert', 2 FROM odds
+    UNION ALL SELECT k, status, price, 'delete', 3 FROM d3
+    ORDER BY change_ordinal, change_type, k
+    """,
+    tags=("table", "changelog", "cdc", "merge-on-read"),
+)
+def table_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog across four commits (append, merge-on-read
+    delete, append, copy-on-write delete) — the CDC-read surface over
+    the reference's snapshot lineage (snapshot.rs:14-31): every row
+    tagged insert/delete with its commit ordinal. Appends are read
+    straight from their added files (no diff); the MoR and CoW deletes
+    come out of exact state diffs (EXCEPT ALL between delete-applied
+    parent/child scans), which is the only exact answer once
+    copy-on-write has rewritten files. The hash check pins all four
+    ordinals against a relational reconstruction of the same history."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_changelog_"))
+    t = catalog.create_table("db.changelog", src.schema)
+    t.append(src.where(F.col("k") % 2 == 0))
+    t.delete("status = 'F' AND price > 120000", mode="merge-on-read")
+    t.append(src.where(F.col("k") % 2 == 1))
+    t.delete("status = 'P'", mode="copy-on-write")
+    ops = [s.operation for s in sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)]
+    assert ops == ["append", "delete", "append", "delete"], ops
+    return (
+        t.changelog_scan()
+        .select(
+            "k",
+            "status",
+            "price",
+            F.col("_change_type").alias("change_type"),
+            F.col("_change_ordinal").alias("change_ordinal"),
+        )
+        .orderBy("change_ordinal", "change_type", "k")
+    )
+
+
+@query(
+    "table_rewrite_deletes",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey < 4000)
+    SELECT k, status, price
+    FROM src
+    WHERE NOT coalesce(status = 'F' AND price > 150000, FALSE)
+      AND NOT coalesce(status = 'O' AND price < 40000, FALSE)
+    ORDER BY k
+    """,
+    tags=("table", "rewrite", "merge-on-read", "maintenance"),
+)
+def table_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_position_delete_files: two merge-on-read deletes stack
+    position-delete files, then the maintenance rewrite applies them to
+    ONLY the referenced data files and drops the delete files — reads
+    go back to pure scans without paying a full-table compaction. The
+    in-query assertions pin the contract: delete files exist before,
+    none remain after, and the final snapshot is a ``replace`` (data
+    unchanged, snapshot.rs:25). The hash check proves the rewrite
+    applied exactly the recorded positions."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_rwdel_"))
+    t = catalog.create_table("db.rwdel", src.schema)
+    t.append(src)
+    t.delete("status = 'F' AND price > 150000", mode="merge-on-read")
+    t.delete("status = 'O' AND price < 40000", mode="merge-on-read")
+    files = t.files().collect()
+    assert any(r.content == "position-deletes" for r in files)
+    n = t.rewrite_position_deletes()
+    assert n >= 1
+    files_after = t.files().collect()
+    assert not any(r.content == "position-deletes" for r in files_after)
+    last = max(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    assert last.operation == "replace"
+    return t.scan().orderBy("k")

@@ -1909,6 +1909,206 @@ class Table:
             )
         return self._read_entries_as(md, added, md.current_schema())
 
+    def changelog_scan(
+        self,
+        start_snapshot_id: int | None = None,
+        end_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change log between two snapshots (exclusive start,
+        inclusive end): every row tagged ``_change_type``
+        (insert/delete), ``_change_ordinal`` (commit order within the
+        range), ``_commit_snapshot_id`` — the
+        ``create_changelog_view`` surface over the reference's snapshot
+        lineage (snapshot.rs:14-31, parent_snapshot_id chain).
+
+        Per snapshot:
+
+        * ``append`` — the added data files ARE the inserts; read them
+          directly (no diff, cost proportional to added data only).
+          Older equality deletes cannot touch them (row sequence >=
+          every existing delete's sequence), so a raw read is exact.
+        * ``replace`` — skipped: compaction rewrites files without
+          changing data (the reference Operation enum's "allows
+          certain snapshots to be skipped" note).
+        * anything else (``delete``/``overwrite``, CoW or MoR) — exact
+          state diff: ``state(snap) EXCEPT ALL state(parent)`` are the
+          inserts, the reverse are the deletes. Set difference is the
+          only exact answer for copy-on-write commits (no row lineage
+          exists); for MoR deletes it reduces to the delete-file rows
+          because both states share the same data files. Each state is
+          a delete-applied scan, so the diff is 2 scans + 1 shuffle
+          per non-append snapshot — changelog generation over an
+          overwrite is inherently a diff job at any scale.
+        """
+        md = self.metadata
+        schema = md.current_schema()
+        end = end_snapshot_id if end_snapshot_id is not None else md.current_snapshot_id
+
+        def _tagged_empty() -> DataFrame:
+            df = self.spark.createDataFrame([], schema.to_spark())
+            return (
+                df.withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_change_ordinal", F.lit(None).cast("int"))
+                .withColumn("_commit_snapshot_id", F.lit(None).cast("long"))
+            )
+
+        if end is None:
+            return _tagged_empty()
+        chain: list[Snapshot] = []
+        cur: Snapshot | None = md.snapshot_by_id(end)
+        while cur is not None and cur.snapshot_id != start_snapshot_id:
+            chain.append(cur)
+            cur = (
+                md.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if start_snapshot_id is not None and cur is None:
+            raise KeyError(
+                f"snapshot {start_snapshot_id} is not an ancestor of {end}"
+            )
+
+        def _state(snap: "Snapshot | None") -> DataFrame:
+            if snap is None:
+                return self.spark.createDataFrame([], schema.to_spark())
+            entries = self._read_manifest(snap)
+            return self._read_entries_as(
+                md,
+                _data_entries(entries),
+                schema,
+                delete_entries=_delete_file_entries(entries),
+            )
+
+        frames: list[DataFrame] = []
+        for ordinal, snap in enumerate(reversed(chain)):
+            if snap.operation == "replace":
+                continue
+
+            def _tag(df: DataFrame, kind: str, *, _o=ordinal, _s=snap) -> DataFrame:
+                return (
+                    df.withColumn("_change_type", F.lit(kind))
+                    .withColumn("_change_ordinal", F.lit(_o).cast("int"))
+                    .withColumn("_commit_snapshot_id", F.lit(_s.snapshot_id))
+                )
+
+            parent = (
+                md.snapshot_by_id(snap.parent_snapshot_id)
+                if snap.parent_snapshot_id is not None
+                else None
+            )
+            if snap.operation == "append":
+                parent_paths = (
+                    {e.path for e in self._read_manifest(parent)} if parent else set()
+                )
+                added = [
+                    e
+                    for e in _data_entries(self._read_manifest(snap))
+                    if e.path not in parent_paths
+                ]
+                frames.append(_tag(self._read_entries_as(md, added, schema), "insert"))
+            else:
+                cur_state, prev_state = _state(snap), _state(parent)
+                frames.append(_tag(cur_state.exceptAll(prev_state), "insert"))
+                frames.append(_tag(prev_state.exceptAll(cur_state), "delete"))
+        if not frames:
+            return _tagged_empty()
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def rewrite_position_deletes(self, branch: str = MAIN_BRANCH) -> int:
+        """Materialize merge-on-read position deletes: rewrite ONLY the
+        data files that delete files reference (applying their
+        positions) and drop the delete files — the
+        ``rewrite_position_delete_files`` maintenance procedure. Unlike
+        :meth:`compact`, untouched data files are left byte-identical,
+        so the job's cost is proportional to the delete-bearing files,
+        not the table. Returns the number of data files rewritten.
+
+        Commits a ``replace`` snapshot (data unchanged — snapshot.rs:25)
+        with compaction-style conflict rules: a concurrent rewrite of an
+        input file or a concurrent MoR delete aborts the commit.
+        """
+        md = self.metadata
+        all_entries = self._current_entries(md, branch)
+        pos_dels = [
+            e for e in _delete_file_entries(all_entries)
+            if e.content == "position-deletes"
+        ]
+        if not pos_dels:
+            return 0
+        if any(e.content == "equality-deletes" for e in _delete_file_entries(all_entries)):
+            # Rewritten files commit with a NEW (higher) sequence
+            # number, so existing equality deletes (strictly-smaller-
+            # sequence rule) would stop applying to the rewritten rows
+            # and silently resurrect them. compact() materializes both
+            # kinds together; refuse the partial rewrite.
+            raise ValueError(
+                "table has equality-delete files; use compact() to "
+                "materialize both delete kinds together (a targeted "
+                "position rewrite would detach older equality deletes "
+                "from the rewritten rows)"
+            )
+        # Which data files do the positions reference? file_path in a
+        # delete file is the scan-time _metadata.file_path URI; entry
+        # paths are plain filesystem paths. Metadata-sized collect (one
+        # value per referenced file).
+        referenced = {
+            _strip_file_scheme(r.file_path)
+            for r in self.spark.read.parquet(*[e.path for e in pos_dels])
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        targets = [e for e in _data_entries(all_entries) if e.path in referenced]
+        if not targets:
+            return 0
+        rewritten = self._read_entries_as(
+            md, targets, md.current_schema(), delete_entries=pos_dels
+        )
+        new_entries = self._write_data_files(rewritten, md)
+        before = sum(e.record_count for e in targets) - sum(
+            e.record_count for e in pos_dels
+        )
+        after = sum(e.record_count for e in new_entries)
+        if before != after:
+            raise RuntimeError(
+                f"position-delete rewrite changed record count: {before} -> {after}"
+            )
+        input_paths = {e.path for e in targets}
+        base_del_paths = {e.path for e in pos_dels}
+
+        def updater(cur: TableMetadata) -> TableMetadata:
+            cur_entries = self._current_entries(cur, branch)
+            cur_paths = {e.path for e in cur_entries}
+            if input_paths - cur_paths:
+                raise CommitConflict(
+                    f"rewrite_position_deletes on {self.identifier} conflicts "
+                    "with a concurrent rewrite of an input file; re-run "
+                    "against fresh metadata"
+                )
+            cur_del_paths = {e.path for e in _delete_file_entries(cur_entries)}
+            if cur_del_paths - base_del_paths:
+                raise CommitConflict(
+                    f"rewrite_position_deletes on {self.identifier} conflicts "
+                    "with a concurrent merge-on-read delete; re-run against "
+                    "fresh metadata"
+                )
+            kept = [
+                e
+                for e in cur_entries
+                if e.path not in input_paths and e.path not in base_del_paths
+            ]
+            return self._new_snapshot(
+                cur, "replace", kept + new_entries, branch,
+                {"rewritten-data-files": str(len(targets)),
+                 "removed-delete-files": str(len(pos_dels))},
+            )
+
+        self._commit(updater)
+        return len(targets)
+
     # -- metadata inspection tables (reference README.md:27) ------------
 
     def snapshots(self) -> DataFrame:
@@ -2163,6 +2363,19 @@ def _cluster_for_write(
     )
     out._icelake_zorder_cache = tagged  # released by compact() after the write
     return out
+
+
+def _strip_file_scheme(uri: str) -> str:
+    """Map a scan-time ``_metadata.file_path`` URI back to the plain
+    filesystem path manifests store (Hadoop emits ``file:/x`` or
+    ``file:///x`` for path ``/x``); paths without a scheme pass through
+    unchanged."""
+    if uri.startswith("file:"):
+        rest = uri[len("file:"):]
+        if rest.startswith("///"):
+            rest = rest[2:]
+        return unquote(rest)
+    return uri
 
 
 def _base_path(path: str, location: str | None = None) -> str:

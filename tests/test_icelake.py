@@ -1208,3 +1208,100 @@ class TestFastForwardAndManifests:
         assert parts is not None and len(parts) == len(before_files)
         assert {e.path for e in t._current_entries(t.metadata)} == before_files
         assert t.to_df().count() == before_rows
+
+
+class TestChangelogScan:
+    def _mk(self, spark, catalog):
+        df = spark.range(10).select(
+            F.col("id"), (F.col("id") * 10).cast("double").alias("v")
+        )
+        t = catalog.create_table("db.cl", df.schema)
+        return t, df
+
+    def test_appends_and_mor_delete(self, spark, catalog):
+        t, df = self._mk(spark, catalog)
+        t.append(df.where("id < 5"))
+        t.delete("id IN (1, 3)", mode="merge-on-read")
+        t.append(df.where("id >= 5"))
+        rows = [
+            (r["id"], r["_change_type"], r["_change_ordinal"])
+            for r in t.changelog_scan().orderBy("_change_ordinal", "id").collect()
+        ]
+        assert rows == (
+            [(i, "insert", 0) for i in range(5)]
+            + [(1, "delete", 1), (3, "delete", 1)]
+            + [(i, "insert", 2) for i in range(5, 10)]
+        )
+
+    def test_replace_skipped_and_range(self, spark, catalog):
+        t, df = self._mk(spark, catalog)
+        t.append(df.where("id < 5"))
+        s1 = t.metadata.current_snapshot_id
+        t.compact(target_file_size_bytes=1024)
+        t.append(df.where("id >= 5"))
+        full = t.changelog_scan()
+        # compaction (replace) contributes no change rows
+        assert full.where("_change_type = 'delete'").count() == 0
+        assert full.count() == 10
+        # exclusive-start range sees only the second append
+        inc = t.changelog_scan(start_snapshot_id=s1)
+        assert sorted(r["id"] for r in inc.collect()) == [5, 6, 7, 8, 9]
+        assert inc.select("_change_type").distinct().collect()[0][0] == "insert"
+
+    def test_cow_delete_diff(self, spark, catalog):
+        t, df = self._mk(spark, catalog)
+        t.append(df)
+        t.delete("id >= 8", mode="copy-on-write")
+        ch = t.changelog_scan()
+        dels = sorted(r["id"] for r in ch.where("_change_type = 'delete'").collect())
+        assert dels == [8, 9]
+        # the rewrite's surviving rows cancel in the diff: no spurious inserts
+        assert ch.where("_change_type = 'insert' AND _change_ordinal = 1").count() == 0
+
+    def test_non_ancestor_start_raises(self, spark, catalog):
+        t, df = self._mk(spark, catalog)
+        t.append(df)
+        with pytest.raises(KeyError):
+            t.changelog_scan(start_snapshot_id=12345)
+
+
+class TestRewritePositionDeletes:
+    def test_rewrites_only_referenced_files(self, spark, catalog):
+        df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("g"))
+        t = catalog.create_table("db.rpd", df.schema)
+        t.append(df.where("id < 50"))
+        t.append(df.where("id >= 50"))
+        t.delete("id IN (3, 11)", mode="merge-on-read")
+        before = {
+            r.file_path for r in t.files().where("content = 'data'").collect()
+        }
+        # positions only reference first-append files -> second append's
+        # files must survive the rewrite byte-identical (same paths)
+        n = t.rewrite_position_deletes()
+        assert n >= 1
+        after = {r.file_path for r in t.files().where("content = 'data'").collect()}
+        assert after & before, "untouched data files were rewritten"
+        assert t.files().where("content = 'position-deletes'").count() == 0
+        assert sorted(r["id"] for r in t.scan().collect()) == sorted(
+            i for i in range(100) if i not in (3, 11)
+        )
+        assert _ops(t)[-1] == "replace"
+
+    def test_noop_without_deletes(self, spark, catalog):
+        df = spark.range(10).toDF("id")
+        t = catalog.create_table("db.rpd2", df.schema)
+        t.append(df)
+        assert t.rewrite_position_deletes() == 0
+
+    def test_equality_deletes_rejected(self, spark, catalog):
+        df = spark.range(10).select(F.col("id"), F.col("id").cast("double").alias("v"))
+        t = catalog.create_table("db.rpd3", df.schema)
+        t.append(df)
+        t.delete("id = 7", mode="merge-on-read")
+        upd = spark.range(3).select(F.col("id"), (F.col("id") + 100.0).alias("v"))
+        t.merge(upd, on=["id"], mode="merge-on-read")
+        assert t.files().where("content = 'equality-deletes'").count() >= 1
+        # mixed state: rewriting the position deletes would bump the
+        # rewritten rows past the equality deletes' sequence numbers
+        with pytest.raises(ValueError, match="equality-delete"):
+            t.rewrite_position_deletes()
