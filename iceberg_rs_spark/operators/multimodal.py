@@ -525,3 +525,99 @@ def sample_frames_and_featurize(
             )
 
     return df.mapInPandas(frame_batches, schema=out_fields)
+
+
+def synth_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic binary PPM ("P6") holding the SAME pixels as
+    ``synth_bmp(width, height, seed)``: BMP stores BGR rows bottom-up
+    with 4-byte padding, PPM stores RGB rows top-down unpadded — two
+    different containers, one image."""
+    header = f"P6 {width} {height} 255\n".encode()
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # BMP row 0 is the BOTTOM row
+        for x in range(width):
+            v = (x * 7 + y * 13 + seed) % 256
+            body += bytes(((v * 5) % 256, (v * 3) % 256, v))  # RGB of BGR(v,3v,5v)
+    return header + bytes(body)
+
+
+def decode_pixels(payload: bytes) -> bytes:
+    """Container-independent pixel extraction: decode a 24-bit BMP or
+    binary PPM to canonical top-down row-major RGB bytes. Two files
+    hold the same image iff their decoded_pixels are equal — the basis
+    for content dedup that container metadata, row padding, and row
+    order cannot fool."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        width, height, rows = _bmp_pixel_rows(payload)
+        out = bytearray()
+        for row in reversed(rows):  # bottom-up file order -> top-down
+            for x in range(width):
+                b, g, r = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                out += bytes((r, g, b))
+        return bytes(out)
+    if payload[:2] == b"P6":
+        width, height, _ = _decode_ppm(payload)
+        # _decode_ppm validated the header; find the pixel offset again
+        i = 2
+        seen = 0
+        while seen < 3:
+            c = payload[i : i + 1]
+            if c == b"#":
+                while payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                while not payload[i : i + 1].isspace():
+                    i += 1
+                seen += 1
+        i += 1  # single whitespace after maxval
+        return payload[i : i + width * height * 3]
+    raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+
+
+def attach_mixed_container_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter for cross-container dedup: rows pair up by
+    ``id // 2`` carrying the SAME image — even ids as BMP, odd ids as
+    the pixel-identical PPM. Dimensions and pattern seed derive from
+    the pair id, so distinct pairs are distinct images."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_payload(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            pair = i // 2
+            w, h = 16 + pair % 32, 16 + (pair // 32) % 32
+            if i % 2 == 0:
+                return synth_bmp(w, h, seed=pair)
+            return synth_ppm(w, h, seed=pair)
+
+        return ids.apply(lambda i: make(int(i)))
+
+    return df.withColumn("payload", make_payload(F.col(id_col))).withColumn(
+        "container",
+        F.when(F.col(id_col) % 2 == 0, F.lit("bmp")).otherwise(F.lit("ppm")),
+    )
+
+
+def pixel_hash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas stage adding ``pixel_md5`` — md5 of the canonical
+    decoded RGB bytes. Executor-side Arrow batches; the hash is 32
+    hex chars per row, so the downstream dedup groupBy shuffles tiny
+    keys regardless of image size."""
+    import hashlib
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pixel_md5", T.StringType())]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pixel_md5"] = [
+                hashlib.md5(decode_pixels(p)).hexdigest() for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(hash_batches, schema=out_schema)

@@ -64,6 +64,14 @@ PRIORITY: list[str] = [
     "pipeline_scd2_intervals",      # CDC -> type-2 dimension intervals
     "pipeline_ngram_lm_quality",    # add-one bigram LM quality score
     "table_wap_publish",            # write-audit-publish via fast-forward
+    "table_changelog_scan",         # row-level CDC changelog across commits
+    "table_rewrite_deletes",        # rewrite_position_delete_files maintenance
+    "pipeline_stratified_sample",   # per-lang deterministic hash sampling
+    "pipeline_domain_cap",          # per-domain contribution cap (anti-dominance)
+    "events_path_transitions",      # first-order Markov transition matrix
+    "text_tfidf_keywords",          # top-3 TF-IDF terms per document
+    "text_zipf_token_curve",        # corpus vocabulary Zipf head
+    "multimodal_pixel_dedup",       # cross-container decoded-pixel dedup
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed

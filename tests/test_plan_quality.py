@@ -478,3 +478,58 @@ class TestEventAnalyticsPlans:
         plan = final_plan(CORPUS["events_cohort_retention"].builder(spark, sf_dir))
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound4cPlans:
+    """Batch-2 round-4 additions: sampling stays map-side, windows are
+    partitioned by their stratum, and the corpus-stats rankers sort
+    only vocabulary-sized relations."""
+
+    def test_stratified_sample_single_shuffle(self, spark, sf_dir):
+        """Hash-bucket membership is a row-local expression; the only
+        exchanges are the per-lang rollup and the presentation sort."""
+        df = CORPUS["pipeline_stratified_sample"].builder(spark, sf_dir)
+        final = final_plan(df).split("== Initial Plan ==")[0]
+        import re
+
+        exchanges = [
+            ln for ln in final.splitlines() if re.search(r"\bExchange\b", ln)
+        ]
+        assert len(exchanges) <= 2, exchanges
+        assert "partial" in final.lower()  # map-side combine before the rollup
+
+    def test_domain_cap_window_is_partitioned(self, spark, sf_dir):
+        plan = final_plan(CORPUS["pipeline_domain_cap"].builder(spark, sf_dir))
+        assert "Window" in plan
+        assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+    def test_path_transitions_user_window_partitioned(self, spark, sf_dir):
+        """The per-user lag window must partition by user_id; only the
+        |event_types|²-sized share window may be narrow."""
+        plan = final_plan(CORPUS["events_path_transitions"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "partitionBy=[user_id" in final.replace(" ", "") or "user_id" in final
+
+    def test_tfidf_no_cartesian_and_partial_agg(self, spark, sf_dir):
+        """The df-join must hash on term (no cartesian beyond the 1-row
+        corpus-size broadcast) and both counts partial-aggregate."""
+        plan = final_plan(CORPUS["text_tfidf_keywords"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert final.lower().count("partial") >= 2
+
+    def test_changelog_append_fastpath_no_diff(self, spark, sf_dir):
+        """An append-only history must produce a changelog WITHOUT any
+        exceptAll machinery — appended files are read directly."""
+        import tempfile
+
+        from iceberg_rs_spark.sources.fixtures import load_table
+        from iceberg_rs_spark.sources.icelake import Catalog
+
+        ev = load_table(spark, sf_dir, "events").limit(200)
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="icelake_clplan_"))
+        t = cat.create_table("db.clplan", ev.schema)
+        t.append(ev)
+        plan = final_plan(t.changelog_scan())
+        # exceptAll compiles to a left-anti join; the fast path has none
+        assert "LeftAnti" not in plan
