@@ -28,3 +28,5 @@ import iceberg_rs_spark.plans.streaming  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4b  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4c  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4d  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4e  # noqa: F401,E402

@@ -72,6 +72,20 @@ PRIORITY: list[str] = [
     "text_tfidf_keywords",          # top-3 TF-IDF terms per document
     "text_zipf_token_curve",        # corpus vocabulary Zipf head
     "multimodal_pixel_dedup",       # cross-container decoded-pixel dedup
+    "fn_bitwise_family",            # shifts/and/or/xor/popcount
+    "fn_trig_family",               # sin..atan2, degrees/radians, cbrt
+    "agg_histogram_numeric",        # equi-width profiling histogram
+    "agg_higher_moments",           # portable skewness/kurtosis + exact mode
+    "events_rfm_segments",          # NTILE quartile RFM segmentation
+    "events_anomaly_daily_zscore",  # per-type daily volume control chart
+    "sim_centroid_per_label",       # class centroids + argmin-cos outlier
+    "table_rollback_restore",       # rollback_to_snapshot bad-commit recovery
+    "pipeline_dedup_purge",         # LSH -> CC -> purge accounting
+    "pipeline_mixture_weights",     # temperature-scaled source mixture
+    "join_pit_dimension",           # facts joined to SCD2 row valid at ts
+    "table_partitions_metadata",    # per-partition stats from manifests only
+    "stream_trending_topk",         # streaming counts + final-state rank
+    "sim_pq_topk",                  # product-quantization ADC (rows-only)
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed

@@ -351,6 +351,37 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5, f"IVF recall@5 {recall}"
 
+    def test_pq_recall_and_subspace_monotonicity(self, emb):
+        """PQ/ADC recall vs brute-force cosine: the isotropic fixture
+        is PQ's worst case (no cluster structure to quantize around),
+        so the floor mirrors the LSH one; finer sub-spaces (smaller
+        dsub → lower quantization error) must not lose recall."""
+        q = self._queries(emb)
+        exact = {
+            (r.query_id, r.vec_id) for r in S.brute_force_topk(emb, q, k=5).collect()
+        }
+        coarse = {
+            (r.query_id, r.vec_id)
+            for r in S.pq_topk(emb, q, k=5, m=8, ksub=16).collect()
+        }
+        fine = {
+            (r.query_id, r.vec_id)
+            for r in S.pq_topk(emb, q, k=5, m=16, ksub=16).collect()
+        }
+        r_coarse = len(exact & coarse) / len(exact)
+        r_fine = len(exact & fine) / len(exact)
+        assert r_fine >= 0.3, f"PQ m=16 recall@5 {r_fine}"
+        assert r_fine >= r_coarse, f"finer sub-spaces lost recall: {r_coarse} -> {r_fine}"
+
+    def test_pq_deterministic_across_runs(self, emb):
+        """Codebook training (hash-sampled seeds + Lloyd means) and ADC
+        scoring contain no randomness: two independent builds must
+        produce identical top-k."""
+        q = self._queries(emb, n=5)
+        a = S.pq_topk(emb, q, k=5, m=16, ksub=16).collect()
+        b = S.pq_topk(emb, q, k=5, m=16, ksub=16).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
     def test_ivf_seeding_is_order_independent(self, emb):
         """Centroid seeds are a deterministic hash-sample of the id
         space (TakeOrdered on h60(id)), NOT the first n ids — so the

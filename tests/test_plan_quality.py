@@ -533,3 +533,60 @@ class TestRound4cPlans:
         plan = final_plan(t.changelog_scan())
         # exceptAll compiles to a left-anti join; the fast path has none
         assert "LeftAnti" not in plan
+
+
+class TestRound4dePlans:
+    """Batch-3/4 round-4 additions: the PIT join stays an equi-join,
+    segmentation has no global-sort window, the centroid relation
+    broadcasts, and the profiling aggregates partial-combine."""
+
+    def test_pit_join_is_keyed_not_nested_loop(self, spark, sf_dir):
+        """facts × SCD2 must hash/sort-merge on user_id with the
+        interval as a residual — a nested-loop over the full corpus
+        would be quadratic at scale."""
+        plan = final_plan(CORPUS["join_pit_dimension"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+
+    def test_rfm_has_no_global_sort_window(self, spark, sf_dir):
+        """Quartile scoring must come from the percentile aggregate +
+        1-row broadcast, never an unpartitioned NTILE window funnelling
+        the user population through one partition."""
+        plan = final_plan(CORPUS["events_rfm_segments"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" not in final
+        assert "partial" in final.lower()
+
+    def test_centroid_join_broadcasts(self, spark, sf_dir):
+        """The |labels|×|dims| centroid relation must broadcast back
+        onto the exploded stream (it is metadata-sized at any SF)."""
+        plan = final_plan(CORPUS["sim_centroid_per_label"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "CartesianProduct" not in final
+
+    def test_histogram_and_moments_partial_aggregate(self, spark, sf_dir):
+        for name in ("agg_histogram_numeric", "agg_higher_moments"):
+            plan = final_plan(CORPUS[name].builder(spark, sf_dir))
+            final = plan.split("== Initial Plan ==")[0]
+            assert "partial" in final.lower(), name
+
+    def test_bitwise_family_stays_in_codegen(self, spark, sf_dir):
+        plan = final_plan(CORPUS["fn_bitwise_family"].builder(spark, sf_dir))
+        # post-AQE text renders codegen stages as "*(n)" prefixes
+        assert "*(" in plan or "WholeStageCodegen" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_trending_rank_window_is_partitioned(self, spark, sf_dir):
+        """The final rank runs per window-start — never a single
+        global partition."""
+        plan = final_plan(CORPUS["stream_trending_topk"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" in final
+        assert "SinglePartition" not in final
+
+    def test_dedup_purge_no_cartesian(self, spark, sf_dir):
+        plan = final_plan(CORPUS["pipeline_dedup_purge"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
