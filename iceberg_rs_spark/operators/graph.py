@@ -1,0 +1,99 @@
+"""Distributed graph algorithms over edge-list DataFrames.
+
+The reference's metadata model stores *relations*; real pipelines also
+derive graphs from them (citation / link / trade graphs) and need
+iterative algorithms that survive cluster scale. Everything here works
+on a plain ``(src, dst, weight)`` edge DataFrame and keeps the data
+distributed: per-iteration cost is one join + one groupBy shuffle, the
+driver holds only iteration control, and every iteration ends in a
+:func:`~iceberg_rs_spark.operators.dedup.barrier` so the lineage does
+not double per round (rank_t feeds both the contribution join and the
+dangling-mass aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.operators.dedup import barrier
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution.
+
+    ``rank_{t+1}(v) = (1-d)/N + d * (Σ_u rank_t(u)·w(u,v)/out(u)
+    + dangling_t/N)`` where ``out(u)`` is u's total outgoing weight and
+    ``dangling_t`` is the rank mass sitting on nodes with no outgoing
+    edges. Fixed ``iterations`` (no convergence test) so the result is
+    a pure function of the input — required for oracle hash-checking.
+
+    Scale posture: the node set, out-degree totals, and per-iteration
+    contributions are all DataFrames partitioned by node id — nothing
+    proportional to |V| or |E| ever reaches the driver. The two
+    scalars an iteration needs (N once, dangling mass per round) stay
+    in 1-row DataFrames joined in via broadcast — a broadcast of ONE
+    row, not of a relation that grows with data. Each iteration is
+    barriered: without it, rank_t's plan is re-derived once per
+    downstream reference and the lineage doubles every round
+    (2^iterations recomputes of the edge build by round 5).
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    ).where(F.col("w") > 0)
+    e = barrier(e)
+
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    nodes = barrier(nodes)
+    n_nodes = nodes.count()  # one metadata-sized scalar, computed once
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # normalized transition weight w(u,v)/out(u), fixed across rounds
+    trans = barrier(
+        e.join(out_w, "src").select(
+            "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+        )
+    )
+    has_out = trans.select("src").distinct()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = barrier(ranks)
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row frame: scalar, not a relation
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        prev = ranks
+        ranks = barrier(new_ranks)
+        prev.unpersist()
+    return ranks

@@ -30,3 +30,6 @@ import iceberg_rs_spark.plans.round4b  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4c  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4d  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4e  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4f  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4g  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4h  # noqa: F401,E402

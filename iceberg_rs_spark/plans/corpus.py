@@ -86,6 +86,24 @@ PRIORITY: list[str] = [
     "table_partitions_metadata",    # per-partition stats from manifests only
     "stream_trending_topk",         # streaming counts + final-state rank
     "sim_pq_topk",                  # product-quantization ADC (rows-only)
+    "graph_pagerank_trade",         # iterative weighted PageRank, unrolled oracle
+    "quality_expectations",         # Deequ-style validation suite
+    "agg_heavy_hitters_mg",         # Misra-Gries candidates + exact recount
+    "pipeline_vocab_coverage",      # top-N vocab OOV audit per lang
+    "dedup_url_canonical",          # URL canonicalization dedup
+    "fn_string_distance",           # levenshtein pair similarity (blocked)
+    "table_partition_drop_metadata_only",  # partition-aligned metadata delete
+    "graph_triangle_count",         # ordered-wedge triangles + clustering coef
+    "ts_downsample_m4",             # M4 first/last/min/max downsampling
+    "ts_exp_decay_features",        # 30-day exponential-decay rollup features
+    "pipeline_filter_funnel",       # first-failing-rule attrition funnel
+    "dedup_cluster_survivorship",   # golden-record field survivorship
+    "agg_weighted_percentiles",     # exact weighted p50/p90 via cum-weight
+    "udf_arrow_python_scalar",      # useArrow=True Python UDF path
+    "win_gaps_islands_streaks",     # longest consecutive-day streaks
+    "events_inactivity_churn",      # idle-days churn tiers
+    "fn_variant_semistructured",    # Spark-4 VARIANT parse/path access
+    "table_branch_diff_audit",      # EXCEPT ALL branch divergence audit
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed

@@ -1,0 +1,430 @@
+"""Round-4 corpus additions, batch 7: exact weighted percentiles,
+the Arrow-optimized Python UDF path, gaps-and-islands streaks,
+inactivity churn, Spark-4 VARIANT semi-structured access, and a
+branch-divergence audit over the table layer.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
+from iceberg_rs_spark.sources.icelake import Catalog
+
+# ---------------------------------------------------------------------------
+# Exact weighted percentiles
+# ---------------------------------------------------------------------------
+
+WP_PCTS = (0.5, 0.9)
+
+
+@query(
+    "agg_weighted_percentiles",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+                   AS unit_cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem),
+    cum AS (
+        SELECT l_returnflag, unit_cents, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY unit_cents, w
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM base),
+    picks AS (
+        SELECT l_returnflag, p,
+               MIN(unit_cents) FILTER (WHERE cw >= CAST(p AS DOUBLE) * tw)
+                   AS pick_cents
+        FROM cum CROSS JOIN (VALUES (0.5), (0.9)) AS pcts(p)
+        GROUP BY l_returnflag, p)
+    SELECT l_returnflag, p,
+           {rhalf_sql('pick_cents / 100.0', 2)} AS weighted_pct_price
+    FROM picks
+    ORDER BY l_returnflag, p
+    """,
+    tags=("agg", "percentile", "weighted", "exact"),
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted unit-price percentiles per return flag:
+    the weighted p50/p90 is the smallest value whose cumulative weight
+    reaches p · total — computed with one cumulative-sum window over
+    values pre-ordered within each group and a conditional-min pick
+    per requested percentile. Prices are integer cents before the
+    window so cumulative sums are exact and the (value, weight)
+    ordering is total — no float summation-order sensitivity.
+
+    Unlike `percentile(col)` this weights every row by l_quantity (the
+    unit price of a 50-unit line counts 50×), which is the correct
+    statistic for per-unit pricing. The window partitions by the
+    group key — per-group streams, no single-partition funnel; the
+    percentile fan-out (×2) rides a 2-row broadcast values join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("unit_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_cents", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "l_returnflag",
+        "unit_cents",
+        F.sum("w").over(wspec).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in WP_PCTS], "p double")
+    picks = (
+        cum.crossJoin(F.broadcast(pcts))
+        .groupBy("l_returnflag", "p")
+        .agg(
+            F.min(
+                F.when(F.col("cw") >= F.col("p") * F.col("tw"), F.col("unit_cents"))
+            ).alias("pick_cents")
+        )
+    )
+    return picks.select(
+        "l_returnflag",
+        "p",
+        rhalf(F.col("pick_cents") / 100.0, 2).alias("weighted_pct_price"),
+    ).orderBy("l_returnflag", "p")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF (Spark 3.5+ useArrow)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_arrow_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(sqrt(o_totalprice) * 100 + 0.5) AS BIGINT) AS sqrt_cents,
+           upper(substr(o_orderpriority, 1, 1)) || ':' || o_orderstatus AS tag
+    FROM orders
+    WHERE o_orderkey < 3000
+    ORDER BY o_orderkey
+    """,
+    tags=("udf", "arrow", "python-udf"),
+)
+def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Python-UDF execution mode: `udf(..., useArrow=True)`
+    (Spark 3.5+) — scalar Python semantics with Arrow-batched
+    transfer, the drop-in accelerator for row-at-a-time UDFs that
+    cannot be vectorized as pandas expressions. Same per-row function
+    shape as `udf_scalar_python_classify`, ~10× less serialization
+    overhead; still slower than built-ins (the oracle shows both
+    outputs are plain SQL — the query pins the EXECUTION PATH, not a
+    capability SQL lacks)."""
+    import math
+
+    @F.udf("long", useArrow=True)
+    def sqrt_cents(p: float) -> int:
+        return int(math.floor(math.sqrt(p) * 100 + 0.5))
+
+    @F.udf("string", useArrow=True)
+    def tag(prio: str, status: str) -> str:
+        return f"{prio[0].upper()}:{status}"
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    return orders.select(
+        "o_orderkey",
+        sqrt_cents(F.col("o_totalprice")).alias("sqrt_cents"),
+        tag(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("tag"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: longest daily-activity streak
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_gaps_islands_streaks",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM evt WHERE user_id < 500),
+    grouped AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        FROM days),
+    islands AS (
+        SELECT user_id, island, COUNT(*) AS len,
+               MIN(day) AS start_day
+        FROM grouped GROUP BY user_id, island),
+    best AS (
+        SELECT user_id, len, start_day,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_day) AS r
+        FROM islands)
+    SELECT user_id, CAST(len AS BIGINT) AS streak_days,
+           CAST(start_day AS VARCHAR) AS streak_start
+    FROM best
+    WHERE r = 1 AND len >= 3
+    ORDER BY user_id
+    """,
+    tags=("window", "gaps-islands", "streaks"),
+)
+def win_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days, by the classic day − row_number() island key (consecutive
+    days share a constant difference; any gap shifts it). Two windows
+    and two aggregations, all partitioned by user — the SQL-idiomatic
+    O(n log n) solution with no self-join, no recursion, and no
+    per-user state beyond the sort. Ties between equal-length streaks
+    break to the earliest start."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 500)
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grouped = days.select(
+        "user_id", "day", F.date_sub(F.col("day"), rn).alias("island")
+    )
+    islands = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    best = islands.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+        ),
+    )
+    return (
+        best.where((F.col("r") == 1) & (F.col("len") >= 3))
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("streak_days"),
+            F.col("start_day").cast("string").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inactivity churn audit
+# ---------------------------------------------------------------------------
+
+CHURN_DAYS = 2
+
+
+@query(
+    "events_inactivity_churn",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS horizon FROM evt),
+    lastseen AS (
+        SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+               COUNT(*) AS n_events
+        FROM evt GROUP BY user_id),
+    flagged AS (
+        SELECT user_id, n_events,
+               (SELECT horizon FROM bounds) - last_day AS idle_days
+        FROM lastseen),
+    tiered AS (
+        SELECT CASE WHEN idle_days >= {CHURN_DAYS} THEN 'churned'
+                    WHEN idle_days >= {CHURN_DAYS // 2} THEN 'at_risk'
+                    ELSE 'active' END AS tier,
+               n_events
+        FROM flagged)
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           {rhalf_sql('AVG(n_events)', 2)} AS avg_events_per_user
+    FROM tiered
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    tags=("events", "churn", "retention"),
+)
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-based churn tiers: users bucketed by days idle at the
+    corpus horizon (max event date) — churned ≥2d, at-risk ≥1d, else
+    active (the fixture's event stream is dense, so the thresholds are
+    days; a production run would use weeks) — with population and engagement totals per tier. The
+    horizon is a 1-row aggregate broadcast into the per-user frame
+    (never a window over an unpartitioned frame); everything else is
+    one groupBy over user_id. The AVG rounds via the cross-engine
+    half-up helper so tier boundaries stay hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    lastseen = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    idle = F.datediff(F.col("horizon"), F.col("last_day"))
+    tier = (
+        F.when(idle >= CHURN_DAYS, "churned")
+        .when(idle >= CHURN_DAYS // 2, "at_risk")
+        .otherwise("active")
+    )
+    return (
+        lastseen.crossJoin(F.broadcast(horizon))
+        .select(tier.alias("tier"), "n_events")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            rhalf(F.avg("n_events"), 2).alias("avg_events_per_user"),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured access (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_variant_semistructured",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    built AS (
+        SELECT event_id,
+               '{{"id": ' || event_id || ', "meta": {{"type": "' || event_type
+               || '", "k": ' || json_extract_string(props, '$.k')
+               || '}}, "vals": [' || CAST(value AS VARCHAR) || ', '
+               || CAST(value * 2 AS VARCHAR) || ']}}' AS j
+        FROM evt WHERE event_id < 2000 AND value IS NOT NULL),
+    extracted AS (
+        SELECT event_id,
+               CAST(json_extract(j, '$.id') AS BIGINT) AS id_from_json,
+               json_extract_string(j, '$.meta.type') AS meta_type,
+               CAST(json_extract(j, '$.meta.k') AS BIGINT) AS meta_k,
+               CAST(json_extract(j, '$.vals[1]') AS DOUBLE) AS second_val,
+               CAST(json_extract(j, '$.missing') IS NULL AS BOOLEAN) AS missing_is_null
+        FROM built)
+    SELECT event_id, id_from_json, meta_type, meta_k,
+           {rhalf_sql('second_val', 2)} AS second_val, missing_is_null
+    FROM extracted
+    ORDER BY event_id
+    """,
+    tags=("function", "variant", "json", "spark4"),
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path access: a JSON document built from event
+    fields is parsed ONCE into the binary VARIANT encoding
+    (`parse_json`) and then path-accessed with `variant_get` — typed
+    extraction (bigint / string / double), nested-object and
+    array-index paths, and NULL on missing paths via
+    `try_variant_get`. VARIANT's point at scale: shredded binary
+    access without re-tokenizing the JSON per path (5 extractions,
+    one parse), the open-table-format answer to semi-structured
+    columns. The oracle re-reads the same paths with DuckDB's JSON
+    extractors."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") < 2000) & F.col("value").isNotNull()
+    )
+    j = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit('}, "vals": ['),
+        F.col("value").cast("string"),
+        F.lit(", "),
+        (F.col("value") * 2).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(j)
+    built = ev.select("event_id", v.alias("v"))
+    return built.select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.id", "bigint").alias("id_from_json"),
+        F.variant_get(F.col("v"), "$.meta.type", "string").alias("meta_type"),
+        F.variant_get(F.col("v"), "$.meta.k", "bigint").alias("meta_k"),
+        rhalf(F.variant_get(F.col("v"), "$.vals[1]", "double"), 2).alias(
+            "second_val"
+        ),
+        F.try_variant_get(F.col("v"), "$.missing", "string")
+        .isNull()
+        .alias("missing_is_null"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Branch divergence audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_branch_diff_audit",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    scoped AS (
+        SELECT event_id, event_type, value FROM evt WHERE event_id < 4000),
+    main_side AS (
+        SELECT * FROM scoped WHERE event_id % 3 != 1),
+    branch_side AS (
+        SELECT * FROM scoped
+        WHERE event_id % 3 != 1 AND event_id % 5 != 2
+        UNION ALL
+        SELECT event_id, event_type, value * 2 FROM scoped
+        WHERE event_id % 3 = 1)
+    SELECT 'branch_only' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM (SELECT * FROM branch_side EXCEPT ALL SELECT * FROM main_side)
+    UNION ALL
+    SELECT 'main_only', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM (SELECT * FROM main_side EXCEPT ALL SELECT * FROM branch_side)
+    ORDER BY side
+    """,
+    tags=("table", "branch", "diff", "setop"),
+)
+def table_branch_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-divergence audit before a merge/fast-forward decision:
+    rows only on the branch vs rows only on main, as EXCEPT ALL diffs
+    between the two branch scans of ONE icelake table (a branch write
+    deletes a slice and appends a transformed slice, so both diff
+    directions are non-empty). This is the WAP audit step generalized
+    to arbitrary divergence — bag semantics (EXCEPT ALL) so duplicate
+    rows diff correctly, summarized to count + exact cents so the
+    check is O(1) output regardless of divergence size."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 4000)
+        .select("event_id", "event_type", "value")
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icelake_bdiff_"))
+    t = catalog.create_table("db.ev_bdiff", ev.schema)
+    t.append(ev.where(F.col("event_id") % 3 != 1))
+    t.create_branch("audit")
+    t.delete("event_id % 5 = 2", branch="audit")
+    t.append(
+        ev.where(F.col("event_id") % 3 == 1).withColumn(
+            "value", F.col("value") * 2
+        ),
+        branch="audit",
+    )
+    main_side = t.scan()
+    branch_side = t.scan(branch="audit")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def summarize(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        ).select(F.lit(side).alias("side"), "n_rows", "sum_cents")
+
+    branch_only = summarize(branch_side.exceptAll(main_side), "branch_only")
+    main_only = summarize(main_side.exceptAll(branch_side), "main_only")
+    return branch_only.unionByName(main_only).orderBy("side")

@@ -715,8 +715,31 @@ class Table:
         base_dels = _delete_file_entries(all_entries)
         base_del_paths = {e.path for e in base_dels}
         candidates, _ = _split_by_predicate(_data_entries(all_entries), where, md, self)
-        candidate_paths = {e.path for e in candidates}
-        deleted = 0
+        # Metadata-only fast path (Iceberg's partition-aligned DELETE):
+        # a file whose stats PROVE every row matches is dropped from
+        # the snapshot without being read or rewritten — at 100 TB,
+        # dropping a whole day partition is a manifest edit, not a
+        # data-proportional rewrite. Only safe when no delete files
+        # exist (a position delete on a dropped file would make
+        # record_count overstate `deleted`, and partial-match files
+        # must still see the old delete set unchanged).
+        dropped_meta_only = 0
+        conjuncts = _parse_conjuncts(where)
+        if conjuncts is not None and not base_dels:
+            full = [e for e in candidates if _entry_fully_matches(e, conjuncts)]
+            if full:
+                full_paths = {e.path for e in full}
+                candidates = [e for e in candidates if e.path not in full_paths]
+                dropped_meta_only = len(full)
+                deleted_meta = sum(e.record_count for e in full)
+            else:
+                deleted_meta = 0
+            full_match_paths = {e.path for e in full}
+        else:
+            deleted_meta = 0
+            full_match_paths = set()
+        candidate_paths = {e.path for e in candidates} | full_match_paths
+        deleted = deleted_meta
         rewritten: list[DataFileEntry] = []
         if candidates:
             # Apply existing position deletes BEFORE the rewrite: raw
@@ -731,7 +754,7 @@ class Table:
             remaining = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
             rewritten = self._write_data_files(remaining, md)
             after = sum(e.record_count for e in rewritten)
-            deleted = before - after
+            deleted += before - after
 
         def updater(cur: TableMetadata) -> TableMetadata:
             # Recompute the kept set from `cur` on every (re)try: a
@@ -763,9 +786,11 @@ class Table:
                     "merge-on-read delete; re-run against fresh metadata"
                 )
             untouched = [e for e in cur_entries if e.path not in candidate_paths]
+            summary = {"deleted-records": str(deleted)}
+            if dropped_meta_only:
+                summary["deleted-files-metadata-only"] = str(dropped_meta_only)
             return self._new_snapshot(
-                cur, "delete", untouched + rewritten, branch,
-                {"deleted-records": str(deleted)},
+                cur, "delete", untouched + rewritten, branch, summary
             )
 
         self._commit(updater)
@@ -2523,6 +2548,53 @@ def _cmp_keep(op: str, mn, mx, v) -> bool:
             return not (mn is not None and mn == mx == v)
     except TypeError:
         return True
+    return True
+
+
+def _cmp_all(op: str, mn, mx, v) -> bool:
+    """Does EVERY row in this [min,max] file interval satisfy
+    ``col op v``? Conservative (False) on unknown bounds or type
+    mismatch — the dual of :func:`_cmp_keep`."""
+    if mn is None or mx is None:
+        return False
+    try:
+        if op == "=":
+            return mn == mx == v
+        if op == "<":
+            return mx < v
+        if op == "<=":
+            return mx <= v
+        if op == ">":
+            return mn > v
+        if op == ">=":
+            return mn >= v
+        if op == "!=":
+            return mx < v or mn > v
+    except TypeError:
+        return False
+    return False
+
+
+def _entry_fully_matches(entry: DataFileEntry, conjuncts: list[_Conjunct]) -> bool:
+    """True when column stats PROVE every live row of the file
+    satisfies the whole conjunction — the condition for a
+    metadata-only delete of the file (Iceberg's partition-aligned
+    DELETE fast path). Requires zero nulls in each referenced column:
+    a NULL row does not satisfy the predicate and must be kept."""
+    for c in conjuncts:
+        st = entry.stats.get(c.col)
+        if not st or st.get("nulls") != 0:
+            return False
+        mn, mx = st.get("min"), st.get("max")
+        v = c.value
+        if isinstance(v, datetime) and isinstance(mn, str):
+            try:
+                mn = datetime.fromisoformat(mn) if mn else None
+                mx = datetime.fromisoformat(mx) if mx else None
+            except ValueError:
+                return False
+        if not _cmp_all(c.op, mn, mx, v):
+            return False
     return True
 
 

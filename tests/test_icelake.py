@@ -1305,3 +1305,83 @@ class TestRewritePositionDeletes:
         # rewritten rows past the equality deletes' sequence numbers
         with pytest.raises(ValueError, match="equality-delete"):
             t.rewrite_position_deletes()
+
+
+class TestMetadataOnlyDelete:
+    """Partition-aligned DELETE fast path: files whose stats prove every
+    row matches are dropped from the snapshot without a rewrite."""
+
+    def _day_table(self, catalog, events_df):
+        sub = events_df.where(F.col("user_id") < 300)
+        t = catalog.create_table(
+            "db.ev_days", sub.schema, partition_by=[("ts", "day")]
+        )
+        t.append(sub)
+        return t, sub
+
+    @staticmethod
+    def _day_bounds(sub):
+        d0 = sub.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+        d1 = d0 + dt.timedelta(days=1)
+        return d0, f"ts >= TIMESTAMP '{d0} 00:00:00' AND ts < TIMESTAMP '{d1} 00:00:00'"
+
+    def test_whole_day_drop_is_metadata_only(self, catalog, events_df):
+        t, sub = self._day_table(catalog, events_df)
+        before = {e.path for e in t._current_entries(t.metadata)}
+        d0, where = self._day_bounds(sub)
+        expect_deleted = sub.where(F.col("ts").cast("date") == d0).count()
+
+        deleted = t.delete(where)
+        assert deleted == expect_deleted
+
+        snap = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
+        assert snap.operation == "delete"
+        assert int(snap.summary["deleted-files-metadata-only"]) >= 1
+        after = {e.path for e in t._current_entries(t.metadata)}
+        # metadata-only: no new file was written, some files vanished
+        assert after < before
+        assert t.scan().where(F.col("ts").cast("date") == d0).count() == 0
+        assert t.scan().count() == sub.count() - expect_deleted
+
+    def test_partial_day_falls_back_to_rewrite(self, catalog, events_df):
+        t, sub = self._day_table(catalog, events_df)
+        d0, _ = self._day_bounds(sub)
+        where = f"ts >= TIMESTAMP '{d0} 00:00:00' AND ts < TIMESTAMP '{d0} 06:00:00'"
+        expect = sub.where(
+            (F.col("ts") >= f"{d0} 00:00:00") & (F.col("ts") < f"{d0} 06:00:00")
+        ).count()
+        deleted = t.delete(where)
+        assert deleted == expect
+        snap = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
+        # the day's file may not be dropped outright (rows 06:00+ live
+        # there), so the fast path must not claim it
+        assert "deleted-files-metadata-only" not in snap.summary
+        assert t.scan().count() == sub.count() - expect
+
+    def test_fast_path_disabled_under_mor_deletes(self, catalog, events_df):
+        t, sub = self._day_table(catalog, events_df)
+        # a position-delete file anywhere in the table disables the
+        # metadata-only path (record_count would overstate `deleted`)
+        t.delete("event_id % 17 = 3", mode="merge-on-read")
+        live = t.scan().count()
+        d0, where = self._day_bounds(sub)
+        expect = t.scan().where(F.col("ts").cast("date") == d0).count()
+        deleted = t.delete(where)
+        assert deleted == expect
+        snap = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
+        assert "deleted-files-metadata-only" not in snap.summary
+        assert t.scan().count() == live - expect
+
+    def test_unpartitioned_single_file_still_proves_by_stats(self, catalog, spark):
+        """The proof comes from column stats, not the partition spec: a
+        file whose [min,max] sits wholly under the predicate is dropped
+        metadata-only even without hidden partitioning."""
+        df = spark.range(0, 100).select(F.col("id").cast("long").alias("k"))
+        t = catalog.create_table("db.stats_only", df.schema)
+        t.append(df.where(F.col("k") < 50).coalesce(1))
+        t.append(df.where(F.col("k") >= 50).coalesce(1))
+        deleted = t.delete("k < 50")
+        assert deleted == 50
+        snap = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
+        assert int(snap.summary["deleted-files-metadata-only"]) >= 1
+        assert t.scan().count() == 50

@@ -783,3 +783,88 @@ class TestWinnowing:
         fps = self._sketches(spark, [base, "zzzz yyyy xxxx " + base])
         shared = fps[0] & fps[1]
         assert len(shared) >= len(fps[0]) * 0.7
+
+
+class TestPageRank:
+    def _ranks(self, spark, edges, **kw):
+        from iceberg_rs_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src long, dst long, w double")
+        return {
+            r["node"]: r["rank"]
+            for r in pagerank(df, weight="w", **kw).collect()
+        }
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        ranks = self._ranks(spark, [(1, 2, 1.0), (2, 1, 1.0)])
+        assert ranks[1] == pytest.approx(0.5)
+        assert ranks[2] == pytest.approx(0.5)
+
+    def test_mass_conserved_with_dangling(self, spark):
+        # node 3 has no outgoing edge: its mass must be redistributed,
+        # keeping the total at 1 every iteration
+        ranks = self._ranks(spark, [(1, 2, 1.0), (2, 3, 1.0)], iterations=7)
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-12)
+        assert ranks[3] > ranks[1]  # sink accumulates more than the source
+
+    def test_matches_dense_reference(self, spark):
+        """Distributed ranks == a driver-side numpy power iteration on
+        the same weighted recurrence."""
+        import numpy as np
+
+        edges = [
+            (0, 1, 2.0), (0, 2, 1.0), (1, 2, 3.0), (2, 0, 1.0), (3, 0, 5.0)
+        ]
+        n, d, iters = 4, 0.85, 5
+        P = np.zeros((n, n))
+        for s, t, w in edges:
+            P[s, t] = w
+        out = P.sum(axis=1)
+        has_out = out > 0
+        P[has_out] = P[has_out] / out[has_out, None]
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dangling = r[~has_out].sum()
+            r = (1 - d) / n + d * (P.T @ r + dangling / n)
+        got = self._ranks(spark, edges, iterations=iters, damping=d)
+        for v in range(n):
+            assert got[v] == pytest.approx(r[v], abs=1e-12), v
+
+    def test_weights_steer_rank(self, spark):
+        # 1 sends 9x more weight to 2 than to 3 -> 2 outranks 3
+        ranks = self._ranks(
+            spark, [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)]
+        )
+        assert ranks[2] > ranks[3]
+
+
+class TestHeavyHitters:
+    def _tokens(self, spark, counts, n_parts):
+        rows = [(tok,) for tok, c in counts.items() for _ in range(c)]
+        return spark.createDataFrame(rows, "token string").repartition(n_parts)
+
+    @pytest.mark.parametrize("n_parts", [1, 4, 13])
+    def test_exact_and_partition_invariant(self, spark, n_parts):
+        from iceberg_rs_spark.operators.topk import heavy_hitters
+
+        counts = {f"t{i}": 3 for i in range(120)}  # long tail
+        counts.update({"heavy_a": 200, "heavy_b": 90, "heavy_c": 41})
+        n = sum(counts.values())  # 691
+        k = 19  # hitter = count > n/20 = 34.55
+        df = self._tokens(spark, counts, n_parts)
+        got = {
+            r["token"]: r["n"] for r in heavy_hitters(df, "token", k).collect()
+        }
+        expect = {t: c for t, c in counts.items() if c * (k + 1) > n}
+        assert got == expect  # exact counts, no tail item leaks through
+
+    def test_mg_candidates_are_superset(self, spark):
+        """Pigeonhole guarantee: every true hitter survives pass 1 even
+        when partitions are adversarially skewed."""
+        from iceberg_rs_spark.operators.topk import heavy_hitters
+
+        counts = {f"noise{i}": 1 for i in range(400)}
+        counts["hot"] = 120
+        df = self._tokens(spark, counts, 7)
+        got = {r["token"] for r in heavy_hitters(df, "token", 9).collect()}
+        assert got == {"hot"}

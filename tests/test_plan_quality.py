@@ -590,3 +590,51 @@ class TestRound4dePlans:
         plan = final_plan(CORPUS["pipeline_dedup_purge"].builder(spark, sf_dir))
         final = plan.split("== Initial Plan ==")[0]
         assert "CartesianProduct" not in final
+
+
+class TestRound4Batch56Plans:
+    """Batch-5/6 additions: the iterative and sketch-based operators
+    must stay distributed (no cartesians beyond 1-row scalar frames, no
+    single-partition funnels, broadcasts only on bounded relations)."""
+
+    def test_pagerank_has_no_cartesian(self, spark, sf_dir):
+        """The per-iteration crossJoins are 1-row broadcast scalar
+        frames (dangling mass) — they must plan as broadcast nested
+        loops, never a CartesianProduct over data-sized relations."""
+        plan = final_plan(CORPUS["graph_pagerank_trade"].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_vocab_topn_uses_ordered_limit_not_global_window(self, spark, sf_dir):
+        """Top-300 vocab selection must plan TakeOrderedAndProject
+        (per-partition heaps), not a row_number over an unpartitioned
+        window funnelling the whole vocabulary through one task."""
+        plan = final_plan(CORPUS["pipeline_vocab_coverage"].builder(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan.split("== Initial Plan ==")[0]
+
+    def test_heavy_hitters_recount_is_broadcast(self, spark, sf_dir):
+        """Pass-2 exact recount joins the corpus against the O(k·parts)
+        candidate set — broadcast semi-join, never a shuffle of the
+        token stream against itself."""
+        plan = final_plan(CORPUS["agg_heavy_hitters_mg"].builder(spark, sf_dir))
+        assert "MapInPandas" in plan  # the MG candidate pass ran
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_quality_checks_single_scan_plus_broadcast_ri(self, spark, sf_dir):
+        plan = final_plan(CORPUS["quality_expectations"].builder(spark, sf_dir))
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_m4_windows_share_one_partitioning(self, spark, sf_dir):
+        """All four M4 ranks partition by (event_type, bucket): no
+        single-partition window may appear in the executed plan."""
+        plan = final_plan(CORPUS["ts_downsample_m4"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" in plan
+        assert "SinglePartition" not in final
+
+    def test_decay_join_and_triangles_have_no_cartesian(self, spark, sf_dir):
+        for name in ("ts_exp_decay_features", "graph_triangle_count"):
+            plan = final_plan(CORPUS[name].builder(spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
