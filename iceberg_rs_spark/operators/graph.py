@@ -97,3 +97,104 @@ def pagerank(
         ranks = barrier(new_ranks)
         prev.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection).
+
+    Every node starts in its own community (label = node id). Each
+    round, a node adopts the label carrying the highest total incoming
+    edge weight among its neighbours' *previous-round* labels, ties
+    broken by the smallest label — a deterministic variant of
+    Raghavan et al.'s LPA, so a fixed ``iterations`` makes the result
+    a pure function of the input (hash-checkable against an
+    unrolled-CTE oracle). Pass symmetric edges for undirected graphs.
+
+    Scale posture mirrors :func:`pagerank`: one join + one groupBy +
+    one per-node window per round, everything partitioned by node id,
+    nothing proportional to |V| or |E| on the driver, and each round
+    barriered so lineage stays flat.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    ).where(F.col("w") > 0)
+    e = barrier(e)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = barrier(nodes)
+
+    labels = nodes.select("node", F.col("node").cast("long").alias("lbl"))
+    labels = barrier(labels)
+    rn = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("lbl"))
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        winners = (
+            votes.withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        new_labels = (
+            labels.join(winners, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+        prev = labels
+        labels = barrier(new_labels)
+        prev.unpersist()
+    return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Minimum-hop distances from ``source`` by ``rounds`` synchronous
+    BFS relaxations (min-plus over the unweighted edge list). Returns
+    ``(node, hops)`` for every node reached within ``rounds``; a fixed
+    round count keeps the result a pure function of the input. Each
+    round is one join + one groupBy-min shuffled on node id with a
+    lineage barrier — the same bounded-round posture as the
+    connected-components operator in operators/dedup.py."""
+    e = barrier(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0)], "node long, hops int"
+    )
+    dist = barrier(dist)
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+        prev = dist
+        dist = barrier(new_dist)
+        prev.unpersist()
+    return dist

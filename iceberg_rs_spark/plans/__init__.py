@@ -33,3 +33,7 @@ import iceberg_rs_spark.plans.round4e  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4f  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4g  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4h  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4i  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4j  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4k  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4l  # noqa: F401,E402

@@ -104,6 +104,27 @@ PRIORITY: list[str] = [
     "events_inactivity_churn",      # idle-days churn tiers
     "fn_variant_semistructured",    # Spark-4 VARIANT parse/path access
     "table_branch_diff_audit",      # EXCEPT ALL branch divergence audit
+    "fn_collation_ci_grouping",     # Spark-4 collation grouping (UTF8_LCASE)
+    "pipeline_doc_chunking",        # overlapped context-window chunking
+    "sim_hybrid_rrf_fusion",        # reciprocal-rank-fusion hybrid retrieval
+    "events_ab_test_lift",          # hash-assigned A/B conversion readout
+    "events_market_basket_lift",    # k=2 association support/confidence/lift
+    "graph_label_propagation",      # weighted LPA communities, unrolled oracle
+    "sim_knn_classify",             # kNN majority-vote holdout readout
+    "events_gini_concentration",    # power-user activity Gini
+    "ts_seasonal_naive_backtest",   # lag-7 forecast MAE/MAPE backtest
+    "text_code_detection",          # code-vs-prose surface signals
+    "agg_benford_first_digit",      # first-digit law profile
+    "join_bucketed_colocate",       # shuffle-free bucketed catalog join
+    "sim_mmr_rerank",               # greedy MMR diversifier (cogroup UDF)
+    "agg_countmin_heavy_terms",     # portable-hash count-min estimates
+    "graph_bfs_shortest_hops",      # sparsified-graph BFS distances
+    "ts_anomaly_robust_mad",        # MAD modified-z control chart
+    "join_dynamic_partition_pruning",  # runtime dim-driven partition skip
+    "pipeline_span_corruption",     # T5 span masking, array-HOF only
+    "pipeline_curriculum_stages",   # TTR-ordered NTILE curriculum
+    "events_rate_change_ztest",     # two-sample Poisson rate z-test
+    "fn_try_error_safe",            # try_divide/element_at/cast family
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed

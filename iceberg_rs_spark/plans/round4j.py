@@ -1,0 +1,513 @@
+"""Round-4 corpus additions, batch 9: label-propagation community
+detection, kNN classification readout, Gini activity concentration,
+seasonal-naive forecast backtesting, code-vs-prose detection, and a
+Benford first-digit profile.
+
+Same contract as every batch: each Spark plan pairs with a DuckDB
+oracle built from the SAME constants (iteration counts, k, thresholds,
+regex patterns), so the engines cannot drift. The LPA oracle unrolls
+the fixed round count into generated CTEs, mirroring the PageRank
+pattern in round4f.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.operators.graph import label_propagation
+from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the undirected nation trade graph
+# ---------------------------------------------------------------------------
+
+LPA_ITERATIONS = 3
+
+_CENTS_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+def _lpa_oracle() -> str:
+    """Unroll LPA_ITERATIONS synchronous rounds of the recurrence
+    operators/graph.py:label_propagation computes."""
+    ctes = [
+        f"""dir_edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(SUM({_CENTS_SQL}) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders     ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c.c_custkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        GROUP BY 1, 2)""",
+        """und AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+        FROM dir_edges WHERE src != dst GROUP BY 1, 2)""",
+        """edges AS (
+        SELECT a AS src, b AS dst, w FROM und
+        UNION ALL SELECT b, a, w FROM und)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, CAST(node AS BIGINT) AS lbl FROM nodes)",
+    ]
+    for i in range(1, LPA_ITERATIONS + 1):
+        p = i - 1
+        ctes.append(
+            f"""v{i} AS (
+        SELECT e.dst AS node, l.lbl, SUM(e.w) AS wsum
+        FROM edges e JOIN l{p} l ON e.src = l.node GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+        SELECT node, lbl, ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY wsum DESC, lbl) AS rn
+        FROM v{i})"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+        SELECT p.node, COALESCE(t.lbl, p.lbl) AS lbl
+        FROM l{p} p LEFT JOIN (SELECT node, lbl FROM w{i} WHERE rn = 1) t
+          USING (node))"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT n_name, CAST(lbl AS BIGINT) AS community
+    FROM l{LPA_ITERATIONS} JOIN nation ON node = n_nationkey
+    ORDER BY n_name
+    """
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    over the undirected nation trade graph (edge weight = total
+    discounted-revenue cents between the two nations, both directions
+    summed; self-loops dropped). Deterministic LPA — highest incoming
+    label weight wins, ties to the smallest label, fixed 3 rounds — so
+    the full community assignment hash-checks against the unrolled-CTE
+    oracle. Per round the distributed operator costs one edge-label
+    join, one (node,label) groupBy, and one per-node window; at
+    billion-edge scale every stage shuffles on node id and the driver
+    only counts rounds (operators/graph.py:label_propagation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    directed = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(cents).cast("double").alias("w"))
+    )
+    und = (
+        directed.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    labels = label_propagation(edges, weight="w", iterations=LPA_ITERATIONS)
+    return (
+        labels.join(n, labels["node"] == n["n_nationkey"])
+        .select("n_name", F.col("lbl").cast("long").alias("community"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification readout over embeddings
+# ---------------------------------------------------------------------------
+
+KNN_K, KNN_HOLDOUT_MOD = 5, 20
+
+_KNN_DOT = "list_sum([CAST(q.v[i] * e.v[i] AS DOUBLE) for i in generate_series(1, 64)])"
+_KNN_NRM = (
+    "sqrt(list_sum([CAST({a}.v[i] * {a}.v[i] AS DOUBLE) "
+    "for i in generate_series(1, 64)]))"
+)
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS qid, v, label AS actual FROM base
+          WHERE vec_id % {KNN_HOLDOUT_MOD} = 0),
+    e AS (SELECT vec_id, v, label FROM base
+          WHERE vec_id % {KNN_HOLDOUT_MOD} != 0),
+    ranked AS (
+        SELECT q.qid, q.actual, e.label,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {_KNN_DOT}
+                       / ({_KNN_NRM.format(a='q')} * {_KNN_NRM.format(a='e')})
+                       DESC, e.vec_id) AS r
+        FROM q CROSS JOIN e),
+    votes AS (
+        SELECT qid, actual, label, COUNT(*) AS n_votes
+        FROM ranked WHERE r <= {KNN_K}
+        GROUP BY 1, 2, 3),
+    winner AS (
+        SELECT qid, actual, label AS predicted, CAST(n_votes AS BIGINT) AS n_votes,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY n_votes DESC, label) AS rn
+        FROM votes)
+    SELECT qid, actual, predicted, n_votes,
+           CAST(CASE WHEN predicted = actual THEN 1 ELSE 0 END AS INTEGER)
+               AS correct
+    FROM winner WHERE rn = 1
+    ORDER BY qid
+    """,
+    tags=("llm", "similarity", "knn", "classification"),
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification: every 20th vector is held out
+    and classified by the majority label of its 5 nearest neighbours
+    (cosine) among the rest, ties to the smallest label. The per-query
+    prediction table (predicted vs actual plus vote count) is
+    hash-checked — certifying it certifies any accuracy metric layered
+    on top. The plan is the brute-force scorer (rank window per query
+    id) restricted to the 5% holdout — the evaluation-harness shape;
+    production retrieval at scale swaps in the LSH/IVF candidate
+    generators certified by sim_ann_agreement while keeping this exact
+    voting tail."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = base.where(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("actual"),
+    )
+    e = base.where(F.col("vec_id") % KNN_HOLDOUT_MOD != 0)
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
+    ranked = (
+        q.crossJoin(e)
+        .select(
+            "qid",
+            "actual",
+            "label",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.desc(cos), "vec_id"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= KNN_K)
+    )
+    votes = ranked.groupBy("qid", "actual", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    winner = votes.select(
+        "qid",
+        "actual",
+        F.col("label").alias("predicted"),
+        "n_votes",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("n_votes"), "label"))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return winner.select(
+        "qid",
+        "actual",
+        "predicted",
+        "n_votes",
+        F.when(F.col("predicted") == F.col("actual"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    ).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of user activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gini_concentration",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    counts AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS DOUBLE) AS x
+        FROM evt GROUP BY 1, 2),
+    ranked AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY x, user_id) AS i
+        FROM counts),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS total_events,
+               SUM(i * x) AS six, COUNT(*) AS n, SUM(x) AS sx
+        FROM ranked GROUP BY event_type)
+    SELECT event_type, n_users, total_events,
+           {rhalf_sql('2.0 * six / (n * sx) - (n + 1.0) / n', 6)} AS gini
+    FROM stats
+    ORDER BY event_type
+    """,
+    tags=("events", "concentration", "gini"),
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity, by event type — the
+    standard inequality readout for "how concentrated is engagement
+    on power users". Computed exactly from the rank formulation
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending per-user counts
+    (ties contribute the same rank-sum under any permutation, so the
+    user_id tie-break is for determinism, not correctness). One
+    groupBy to count, one per-type window to rank, one aggregate —
+    every stage keyed on (event_type, user), nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    ranked = counts.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x", "user_id"))
+        .alias("i"),
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    return stats.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        rhalf(
+            2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+SN_LAG_DAYS, SN_SCORE_DAYS = 7, 14
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM evt GROUP BY 1, 2),
+    bounded AS (
+        SELECT *, MAX(day) OVER (PARTITION BY event_type) AS max_day
+        FROM daily),
+    scored AS (
+        SELECT c.event_type, c.day, c.cnt, p.cnt AS fc
+        FROM bounded c
+        JOIN daily p ON p.event_type = c.event_type
+                    AND p.day = c.day - INTERVAL {SN_LAG_DAYS} DAY
+        WHERE c.day > c.max_day - INTERVAL {SN_SCORE_DAYS} DAY)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           {rhalf_sql('AVG(ABS(cnt - fc))', 6)} AS mae,
+           {rhalf_sql('AVG(ABS(cnt - fc) / cnt)', 6)} AS mape
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event volume as the volume 7 days earlier, score MAE and MAPE over
+    each type's trailing 14 days. The backbone of forecast-model
+    evaluation harnesses — any real model is judged against exactly
+    this baseline, so certifying the baseline certifies the harness.
+    One date-keyed self-join (forecast lookup survives missing days,
+    unlike a row-offset lag) and one aggregate; daily rollups are tiny
+    relative to raw events at any scale, so the join input is already
+    reduced before it shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    bounded = daily.withColumn(
+        "max_day", F.max("day").over(Window.partitionBy("event_type"))
+    )
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day").alias("p_day"),
+        F.col("cnt").alias("fc"),
+    )
+    scored = bounded.join(
+        prev,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_day") == F.date_sub(F.col("day"), SN_LAG_DAYS)),
+    ).where(F.col("day") > F.date_sub(F.col("max_day"), SN_SCORE_DAYS))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            rhalf(F.avg(F.abs(F.col("cnt") - F.col("fc"))), 6).alias("mae"),
+            rhalf(
+                F.avg(F.abs(F.col("cnt") - F.col("fc")) / F.col("cnt")), 6
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection
+# ---------------------------------------------------------------------------
+
+_CODE_SYM_RE = r"[{}()\[\];=<>]"
+_CODE_KW_RE = (
+    r"\b(def|class|return|import|if|else|for|while|function|var|let|const)\b"
+)
+_CODE_CAMEL_RE = r"[a-z][A-Z]"
+CODE_THRESHOLD = 0.02
+
+
+@query(
+    "text_code_detection",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{_CODE_SYM_RE.replace("'", "''")}'))
+                   AS BIGINT) AS sym,
+               CAST(len(regexp_extract_all(text, '{_CODE_KW_RE}')) AS BIGINT)
+                   AS kw_hits,
+               CAST(len(regexp_extract_all(text, '{_CODE_CAMEL_RE}')) AS BIGINT)
+                   AS camel
+        FROM documents)
+    SELECT doc_id, n_chars, sym, kw_hits, camel,
+           {rhalf_sql('CASE WHEN n_chars > 0 '
+                      'THEN (sym * 3.0 + kw_hits * 5.0 + camel * 2.0) / n_chars '
+                      'ELSE 0 END', 6)} AS code_score,
+           CAST(CASE WHEN n_chars > 0 AND
+                (sym * 3.0 + kw_hits * 5.0 + camel * 2.0) / n_chars
+                    >= {CODE_THRESHOLD}
+                THEN 1 ELSE 0 END AS INTEGER) AS is_code
+    FROM sig
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "code-detection"),
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection from surface statistics — the curation
+    signal that routes documents to a code-aware pipeline (different
+    dedup, different quality rules) before any expensive classifier
+    runs. Three regex counters (structural symbols, programming
+    keywords, camelCase transitions) combine into a length-normalized
+    score with a fixed threshold. Pure JVM regexp_count column
+    expressions — no UDF, no shuffle until the presentation sort, and
+    at 100 TB this is a scan-shaped map over the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sym = F.regexp_count("text", F.lit(_CODE_SYM_RE)).cast("long")
+    kw = F.regexp_count("text", F.lit(_CODE_KW_RE)).cast("long")
+    camel = F.regexp_count("text", F.lit(_CODE_CAMEL_RE)).cast("long")
+    n_chars = F.length("text").cast("long")
+    sig = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        sym.alias("sym"),
+        kw.alias("kw_hits"),
+        camel.alias("camel"),
+    )
+    raw = (
+        F.col("sym") * 3.0 + F.col("kw_hits") * 5.0 + F.col("camel") * 2.0
+    ) / F.col("n_chars")
+    score = F.when(F.col("n_chars") > 0, raw).otherwise(F.lit(0.0))
+    return sig.select(
+        "doc_id",
+        "n_chars",
+        "sym",
+        "kw_hits",
+        "camel",
+        rhalf(score, 6).alias("code_score"),
+        F.when((F.col("n_chars") > 0) & (raw >= CODE_THRESHOLD), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_code"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM cents),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT digit, n,
+           {rhalf_sql('n / (SELECT t FROM tot)', 6)} AS obs_p,
+           {rhalf_sql('log10(1.0 + 1.0 / digit)', 6)} AS exp_p,
+           {rhalf_sql('ABS(n / (SELECT t FROM tot) - log10(1.0 + 1.0 / digit))', 6)}
+               AS abs_dev
+    FROM counts
+    ORDER BY digit
+    """,
+    tags=("aggregate", "profiling", "benford"),
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    anomaly/fraud screen for monetary columns. The first significant
+    digit comes from the exact integer cents via string head (never
+    log10-of-a-double, whose floor is not portable at exact powers of
+    ten); observed shares are compared to the Benford expectation
+    log10(1 + 1/d). One digit-keyed aggregate over a scan — the
+    9-row result and total ride a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            rhalf(F.col("n") / F.col("t"), 6).alias("obs_p"),
+            rhalf(exp_p, 6).alias("exp_p"),
+            rhalf(F.abs(F.col("n") / F.col("t") - exp_p), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

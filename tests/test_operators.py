@@ -868,3 +868,57 @@ class TestHeavyHitters:
         df = self._tokens(spark, counts, 7)
         got = {r["token"] for r in heavy_hitters(df, "token", 9).collect()}
         assert got == {"hot"}
+
+
+class TestLabelPropagation:
+    def _labels(self, spark, edges, **kw):
+        from iceberg_rs_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src long, dst long, w double")
+        return {
+            r["node"]: r["lbl"]
+            for r in label_propagation(df, weight="w", **kw).collect()
+        }
+
+    def test_heaviest_neighbour_wins_round_one(self, spark):
+        # path 0-1 (w=1), 1-2 (w=10), symmetric
+        edges = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 10.0), (2, 1, 10.0)]
+        got = self._labels(spark, edges, iterations=1)
+        assert got == {0: 1, 1: 2, 2: 1}
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        edges = [(0, 1, 5.0), (1, 0, 5.0), (0, 2, 5.0), (2, 0, 5.0)]
+        got = self._labels(spark, edges, iterations=1)
+        assert got[0] == 1  # 1 and 2 tie at w=5 -> smallest label
+
+    def test_two_triangles_with_weak_bridge_separate(self, spark):
+        tri1 = [(a, b, 10.0) for a in (0, 1, 2) for b in (0, 1, 2) if a != b]
+        tri2 = [(a, b, 10.0) for a in (3, 4, 5) for b in (3, 4, 5) if a != b]
+        bridge = [(2, 3, 1.0), (3, 2, 1.0)]
+        got = self._labels(spark, tri1 + tri2 + bridge, iterations=3)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+class TestBfsHops:
+    def _hops(self, spark, edges, source, rounds):
+        from iceberg_rs_spark.operators.graph import bfs_hops
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["hops"]
+            for r in bfs_hops(df, source=source, rounds=rounds).collect()
+        }
+
+    def test_chain_distances_bounded_by_rounds(self, spark):
+        chain = [(i, i + 1) for i in range(5)]  # 0->1->...->5
+        got = self._hops(spark, chain, source=0, rounds=4)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 5 needs round 5
+
+    def test_shorter_of_two_paths_wins(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+        got = self._hops(spark, edges, source=0, rounds=4)
+        assert got[3] == 1
+
+    def test_isolated_source_returns_only_itself(self, spark):
+        got = self._hops(spark, [(7, 8)], source=0, rounds=3)
+        assert got == {0: 0}

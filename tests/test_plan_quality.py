@@ -638,3 +638,82 @@ class TestRound4Batch56Plans:
         for name in ("ts_exp_decay_features", "graph_triangle_count"):
             plan = final_plan(CORPUS[name].builder(spark, sf_dir))
             assert "CartesianProduct" not in plan, name
+
+
+class TestRound4Batch910Plans:
+    """Batch-9/10 additions: the new iterative graph operators stay
+    cartesian-free, the bucketed layout actually removes the join
+    exchange, and the sketch/selection stages keep their reduced
+    shapes."""
+
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        """After the bucketed write, a key-equijoin of the two catalog
+        tables must be a SortMergeJoin with ZERO Exchange operators —
+        the bucket layout replaces the shuffle. Broadcast is disabled
+        so the test proves the bucket path, not the broadcast path."""
+        CORPUS["join_bucketed_colocate"].builder(spark, sf_dir).collect()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = spark.table("bkt_orders")
+            c = spark.table("bkt_customer")
+            plan = final_plan(o.join(c, o["o_custkey"] == c["c_custkey"]))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+
+    def test_lpa_and_bfs_have_no_cartesian(self, spark, sf_dir):
+        for name in ("graph_label_propagation", "graph_bfs_shortest_hops"):
+            plan = final_plan(CORPUS[name].builder(spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
+
+    def test_countmin_cells_aggregate_partially(self, spark, sf_dir):
+        """The (seed, bucket) cell build must show a partial_sum before
+        the exchange — the sketch merges map-side, never shuffling the
+        token stream raw."""
+        plan = final_plan(
+            CORPUS["agg_countmin_heavy_terms"].builder(spark, sf_dir)
+        )
+        assert "partial_sum" in plan or "partial_count" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_knn_and_mmr_windows_are_partitioned(self, spark, sf_dir):
+        """Per-query rank windows must partition by qid — a global
+        window would funnel every candidate through one task."""
+        for name in ("sim_knn_classify", "sim_mmr_rerank"):
+            plan = final_plan(CORPUS[name].builder(spark, sf_dir))
+            final = plan.split("== Initial Plan ==")[0]
+            assert "SinglePartition" not in final, name
+
+    def test_mmr_greedy_runs_as_cogroup(self, spark, sf_dir):
+        plan = final_plan(CORPUS["sim_mmr_rerank"].builder(spark, sf_dir))
+        assert "FlatMapCoGroupsInPandas" in plan
+
+
+class TestRound4Batch11Plans:
+    def test_dpp_subquery_reaches_fact_scan(self, spark, sf_dir):
+        """The dim-side filter must turn into a runtime partition
+        pruning subquery on the partitioned fact scan."""
+        df = CORPUS["join_dynamic_partition_pruning"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        assert "dynamicpruning" in plan.lower()
+
+    def test_span_corruption_is_scan_shaped(self, spark, sf_dir):
+        """Mask-and-reassemble happens inside the row: no explode-born
+        Generate, no join, no Python stage — the only exchange allowed
+        is the presentation sort."""
+        plan = final_plan(CORPUS["pipeline_span_corruption"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Generate" not in final
+        assert "Join" not in final
+        assert "InPandas" not in final and "ArrowEvalPython" not in final
+
+    def test_ztest_single_pass_over_events(self, spark, sf_dir):
+        """Both halves aggregate in ONE conditional pass: exactly one
+        scan of the events fixture in the final plan (plus the 1-row
+        bounds subplan), never a per-half rescan union."""
+        plan = final_plan(CORPUS["events_rate_change_ztest"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert final.count("BroadcastNestedLoopJoin") <= 1
