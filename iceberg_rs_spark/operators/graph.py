@@ -198,3 +198,45 @@ def bfs_hops(
         dist = barrier(new_dist)
         prev.unpersist()
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """``rounds`` synchronous peeling passes toward the k-core: each
+    round drops every node whose current degree is below ``k`` and
+    every edge touching a dropped node. A fixed round count keeps the
+    result a pure function of the input (the true k-core is the fixed
+    point; bounded rounds give the certified approximation, exactly
+    like the bounded CC/BFS/LPA operators). Returns ``(node, deg)``
+    for surviving nodes with their degree in the surviving subgraph.
+    Each round is one degree aggregation plus two semi-joins, all
+    shuffled on node id; survivors shrink monotonically so per-round
+    cost only decreases."""
+    e = barrier(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        new_e = e.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        prev = e
+        e = barrier(new_e)
+        prev.unpersist()
+    return (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

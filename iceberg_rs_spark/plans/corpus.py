@@ -125,6 +125,16 @@ PRIORITY: list[str] = [
     "pipeline_curriculum_stages",   # TTR-ordered NTILE curriculum
     "events_rate_change_ztest",     # two-sample Poisson rate z-test
     "fn_try_error_safe",            # try_divide/element_at/cast family
+    "pipeline_bpe_pair_merges",     # BPE merge-step pair frequencies
+    "events_revenue_pareto_deciles",  # decile share / cumulative curve
+    "fn_url_parse_family",          # parse_url protocol/host/path/params
+    "graph_jaccard_link_prediction",  # wedge-join common-neighbour scores
+    "pipeline_conversation_assembly",  # sort_array ordered SFT assembly
+    "graph_kcore_peel",             # bounded-round 4-core extraction
+    "win_time_range_rolling",       # integer-microsecond range frames
+    "sim_ranking_metrics_ndcg",     # NDCG@10 + MRR eval, ordered folds
+    "agg_pmi_type_dayofweek",       # epoch-arithmetic PMI association
+    "pipeline_dataset_card_by_source",  # datasheet summary per source
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed

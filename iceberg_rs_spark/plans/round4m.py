@@ -1,0 +1,408 @@
+"""Round-4 corpus additions, batch 12: BPE merge statistics, revenue
+Pareto deciles, URL parsing, Jaccard link prediction, and
+deterministic conversation assembly.
+
+The BPE query is the first step of tokenizer TRAINING (the pair-count
+scan that picks the next merge) — a pipeline op the multimodal/text
+stack needs but that no engine ships built-in; it reduces to substring
+pair explosion + one weighted aggregate, so it scales like a word
+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.functions.hashing import h60, h60_sql
+from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.plans.llm import TOKENS_SQL
+from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
+
+# ---------------------------------------------------------------------------
+# BPE pair-merge statistics
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+@query(
+    "pipeline_bpe_pair_merges",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({TOKENS_SQL.format(c='text')}) AS term FROM documents),
+    words AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+        FROM toks WHERE length(term) >= 2 GROUP BY term),
+    pairs AS (
+        SELECT substr(term, i, 2) AS pair, weight
+        FROM words CROSS JOIN generate_series(1, 100) AS g(i)
+        WHERE i <= length(term) - 1),
+    counts AS (
+        SELECT pair, CAST(SUM(weight) AS BIGINT) AS n
+        FROM pairs GROUP BY pair)
+    SELECT pair, n FROM counts
+    ORDER BY n DESC, pair LIMIT {BPE_TOP}
+    """,
+    tags=("llm", "pipeline", "tokenizer", "bpe"),
+)
+def pipeline_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: count every adjacent
+    character pair across the corpus, weighted by word frequency —
+    the top pair is the next merge rule. Computed over the DISTINCT
+    word table (weight = corpus occurrences), so the pair explosion
+    touches each unique word once instead of every token instance:
+    at 100 TB the distinct-word relation is orders of magnitude
+    smaller than the token stream, which is exactly how production
+    tokenizer trainers scale. Pair extraction is substr arithmetic
+    (identical in both engines), one weighted aggregate, and a
+    TakeOrdered top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+    words = (
+        toks.where(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    idx = F.explode(
+        F.sequence(F.lit(1), F.least(F.length("term") - 1, F.lit(100)))
+    )
+    pairs = words.select("term", "weight", idx.alias("i")).select(
+        F.expr("substr(term, i, 2)").alias("pair"), "weight"
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("weight").cast("long").alias("n"))
+    return counts.orderBy(F.desc("n"), "pair").limit(BPE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Revenue Pareto deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_revenue_pareto_deciles",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    rev AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM evt GROUP BY user_id),
+    deciled AS (
+        SELECT cents, NTILE(10) OVER (ORDER BY cents DESC, user_id) AS decile
+        FROM rev),
+    agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM deciled GROUP BY decile),
+    tot AS (SELECT CAST(SUM(cents) AS DOUBLE) AS t FROM agg)
+    SELECT CAST(decile AS INTEGER) AS decile, n_users, cents,
+           {rhalf_sql('cents / (SELECT t FROM tot)', 6)} AS share,
+           {rhalf_sql(
+               'SUM(cents) OVER (ORDER BY decile) / (SELECT t FROM tot)', 6)}
+               AS cum_share
+    FROM agg
+    ORDER BY decile
+    """,
+    tags=("events", "concentration", "pareto"),
+)
+def events_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto decile table: users ranked by total event value, cut
+    into NTILE(10) deciles, each reporting its share and cumulative
+    share of exact integer-cent revenue — the "does the top decile
+    carry 80%" readout that complements the Gini scalar with the
+    actual curve. Revenue sums are exact bigint cents (no float
+    accumulation), the decile cut is deterministic under the
+    (cents DESC, user_id) total order, and only the 10-row decile
+    table flows through the final cumulative window. The global NTILE
+    over per-user totals is the one intentionally-global stage; at
+    100 TB it swaps for the same two-pass quantile split used in
+    pipeline_stratified_sample without changing the certified decile
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    rev = ev.groupBy("user_id").agg(F.sum(cents).cast("long").alias("cents"))
+    deciled = rev.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy(F.desc("cents"), "user_id")).alias("decile"),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("cents").cast("double").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "cents",
+            rhalf(F.col("cents") / F.col("t"), 6).alias("share"),
+            rhalf(
+                F.sum("cents").over(Window.orderBy("decile")) / F.col("t"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_url_parse_family",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                   || '&p=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents WHERE doc_id < 3000)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '[?&]p=([^&]*)', 1) AS p_param
+    FROM urls
+    ORDER BY doc_id
+    """,
+    tags=("function", "url", "parsing"),
+)
+def fn_url_parse_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via the builtin parse_url family — protocol,
+    host, path, full query string, and named query parameters — the
+    normalization front-end of every web-crawl pipeline (the
+    canonicalization dedup in dedup_url_canonical consumes exactly
+    these parts). URLs are synthesized deterministically from fixture
+    columns so both engines parse identical inputs; the oracle
+    mirrors each component with anchored regexes. Pure codegen
+    expressions, scan-shaped."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 3000)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("p")).alias("p_param"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction on the sparsified trade graph
+# ---------------------------------------------------------------------------
+
+LP_TOPK_EDGES = 3
+
+_CENTS_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+_GRAPH_CTES = f"""dir_edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(SUM({_CENTS_SQL}) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders     ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c.c_custkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+    und AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+        FROM dir_edges WHERE src != dst GROUP BY 1, 2),
+    sym AS (
+        SELECT a AS src, b AS dst, w FROM und
+        UNION ALL SELECT b, a, w FROM und),
+    top3 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY w DESC, dst) AS rn
+            FROM sym)
+        WHERE rn <= {LP_TOPK_EDGES})"""
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    undirected AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM top3),
+    adj AS (
+        SELECT a AS node, b AS nbr FROM undirected
+        UNION ALL SELECT b, a FROM undirected),
+    deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+    wedges AS (
+        SELECT x.node AS a, y.node AS b, COUNT(DISTINCT x.nbr) AS common
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        GROUP BY 1, 2),
+    cands AS (
+        SELECT w.a, w.b, w.common,
+               da.deg + db.deg - w.common AS unions
+        FROM wedges w
+        JOIN deg da ON da.node = w.a
+        JOIN deg db ON db.node = w.b
+        WHERE NOT EXISTS (SELECT 1 FROM undirected e
+                          WHERE e.a = w.a AND e.b = w.b))
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           CAST(common AS BIGINT) AS common,
+           {rhalf_sql('common * 1.0 / unions', 6)} AS jaccard
+    FROM cands
+    JOIN nation na ON na.n_nationkey = a
+    JOIN nation nb ON nb.n_nationkey = b
+    ORDER BY jaccard DESC, nation_a, nation_b
+    """,
+    tags=("graph", "link-prediction", "jaccard"),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction: for every non-adjacent nation pair
+    sharing at least one trade partner on the sparsified graph, score
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the classic "who should trade next"
+    recommender. Common neighbours come from a wedge self-join of the
+    adjacency list (shuffles on the shared neighbour, the same shape
+    as triangle counting, so candidate generation is bounded by wedge
+    count, never all pairs), existing edges are removed by an
+    anti-join, and degrees ride in from a pre-aggregated table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    directed = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(cents).cast("double").alias("w"))
+    )
+    und = (
+        directed.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    top3 = (
+        sym.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+            ),
+        )
+        .where(F.col("rn") <= LP_TOPK_EDGES)
+        .select("src", "dst")
+    )
+    undirected = top3.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = undirected.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        undirected.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x = adj.select(F.col("node").alias("xa"), F.col("nbr").alias("m"))
+    y = adj.select(F.col("node").alias("yb"), F.col("nbr").alias("m2"))
+    wedges = (
+        x.join(y, (F.col("m") == F.col("m2")) & (F.col("xa") < F.col("yb")))
+        .groupBy(F.col("xa").alias("a"), F.col("yb").alias("b"))
+        .agg(F.countDistinct("m").alias("common"))
+    )
+    cands = (
+        wedges.join(
+            undirected.withColumnRenamed("a", "ea").withColumnRenamed("b", "eb"),
+            (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb")),
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .withColumn("unions", F.col("da") + F.col("db") - F.col("common"))
+    )
+    return (
+        cands.join(n.select(F.col("n_nationkey").alias("a"), F.col("n_name").alias("nation_a")), "a")
+        .join(n.select(F.col("n_nationkey").alias("b"), F.col("n_name").alias("nation_b")), "b")
+        .select(
+            "nation_a",
+            "nation_b",
+            F.col("common").cast("long").alias("common"),
+            rhalf(F.col("common") * 1.0 / F.col("unions"), 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "nation_a", "nation_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic conversation assembly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_conversation_assembly",
+    oracle=f"""
+    {EVENTS_ORACLE_CTE},
+    turns AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+        FROM evt WHERE user_id % 10 = 0),
+    convos AS (
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               array_to_string(
+                   array_agg(event_type ORDER BY ts, event_id), ' -> ')
+                   AS convo
+        FROM turns GROUP BY user_id, day)
+    SELECT user_id, day, n_turns, {h60_sql('convo')} AS convo_hash
+    FROM convos
+    ORDER BY user_id, day
+    """,
+    tags=("llm", "pipeline", "assembly"),
+)
+def pipeline_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered assembly: each (user, day) becomes one
+    training example whose "turns" are that day's events in exact
+    (ts, event_id) order — the SFT-style conversation builder. The
+    assembled sequence text is certified by portable hash, which
+    forces the hard property: collect_list is unordered in a
+    distributed engine, so ordering must come from sort_array over
+    (ts, event_id, type) structs — the standard Spark idiom for
+    order-stable aggregation without a window. One groupBy; the
+    assembly is map-side within each group at any scale."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    grouped = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("ordered"),
+    )
+    convo = F.array_join(
+        F.transform(F.col("ordered"), lambda t: t["event_type"]), " -> "
+    )
+    return grouped.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_turns",
+        h60(convo).alias("convo_hash"),
+    ).orderBy("user_id", "day")

@@ -922,3 +922,30 @@ class TestBfsHops:
     def test_isolated_source_returns_only_itself(self, spark):
         got = self._hops(spark, [(7, 8)], source=0, rounds=3)
         assert got == {0: 0}
+
+
+class TestKCore:
+    def _core(self, spark, edges, k, rounds=3):
+        from iceberg_rs_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["deg"]
+            for r in k_core(df, k=k, rounds=rounds).collect()
+        }
+
+    def test_pendant_vertices_peel_off(self, spark):
+        # triangle 0-1-2 plus pendant 3 hanging off 2
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        got = self._core(spark, edges, k=2)
+        assert got == {0: 2, 1: 2, 2: 2}
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        # chain 3-4-5 attached to a triangle: peeling 5 drops 4, then 3
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+        got = self._core(spark, edges, k=2, rounds=3)
+        assert got == {0: 2, 1: 2, 2: 2}
+
+    def test_whole_graph_below_k_empties(self, spark):
+        got = self._core(spark, [(0, 1), (1, 2)], k=2)
+        assert got == {}

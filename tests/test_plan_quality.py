@@ -717,3 +717,39 @@ class TestRound4Batch11Plans:
         final = plan.split("== Initial Plan ==")[0]
         assert "CartesianProduct" not in final
         assert final.count("BroadcastNestedLoopJoin") <= 1
+
+
+class TestRound4Batch1213Plans:
+    def test_bpe_top_pairs_use_ordered_limit(self, spark, sf_dir):
+        """Top-20 merge candidates must plan TakeOrderedAndProject,
+        never a global sort of the whole pair table."""
+        plan = final_plan(CORPUS["pipeline_bpe_pair_merges"].builder(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_link_prediction_and_kcore_no_cartesian(self, spark, sf_dir):
+        for name in ("graph_jaccard_link_prediction", "graph_kcore_peel"):
+            plan = final_plan(CORPUS[name].builder(spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
+
+    def test_conversation_assembly_has_no_window(self, spark, sf_dir):
+        """Ordering comes from sort_array inside the aggregate — the
+        plan must not contain a Window (the slow per-row alternative)."""
+        plan = final_plan(
+            CORPUS["pipeline_conversation_assembly"].builder(spark, sf_dir)
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" not in final
+        assert "partial_count" in plan or "partial" in plan
+
+    def test_time_range_window_partitions_by_user(self, spark, sf_dir):
+        plan = final_plan(CORPUS["win_time_range_rolling"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" in plan
+        # the frame window itself must not collapse to one partition;
+        # the only SinglePartition allowed is the final presentation sort
+        assert "rangeBetween" not in final or "SinglePartition" not in final.split("Sort")[0]
+
+    def test_pmi_marginals_broadcast(self, spark, sf_dir):
+        plan = final_plan(CORPUS["agg_pmi_type_dayofweek"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
