@@ -39,3 +39,5 @@ import iceberg_rs_spark.plans.round4k  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4l  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4m  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4n  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4o  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4p  # noqa: F401,E402

@@ -135,6 +135,13 @@ PRIORITY: list[str] = [
     "sim_ranking_metrics_ndcg",     # NDCG@10 + MRR eval, ordered folds
     "agg_pmi_type_dayofweek",       # epoch-arithmetic PMI association
     "pipeline_dataset_card_by_source",  # datasheet summary per source
+    "ingest_orc_roundtrip",         # lossless parquet->ORC->scan proof
+    "events_bot_detection",         # inter-event-gap CV heuristics
+    "sim_threshold_sweep",          # dedup cutoff calibration curve
+    "join_null_safe_keys",          # <=> hash join incl. NULL block
+    "pipeline_importance_resampling",  # hash-deterministic oversampling
+    "stream_windowed_distinct_users",  # exact set-buffer streaming distinct
+    "dedup_lsh_quality_eval",       # LSH precision/recall vs exact truth
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed

@@ -753,3 +753,39 @@ class TestRound4Batch1213Plans:
         plan = final_plan(CORPUS["agg_pmi_type_dayofweek"].builder(spark, sf_dir))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRound4Batch14Plans:
+    def test_orc_scan_gets_pushdown(self, spark, sf_dir):
+        """ORC scans must participate in column pruning like parquet —
+        the 5-column aggregate reads only the needed columns."""
+        CORPUS["ingest_orc_roundtrip"].builder(spark, sf_dir).collect()
+        df = spark.read.orc("/tmp/iceberg_rs_spark_orc/part").select(
+            "p_brand"
+        ).where(F.col("p_brand") == "Brand#11")
+        plan = final_plan(df)
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "p_retailprice" not in read_schema
+        assert "PushedFilters: []" not in plan
+
+    def test_null_safe_join_is_hash_join(self, spark, sf_dir):
+        """EqualNullSafe must plan as a hash-keyed join, never a
+        nested-loop over the cross product."""
+        plan = final_plan(CORPUS["join_null_safe_keys"].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_threshold_sweep_single_pair_pass(self, spark, sf_dir):
+        """Three thresholds must fan out from ONE pair computation:
+        the pair join appears once, not once per threshold."""
+        plan = final_plan(CORPUS["sim_threshold_sweep"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("SortMergeJoin") + final.count("BroadcastHashJoin") + final.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_resampling_is_scan_shaped(self, spark, sf_dir):
+        plan = final_plan(
+            CORPUS["pipeline_importance_resampling"].builder(spark, sf_dir)
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Join" not in final
+        assert "InPandas" not in final
