@@ -142,6 +142,12 @@ PRIORITY: list[str] = [
     "pipeline_importance_resampling",  # hash-deterministic oversampling
     "stream_windowed_distinct_users",  # exact set-buffer streaming distinct
     "dedup_lsh_quality_eval",       # LSH precision/recall vs exact truth
+    "table_incremental_rollup_maintenance",  # O(delta) materialized refresh
+    "agg_bool_count_if_family",     # count_if / bool_and / bool_or
+    "events_user_entropy",          # behavioural Shannon entropy
+    "pipeline_lsh_scurve_planner",  # banding probability table
+    "agg_grouping_id_labeled",      # GROUPING()-labelled rollup levels
+    "text_containment_pairs",       # asymmetric quote/inclusion detector
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
