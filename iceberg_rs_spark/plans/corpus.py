@@ -148,6 +148,9 @@ PRIORITY: list[str] = [
     "pipeline_lsh_scurve_planner",  # banding probability table
     "agg_grouping_id_labeled",      # GROUPING()-labelled rollup levels
     "text_containment_pairs",       # asymmetric quote/inclusion detector
+    "fn_encoding_family",           # base64/hex round-trips
+    "agg_arg_min_max_family",       # max_by/min_by on unique keys
+    "events_dau_mau_stickiness",    # engagement ratio by calendar month
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
