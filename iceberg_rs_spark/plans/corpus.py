@@ -151,6 +151,11 @@ PRIORITY: list[str] = [
     "fn_encoding_family",           # base64/hex round-trips
     "agg_arg_min_max_family",       # max_by/min_by on unique keys
     "events_dau_mau_stickiness",    # engagement ratio by calendar month
+    "agg_kmv_distinct_estimate",    # mergeable k-minimum-values sketch
+    "agg_linear_counting_distinct",  # bitmap-occupancy cardinality
+    "events_survival_km",           # Kaplan-Meier churn curve
+    "text_rake_phrases",            # stopword-island keyword extraction
+    "join_asof_tolerance_left",     # 30-day-bounded left as-of
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
