@@ -46,3 +46,4 @@ import iceberg_rs_spark.plans.round4r  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4s  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4t  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4u  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4v  # noqa: F401,E402

@@ -156,6 +156,9 @@ PRIORITY: list[str] = [
     "events_survival_km",           # Kaplan-Meier churn curve
     "text_rake_phrases",            # stopword-island keyword extraction
     "join_asof_tolerance_left",     # 30-day-bounded left as-of
+    "sim_rank_correlation_kendall",  # cosine-vs-dot ordering audit
+    "pipeline_padding_waste_report",  # pow2-bucket batching economics
+    "dedup_component_size_profile",  # cluster-size purge report
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
