@@ -47,3 +47,5 @@ import iceberg_rs_spark.plans.round4s  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4t  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4u  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4v  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4w  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4x  # noqa: F401,E402

@@ -159,6 +159,9 @@ PRIORITY: list[str] = [
     "sim_rank_correlation_kendall",  # cosine-vs-dot ordering audit
     "pipeline_padding_waste_report",  # pow2-bucket batching economics
     "dedup_component_size_profile",  # cluster-size purge report
+    "pipeline_doc_feature_vector",  # quality-model feature assembly
+    "agg_mom_growth",               # monthly lag growth in basis points
+    "table_vacuum_lifecycle_audit",  # expire+orphan vacuum, rows invariant
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
