@@ -49,3 +49,8 @@ import iceberg_rs_spark.plans.round4u  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4v  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4w  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4x  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4y  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4z  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4aa  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4ab  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4ac  # noqa: F401,E402

@@ -162,6 +162,26 @@ PRIORITY: list[str] = [
     "pipeline_doc_feature_vector",  # quality-model feature assembly
     "agg_mom_growth",               # monthly lag growth in basis points
     "table_vacuum_lifecycle_audit",  # expire+orphan vacuum, rows invariant
+    "sub_in_exists_family",         # EXISTS/IN/NOT-IN null-trap semantics
+    "win_running_distinct_types",   # collect_set-over-window running distinct
+    "ts_ohlc_bars",                 # daily OHLC with exact open/close tiebreak
+    "agg_chi_square_independence",  # contingency-table chi-square statistic
+    "fn_make_datetime_family",      # make_date constructors, ISO week, epoch day
+    "ts_autocorrelation_lags",      # daily-series ACF lags 1-7
+    "graph_reciprocity_profile",    # directed trade reciprocity (plain+weighted)
+    "text_vocab_growth_heaps",      # Heaps-law cumulative vocabulary curve
+    "fn_string_inspection_family",  # split_part/left/right/locate/printf
+    "text_js_divergence_lang",      # pairwise language JSD (union vocab)
+    "events_concurrent_peak",       # sweep-line max concurrent intervals
+    "win_rolling_median_daily",     # exact rolling median/p90 window
+    "agg_theil_decomposition",      # between/within inequality identity
+    "events_session_depth_curve",   # depth histogram + continuation prob
+    "events_time_to_convert",       # signup->purchase latency percentiles
+    "win_skyline_pareto_frontier",  # 2-D skyline via sort + running max
+    "sim_silhouette_by_label",      # exact silhouette cluster evaluation
+    "events_powerlaw_rank_fit",     # Zipf exponent of user activity
+    "table_snapshot_ancestry",      # parent-pointer lineage walk
+    "pipeline_epoch_shuffle_batches",  # reproducible epoch batch plan
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
