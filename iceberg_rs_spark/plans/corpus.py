@@ -182,6 +182,10 @@ PRIORITY: list[str] = [
     "events_powerlaw_rank_fit",     # Zipf exponent of user activity
     "table_snapshot_ancestry",      # parent-pointer lineage walk
     "pipeline_epoch_shuffle_batches",  # reproducible epoch batch plan
+    "events_ltv_cohort_curve",      # cohort cumulative revenue / LTV
+    "text_term_burstiness",         # variance-to-mean term dispersion
+    "table_partition_evolution_reads",  # mixed-spec scan certification
+    "ts_cusum_changepoint",         # CUSUM level-shift detection
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
