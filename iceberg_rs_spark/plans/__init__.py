@@ -55,3 +55,4 @@ import iceberg_rs_spark.plans.round4aa  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ab  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ac  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ad  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4ae  # noqa: F401,E402

@@ -186,6 +186,9 @@ PRIORITY: list[str] = [
     "text_term_burstiness",         # variance-to-mean term dispersion
     "table_partition_evolution_reads",  # mixed-spec scan certification
     "ts_cusum_changepoint",         # CUSUM level-shift detection
+    "ts_weekday_seasonal_index",    # ISO-dow multiplicative indices
+    "events_new_vs_returning_daily",  # global first-seen growth split
+    "sim_vector_stats_profile",     # embedding QA: norms, dead dims
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
