@@ -56,3 +56,4 @@ import iceberg_rs_spark.plans.round4ab  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ac  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ad  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ae  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4af  # noqa: F401,E402

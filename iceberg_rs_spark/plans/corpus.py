@@ -189,6 +189,9 @@ PRIORITY: list[str] = [
     "ts_weekday_seasonal_index",    # ISO-dow multiplicative indices
     "events_new_vs_returning_daily",  # global first-seen growth split
     "sim_vector_stats_profile",     # embedding QA: norms, dead dims
+    "sub_quantified_all_any",       # ALL/ANY rewrite incl. empty-set edge
+    "agg_trimmed_winsorized_mean",  # robust means via rank trim / clamp
+    "win_max_drawdown_curve",       # running peak + relative drawdown
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
