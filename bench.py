@@ -95,6 +95,15 @@ def main() -> None:
         "bench_warmup",
         "complete",
     ).count()
+    # ORC codec classloading (~1.2s on first write) warms separately
+    # from parquet; bill it to warmup, not to whichever ORC query runs
+    # first.
+    import tempfile
+
+    orc_dir = tempfile.mkdtemp(prefix="bench_orc_warm_")
+    emb.limit(8).select("vec_id").write.mode("overwrite").orc(orc_dir)
+    spark.read.orc(orc_dir).count()
+
     # Stateful-operator machinery warms separately from plain streaming
     # aggregation: session-window codegen and the applyInPandasWithState
     # Python state workers each cost ~2s on first use, billed to

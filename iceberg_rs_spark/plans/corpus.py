@@ -192,6 +192,9 @@ PRIORITY: list[str] = [
     "sub_quantified_all_any",       # ALL/ANY rewrite incl. empty-set edge
     "agg_trimmed_winsorized_mean",  # robust means via rank trim / clamp
     "win_max_drawdown_curve",       # running peak + relative drawdown
+    "ts_cross_correlation_leadlag",  # views-lead-purchases xcorr
+    "join_interval_coalesce_union",  # range consolidation + union length
+    "agg_smoothed_rate_ranking",    # additive-smoothed leaderboard
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
