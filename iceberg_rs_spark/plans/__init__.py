@@ -58,3 +58,4 @@ import iceberg_rs_spark.plans.round4ad  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ae  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4af  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ag  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4ah  # noqa: F401,E402

@@ -195,6 +195,9 @@ PRIORITY: list[str] = [
     "ts_cross_correlation_leadlag",  # views-lead-purchases xcorr
     "join_interval_coalesce_union",  # range consolidation + union length
     "agg_smoothed_rate_ranking",    # additive-smoothed leaderboard
+    "win_decile_transition_matrix",  # month-over-month quintile mobility
+    "agg_hhi_concentration",        # HHI + effective-N concentration panel
+    "events_hour_of_day_profile",   # intraday load shares + peak hour
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
