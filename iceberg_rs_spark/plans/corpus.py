@@ -198,6 +198,8 @@ PRIORITY: list[str] = [
     "win_decile_transition_matrix",  # month-over-month quintile mobility
     "agg_hhi_concentration",        # HHI + effective-N concentration panel
     "events_hour_of_day_profile",   # intraday load shares + peak hour
+    "fn_char_byte_family",          # ascii/chr/char-vs-byte lengths
+    "agg_share_of_parent_rollup",   # hierarchical drill-down shares
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
