@@ -60,3 +60,4 @@ import iceberg_rs_spark.plans.round4af  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ag  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ah  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ai  # noqa: F401,E402
+import iceberg_rs_spark.plans.round4aj  # noqa: F401,E402

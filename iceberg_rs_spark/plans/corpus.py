@@ -200,6 +200,7 @@ PRIORITY: list[str] = [
     "events_hour_of_day_profile",   # intraday load shares + peak hour
     "fn_char_byte_family",          # ascii/chr/char-vs-byte lengths
     "agg_share_of_parent_rollup",   # hierarchical drill-down shares
+    "text_tfidf_doc_similarity",    # sparse term-join cosine pairs
     # Changed this round (round 4) — re-verify:
     "sim_topk_ivf",                 # hash-sampled centroid seeding (rows-only)
     "sim_ann_agreement",            # guards IVF/LSH quality after reseed
