@@ -98,11 +98,15 @@ def main() -> None:
     # ORC codec classloading (~1.2s on first write) warms separately
     # from parquet; bill it to warmup, not to whichever ORC query runs
     # first.
+    import shutil
     import tempfile
 
     orc_dir = tempfile.mkdtemp(prefix="bench_orc_warm_")
-    emb.limit(8).select("vec_id").write.mode("overwrite").orc(orc_dir)
-    spark.read.orc(orc_dir).count()
+    try:
+        emb.limit(8).select("vec_id").write.mode("overwrite").orc(orc_dir)
+        spark.read.orc(orc_dir).count()
+    finally:
+        shutil.rmtree(orc_dir, ignore_errors=True)
 
     # Stateful-operator machinery warms separately from plain streaming
     # aggregation: session-window codegen and the applyInPandasWithState

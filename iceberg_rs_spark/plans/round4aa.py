@@ -51,7 +51,14 @@ def fn_string_inspection_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     strpos), and printf-style formatting with zero-padded numerics.
     All codegen'd JVM expressions; the formatting call is the
     standard way to mint fixed-width join/display keys without a
-    Python UDF."""
+    Python UDF.
+
+    Cross-engine caveat (ADVICE r4): this pairing assumes the
+    supplier-name fixture strings are ASCII and ≥ 3 chars.
+    ``substring(s, -3, 3)`` diverges from DuckDB ``right(s, 3)`` on
+    shorter strings, and Spark/DuckDB ``ascii()`` disagree on
+    non-ASCII leading code points — if the fixture ever changes, use
+    ``substr(s, greatest(1, length(s)-2))`` on both sides instead."""
     s = load_table(spark, sf_dir, "supplier")
     return s.select(
         "s_suppkey",

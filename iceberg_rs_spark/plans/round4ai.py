@@ -44,7 +44,13 @@ def fn_char_byte_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinction that matters once UTF-8 multibyte text appears — the
     documents pipeline counts both), bit_length, and the
     chr∘ascii round-trip. All codegen'd JVM expressions over the
-    nation dimension."""
+    nation dimension.
+
+    Cross-engine caveat (ADVICE r4): the hash pairing assumes the
+    nation-name fixture is ASCII — Spark ``ascii()`` returns the
+    leading BYTE-derived value for non-ASCII while DuckDB returns the
+    Unicode code point, so a non-ASCII fixture would need
+    ``unicode()``/codepoint-based expressions on both sides."""
     n = load_table(spark, sf_dir, "nation")
     return n.select(
         "n_nationkey",
