@@ -1,0 +1,148 @@
+"""Distributed global window functions (VERDICT r4 §Next-round #3).
+
+``Window.orderBy(...)`` with no partition key funnels every row of the
+input through ONE task — correct at sf0.1, dead at 100 TB. This module
+provides the global window functions the corpus actually uses —
+row_number, rank, ntile, running sum — built on the two-pass
+partition-offset prefix sum in :mod:`~iceberg_rs_spark.operators.
+packing` (range partition → per-partition totals to the driver →
+broadcast offsets + within-partition window), so the plan never
+contains a single-partition Exchange over an unbounded relation:
+
+- the range repartition spreads the total order across
+  ``num_partitions`` tasks;
+- the driver sees one row per partition (metadata, not data);
+- each partition finishes its own slice with an ordinary
+  partition-local window.
+
+Semantics are identical to the SQL window functions — ntile uses the
+exact SQL fill rule (first N mod n tiles get the extra row), rank
+shares numbers across ties — and every function is property-tested
+against the native single-partition ``Window.orderBy`` result in
+tests/test_distwin.py, so the corpus queries routed through here kept
+their DuckDB oracles unchanged.
+
+Callers pass sort expressions (``F.col("x").desc()`` works; tiebreak
+to a unique key for deterministic output, same as the SQL side).
+Persisted barrier frames register with packing's cache registry;
+``packing.release_caches()`` (bench calls it per query) frees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.operators.packing import with_global_offset
+
+__all__ = [
+    "row_number_global",
+    "rank_global",
+    "ntile_global",
+    "running_sum_global",
+]
+
+
+def _order_list(order_by) -> list:
+    return list(order_by) if isinstance(order_by, (list, tuple)) else [order_by]
+
+
+def row_number_global(
+    df: DataFrame,
+    order_by,
+    out_col: str = "rn",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (ORDER BY ...)`` without the
+    single-partition window: exclusive prefix sum of weight 1, plus
+    one. ``order_by`` must reach a unique key for the numbering to be
+    deterministic (same requirement the hash-checked oracles impose
+    on the SQL side). Total row count rides along as
+    ``_icelake_prefix_totals`` for ntile-style consumers."""
+    tagged = df.withColumn("_w1", F.lit(1).cast("long"))
+    out = with_global_offset(
+        tagged, _order_list(order_by), "_w1", num_partitions, out_col="_off"
+    )
+    res = out.withColumn(out_col, (F.col("_off") + 1).cast("int")).drop(
+        "_off", "_w1"
+    )
+    res._icelake_packing_cache = getattr(out, "_icelake_packing_cache", None)
+    res._icelake_prefix_totals = getattr(out, "_icelake_prefix_totals", {})
+    return res
+
+
+def rank_global(
+    df: DataFrame,
+    order_by,
+    tie_cols: "list[str | Column]",
+    out_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``RANK() OVER (ORDER BY ...)``: row_number with an arbitrary
+    tiebreak, then the minimum row number within each tie group —
+    a window PARTITIONED by the order-value columns (``tie_cols``),
+    which parallelizes across distinct values instead of
+    single-partitioning the world. Ties share the smallest number and
+    the next distinct value jumps past them, exactly the SQL rule."""
+    rn = row_number_global(df, order_by, "_rn_tie", num_partitions)
+    w = Window.partitionBy(*tie_cols)
+    res = rn.withColumn(out_col, F.min("_rn_tie").over(w).cast("int")).drop(
+        "_rn_tie"
+    )
+    res._icelake_packing_cache = getattr(rn, "_icelake_packing_cache", None)
+    res._icelake_prefix_totals = getattr(rn, "_icelake_prefix_totals", {})
+    return res
+
+
+def ntile_global(
+    df: DataFrame,
+    n: int,
+    order_by,
+    out_col: str = "tile",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY ...)`` with the exact SQL fill rule:
+    with N rows, the first ``N mod n`` tiles hold ``N div n + 1`` rows
+    and the rest ``N div n``. N comes free from the prefix-sum pass
+    (per-partition totals are already on the driver), so this is the
+    same two shuffles as row_number — no extra count action."""
+    rn = row_number_global(df, order_by, "_rn_ntile", num_partitions)
+    total = getattr(rn, "_icelake_prefix_totals", {}).get((), 0)
+    q, r = divmod(int(total), n)
+    c = F.col("_rn_ntile")
+    if q == 0:
+        # Fewer rows than tiles: row i lands alone in tile i.
+        tile = c
+    elif r == 0:
+        tile = F.floor((c - 1) / F.lit(q)) + 1
+    else:
+        big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = F.when(c <= big, F.floor((c - 1) / F.lit(q + 1)) + 1).otherwise(
+            F.lit(r) + F.floor((c - big - 1) / F.lit(q)) + 1
+        )
+    res = rn.withColumn(out_col, tile.cast("int")).drop("_rn_ntile")
+    res._icelake_packing_cache = getattr(rn, "_icelake_packing_cache", None)
+    return res
+
+
+def running_sum_global(
+    df: DataFrame,
+    order_by,
+    weight_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — the
+    inclusive prefix sum: exclusive offset from the two-pass scheme
+    plus the row's own weight. The sweep-line concurrency counter and
+    any cumulative-total readout route through here instead of a
+    global-order window."""
+    out = with_global_offset(
+        df, _order_list(order_by), weight_col, num_partitions, out_col="_off"
+    )
+    res = out.withColumn(
+        out_col, (F.col("_off") + F.col(weight_col)).cast("long")
+    ).drop("_off")
+    res._icelake_packing_cache = getattr(out, "_icelake_packing_cache", None)
+    res._icelake_prefix_totals = getattr(out, "_icelake_prefix_totals", {})
+    return res

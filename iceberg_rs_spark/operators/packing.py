@@ -48,7 +48,7 @@ def release_caches() -> int:
 
 def with_global_offset(
     df: DataFrame,
-    order_col: str,
+    order_col,
     weight_col: str,
     num_partitions: int = 32,
     out_col: str = "start_offset",
@@ -58,14 +58,32 @@ def with_global_offset(
     order as ``out_col``, computed with the two-pass partition-offset
     scheme (no global-order window).
 
+    ``order_col`` is a column name, a Column sort expression (e.g.
+    ``F.col("x").desc()``), or a list of either — multi-column and
+    descending total orders feed :mod:`~iceberg_rs_spark.operators.
+    distwin`'s distributed rank/ntile family. Partition offsets
+    accumulate in range-partition-id order, which IS the total order
+    by the RangePartitioner contract (partition i's keys precede
+    partition i+1's under the given sort expressions — the same
+    invariant a global ``orderBy`` relies on), so descending keys
+    need no special casing.
+
     ``group_cols`` makes it a GROUPED prefix sum: the running total
     restarts at every group boundary (rows ordered by group, then
     order_col). The shape is identical — range partition on
     (group..., order), per-(partition, group) totals to the driver,
     per-group running offsets broadcast back — so a group larger than
-    any one partition still never funnels through a single task."""
+    any one partition still never funnels through a single task.
+
+    The returned frame additionally carries the per-group grand
+    totals as ``_icelake_prefix_totals`` (group tuple -> total
+    weight) — already on the driver as a byproduct of the offsets
+    pass, so consumers like distributed NTILE get N without a second
+    action."""
     groups = list(group_cols or [])
-    range_cols = [F.col(c) for c in groups] + [F.col(order_col)]
+    order_exprs = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    range_cols = [F.col(c) for c in groups] + order_exprs
     ranged = df.repartitionByRange(num_partitions, *range_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -80,17 +98,19 @@ def with_global_offset(
     _PERSISTED.append(ranged)
     # Partition totals: one row per (partition, group) crosses to the
     # driver (partition METADATA, not data). Offsets accumulate in
-    # (group, key-range) order and reset per group.
+    # (group, partition-id) order — pid order equals key-range order
+    # under the sort expressions, including descending ones — and
+    # reset per group.
     totals = (
         ranged.groupBy("_pid", *groups)
-        .agg(F.sum(weight_col).alias("_tot"), F.min(order_col).alias("_lo"))
+        .agg(F.sum(weight_col).alias("_tot"))
         .collect()
     )
     spark = df.sparkSession
     acc_by_group: dict = {}
     rows = []
     for row in sorted(
-        totals, key=lambda r: (tuple(r[g] for g in groups), r["_lo"])
+        totals, key=lambda r: (tuple(r[g] for g in groups), r["_pid"])
     ):
         gkey = tuple(row[g] for g in groups)
         off = acc_by_group.get(gkey, 0)
@@ -104,7 +124,7 @@ def with_global_offset(
     )
     win = (
         Window.partitionBy("_pid", *groups)
-        .orderBy(order_col)
+        .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
@@ -120,6 +140,9 @@ def with_global_offset(
         .drop("_pid", "_part_offset")
     )
     out._icelake_packing_cache = ranged
+    out._icelake_prefix_totals = {
+        g: int(t) for g, t in acc_by_group.items()
+    }
     return out
 
 

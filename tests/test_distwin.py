@@ -1,0 +1,140 @@
+"""Distributed global window functions vs the native single-partition
+window (operators/distwin.py). The native ``Window.orderBy`` result is
+the semantic oracle; distwin must reproduce it bit-for-bit while its
+physical plan carries NO single-partition Exchange — that pair of
+assertions is the whole point of the module (VERDICT r4 #3).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from iceberg_rs_spark.operators import packing
+from iceberg_rs_spark.operators.distwin import (
+    ntile_global,
+    rank_global,
+    row_number_global,
+    running_sum_global,
+)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rng = random.Random(20260814)
+    rows = [(i, rng.randint(0, 25), rng.random()) for i in range(1201)]
+    df = spark.createDataFrame(rows, "id long, k int, v double").repartition(8)
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+    packing.release_caches()
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestRowNumber:
+    def test_matches_native_asc(self, base):
+        got = row_number_global(base, [F.col("v"), F.col("id")], "rn").select(
+            "id", "rn"
+        )
+        exp = base.select(
+            "id",
+            F.row_number().over(Window.orderBy(F.col("v"), "id")).alias("rn"),
+        )
+        assert _same(got, exp)
+
+    def test_matches_native_desc_multicol(self, base):
+        order = [F.col("k").desc(), F.col("v").desc(), F.col("id")]
+        got = row_number_global(base, order, "rn").select("id", "rn")
+        exp = base.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        )
+        assert _same(got, exp)
+
+    def test_no_single_partition_exchange(self, base):
+        got = row_number_global(base, [F.col("v"), F.col("id")], "rn")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    def test_totals_attached(self, base):
+        got = row_number_global(base, [F.col("id")], "rn")
+        assert got._icelake_prefix_totals == {(): 1201}
+
+
+class TestRank:
+    def test_ties_share_min_and_skip(self, base):
+        got = rank_global(base, [F.col("k"), F.col("id")], ["k"], "r").select(
+            "id", "r"
+        )
+        exp = base.select(
+            "id", F.rank().over(Window.orderBy(F.col("k"))).alias("r")
+        )
+        assert _same(got, exp)
+
+    def test_desc_ties(self, base):
+        got = rank_global(
+            base, [F.col("k").desc(), F.col("id")], ["k"], "r"
+        ).select("id", "r")
+        exp = base.select(
+            "id", F.rank().over(Window.orderBy(F.col("k").desc())).alias("r")
+        )
+        assert _same(got, exp)
+
+
+class TestNtile:
+    @pytest.mark.parametrize("n", [1, 2, 4, 7, 10, 100, 1201, 1500])
+    def test_exact_sql_fill_rule(self, base, n):
+        got = ntile_global(base, n, [F.col("v"), F.col("id")], "t").select(
+            "id", "t"
+        )
+        exp = base.select(
+            "id",
+            F.ntile(n).over(Window.orderBy(F.col("v"), "id")).alias("t"),
+        )
+        assert _same(got, exp)
+
+    def test_desc_order(self, base):
+        got = ntile_global(
+            base, 10, [F.col("v").desc(), F.col("id")], "t"
+        ).select("id", "t")
+        exp = base.select(
+            "id",
+            F.ntile(10)
+            .over(Window.orderBy(F.col("v").desc(), "id"))
+            .alias("t"),
+        )
+        assert _same(got, exp)
+
+
+class TestRunningSum:
+    def test_matches_native_including_negatives(self, base):
+        signed = base.withColumn("w", (F.col("k") - 12).cast("long"))
+        got = running_sum_global(
+            signed, [F.col("id")], "w", "s"
+        ).select("id", "s")
+        w = Window.orderBy("id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exp = signed.select("id", F.sum("w").over(w).alias("s"))
+        assert _same(got, exp)
+
+    def test_tiebreak_secondary_order(self, base):
+        # (k, id) total order with the weight keyed off v's sign —
+        # exercises multi-column ordering through the range partitioner.
+        signed = base.withColumn(
+            "w", F.when(F.col("v") > 0.5, 1).otherwise(-1).cast("long")
+        )
+        got = running_sum_global(
+            signed, [F.col("k"), F.col("id")], "w", "s"
+        ).select("id", "s")
+        w = Window.orderBy("k", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exp = signed.select("id", F.sum("w").over(w).alias("s"))
+        assert _same(got, exp)
