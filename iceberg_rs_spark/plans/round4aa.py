@@ -241,11 +241,14 @@ def events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching-intervals-not-concurrent convention — and the per-day
     max of the live counter. ONE sort + prefix sum, against the
     naive overlapping-pairs self-join that is quadratic in the peak.
-    The global-ordered running sum is the one inherently serial
-    step; at 100 TB it becomes a two-pass distributed prefix sum
-    (per-partition totals then offset, exactly the
-    operators/packing.py machinery) — semantics identical, pinned
-    here by the oracle."""
+    The running sum over the (t, delta) total order is the
+    distributed two-pass prefix sum (operators/distwin.py: range
+    partition → per-partition totals → broadcast offsets + local
+    window) — no single-partition window anywhere in the plan, so
+    the sweep parallelizes at 100 TB; semantics pinned by the
+    oracle's ROWS UNBOUNDED PRECEDING sum."""
+    from iceberg_rs_spark.operators.distwin import running_sum_global
+
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "view"
     )
@@ -255,14 +258,9 @@ def events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sweep = deltas.select(
-        F.col("t").cast("date").alias("d"),
-        "delta",
-        F.sum("delta").over(w).alias("live"),
-    )
+    sweep = running_sum_global(
+        deltas, [F.col("t"), F.col("delta")], "delta", "live"
+    ).select(F.col("t").cast("date").alias("d"), "delta", "live")
     return (
         sweep.groupBy("d")
         .agg(

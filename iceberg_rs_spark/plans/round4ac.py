@@ -150,12 +150,16 @@ def events_powerlaw_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against). Ranking tie-breaks on user_id so both engines assign
     identical ranks to equal counts; ln(c) is constant within a tie
     so the fit is tiebreak-invariant anyway — the determinism is
-    belt-and-suspenders. One groupBy + one global sort of the
-    user-level relation + a single regr aggregate."""
+    belt-and-suspenders. One groupBy, then the distributed two-pass
+    row_number (operators/distwin.py — no single-partition window
+    over the user relation), then a single regr aggregate."""
+    from iceberg_rs_spark.operators.distwin import row_number_global
+
     ev = load_table(spark, sf_dir, "events")
     act = ev.groupBy("user_id").agg(F.count("*").cast("double").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "user_id")
-    ranked = act.select("c", F.row_number().over(w).alias("r"))
+    ranked = row_number_global(
+        act, [F.col("c").desc(), F.col("user_id")], "r"
+    ).select("c", "r")
     lc, lr = F.log(F.col("c")), F.log(F.col("r"))
     return ranked.agg(
         F.count("*").alias("n_users"),

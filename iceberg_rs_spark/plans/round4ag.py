@@ -243,8 +243,11 @@ def agg_smoothed_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     outranking a 90/100 user (the top-20 by smoothed rate is the
     deliverable; raw ranks ride along to show the reordering). The
     global prior is a ratio of sums in a 1-row scalar; scoring is
-    row-local; both rankings share one sort with a user_id tiebreak
-    so the leaderboard is hash-stable."""
+    row-local; each ranking runs as the distributed two-pass
+    row_number (operators/distwin.py — range partition + broadcast
+    offsets, no single-partition window over the user relation) with
+    a user_id tiebreak so the leaderboard is hash-stable."""
+    from iceberg_rs_spark.operators.distwin import row_number_global
     ev = load_table(spark, sf_dir, "events")
     per_user = (
         ev.groupBy("user_id")
@@ -269,14 +272,12 @@ def agg_smoothed_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("views") + _SMOOTH_K)
         ).alias("smoothed_rate"),
     )
-    ranked = scored.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("raw_rate").desc(), "user_id"))
-        .alias("raw_rank"),
-        F.row_number()
-        .over(Window.orderBy(F.col("smoothed_rate").desc(), "user_id"))
-        .alias("smooth_rank"),
+    ranked = row_number_global(
+        row_number_global(
+            scored, [F.col("raw_rate").desc(), F.col("user_id")], "raw_rank"
+        ),
+        [F.col("smoothed_rate").desc(), F.col("user_id")],
+        "smooth_rank",
     )
     return (
         ranked.where(F.col("smooth_rank") <= 20)

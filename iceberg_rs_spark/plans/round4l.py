@@ -232,10 +232,13 @@ def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule that feeds easy data early. NTILE's deterministic
     equal-fill semantics match across engines given the total (ttr,
     doc_id) ordering. Per-doc scoring is scan-shaped array math; the
-    global NTILE is the one intentionally-global window, and at 100 TB
-    it would be replaced by the same two-pass quantile-split used in
-    pipeline_stratified_sample — the certified per-stage contract
-    stays identical."""
+    global NTILE runs as the distributed two-pass ntile
+    (operators/distwin.py: range partition → per-partition totals →
+    broadcast offsets), so no single-partition window exists in the
+    plan and the cut parallelizes at 100 TB — the per-stage contract
+    is bit-identical to SQL NTILE, pinned by the oracle."""
+    from iceberg_rs_spark.operators.distwin import ntile_global
+
     docs = load_table(spark, sf_dir, "documents")
     scored = (
         docs.select("doc_id", T.tokens(F.col("text")).alias("w"))
@@ -247,9 +250,8 @@ def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(F.array_distinct("w")) * 1.0 / F.col("n_tok")).alias("ttr"),
         )
     )
-    staged = scored.withColumn(
-        "stage",
-        F.ntile(CURRICULUM_STAGES).over(Window.orderBy("ttr", "doc_id")),
+    staged = ntile_global(
+        scored, CURRICULUM_STAGES, [F.col("ttr"), F.col("doc_id")], "stage"
     )
     return (
         staged.groupBy(F.col("stage").cast("int").alias("stage"))

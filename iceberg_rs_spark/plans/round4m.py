@@ -116,18 +116,19 @@ def events_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
     actual curve. Revenue sums are exact bigint cents (no float
     accumulation), the decile cut is deterministic under the
     (cents DESC, user_id) total order, and only the 10-row decile
-    table flows through the final cumulative window. The global NTILE
-    over per-user totals is the one intentionally-global stage; at
-    100 TB it swaps for the same two-pass quantile split used in
-    pipeline_stratified_sample without changing the certified decile
-    contract."""
+    table flows through the final cumulative window. The user-scale
+    NTILE runs as the distributed two-pass ntile
+    (operators/distwin.py) — no single-partition window over the
+    per-user relation; the only ``Window.orderBy`` left is the
+    cumulative share over the 10-row decile rollup."""
+    from iceberg_rs_spark.operators.distwin import ntile_global
+
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     rev = ev.groupBy("user_id").agg(F.sum(cents).cast("long").alias("cents"))
-    deciled = rev.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy(F.desc("cents"), "user_id")).alias("decile"),
-    )
+    deciled = ntile_global(
+        rev, 10, [F.col("cents").desc(), F.col("user_id")], "decile"
+    ).select("cents", "decile")
     agg = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("cents"),

@@ -9,6 +9,7 @@ and bucketed self-joins never degenerate into cartesian products.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.plans import CORPUS
@@ -789,3 +790,59 @@ class TestRound4Batch14Plans:
         final = plan.split("== Initial Plan ==")[0]
         assert "Join" not in final
         assert "InPandas" not in final
+
+
+def _sp_fed_windows(plan: str) -> list[str]:
+    """Window nodes whose child (within the next few plan lines) is an
+    Exchange SinglePartition — the global-window anti-pattern distwin
+    exists to remove. A Window's child subtree prints directly below
+    it (Sort, then the Exchange), so a 4-line lookahead captures it."""
+    final = plan.split("== Initial Plan ==")[0]
+    lines = final.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Window " in line and "windowspecdefinition" in line:
+            for j in range(i + 1, min(i + 5, len(lines))):
+                if "Exchange SinglePartition" in lines[j]:
+                    hits.append(line)
+                    break
+    return hits
+
+
+class TestDistributedGlobalWindows:
+    """VERDICT r4 #3: the five user/doc/event-scale global windows now
+    route through operators/distwin.py — no Window in their plans may
+    sit on a single-partition Exchange, except over bounded rollups."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "pipeline_curriculum_stages",
+            "events_powerlaw_rank_fit",
+            "agg_smoothed_rate_ranking",
+            "events_concurrent_peak",
+        ],
+    )
+    def test_no_single_partition_window(self, spark, sf_dir, name):
+        df = CORPUS[name].builder(spark, sf_dir)
+        plan = final_plan(df)
+        assert "Window" in plan  # distwin's _pid-partitioned window
+        assert _sp_fed_windows(plan) == []
+        from iceberg_rs_spark.operators import packing
+
+        packing.release_caches()
+
+    def test_pareto_global_window_only_on_decile_rollup(self, spark, sf_dir):
+        """The only global-ordered window left is the cumulative share
+        over the 10-row decile rollup — bounded by construction. The
+        user-scale NTILE must not appear as a single-partition
+        window."""
+        df = CORPUS["events_revenue_pareto_deciles"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        sp_windows = _sp_fed_windows(plan)
+        assert len(sp_windows) <= 1
+        for w in sp_windows:
+            assert "decile" in w and "user_id" not in w
+        from iceberg_rs_spark.operators import packing
+
+        packing.release_caches()
