@@ -71,6 +71,47 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     return _cosine_udf()(a, b)
 
 
+def cosine_arrow_exact(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine whose float result is BIT-IDENTICAL to
+    the JVM left-fold / DuckDB list_sum sequential sum: the reduction
+    runs vectorized ACROSS rows but sequential ACROSS dimensions
+    (``acc = acc + x[:, j] * y[:, j]``), so every row performs exactly
+    the IEEE additions of ``dot()``'s fold in the same order. Use this
+    when the cosine decides a ranking cut in a hash-checked query
+    (top-k selection flips on 1e-15 near-ties under einsum's pairwise
+    summation); use :func:`cosine_arrow` when outputs are rounded."""
+    return _cosine_exact_udf()(a, b)
+
+
+_PCOS_EXACT = None
+
+
+def _cosine_exact_udf():
+    global _PCOS_EXACT
+    if _PCOS_EXACT is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def pcos_exact(x: pd.Series, y: pd.Series) -> pd.Series:
+            if len(x) == 0:
+                return pd.Series([], dtype="float64")
+            xa = np.stack(x.values).astype("float64")
+            ya = np.stack(y.values).astype("float64")
+            n = len(xa)
+            d = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for j in range(xa.shape[1]):
+                xj, yj = xa[:, j], ya[:, j]
+                d = d + xj * yj
+                na = na + xj * xj
+                nb = nb + yj * yj
+            return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+
+        _PCOS_EXACT = pcos_exact
+    return _PCOS_EXACT
+
+
 _PCOS = None
 
 

@@ -361,15 +361,15 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, num_planes=2).orderBy("query_id", "rank")
 
 
-def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64) -> str:
+def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64, col: str = "ea") -> str:
     """DuckDB expression for the random-hyperplane sign bucket of a
-    DOUBLE[] column ``ea`` — built from the *same* deterministic
+    DOUBLE[] column ``col`` — built from the *same* deterministic
     md5-derived plane constants the Spark operator uses, so the two
     engines bucket identically."""
     terms = []
     for i in range(num_planes):
         lits = ", ".join(repr(x) for x in S._hyperplane(dim, i))
-        proj = f"list_sum([ea[i] * ([{lits}])[i] for i in generate_series(1, {dim})])"
+        proj = f"list_sum([{col}[i] * ([{lits}])[i] for i in generate_series(1, {dim})])"
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 

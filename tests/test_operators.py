@@ -949,3 +949,23 @@ class TestKCore:
     def test_whole_graph_below_k_empties(self, spark):
         got = self._core(spark, [(0, 1), (1, 2)], k=2)
         assert got == {}
+
+
+class TestCosineArrowExact:
+    def test_bit_identical_to_jvm_fold(self, spark, sf_dir):
+        """cosine_arrow_exact's vectorized-across-rows / sequential-
+        across-dims reduction must reproduce the JVM left-fold cosine
+        BITWISE (no rounding) — that equivalence is what lets a
+        hash-checked ranking cut run in the Arrow path."""
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        a = emb.where(F.col("vec_id") < 40).alias("a")
+        b = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)).alias("b")
+        pairs = a.crossJoin(b).select(
+            S.cosine(F.col("a.v"), F.col("b.v")).alias("jvm"),
+            S.cosine_arrow_exact(F.col("a.v"), F.col("b.v")).alias("arrow"),
+        )
+        assert pairs.where(F.col("jvm") != F.col("arrow")).count() == 0

@@ -846,3 +846,17 @@ class TestDistributedGlobalWindows:
         from iceberg_rs_spark.operators import packing
 
         packing.release_caches()
+
+
+class TestKnnPlan:
+    def test_knn_classify_no_cartesian(self, spark, sf_dir):
+        """VERDICT r4 #2: candidate generation is an equi-join on the
+        LSH sign bucket — the 5%-holdout × corpus cartesian (and its
+        broadcast-nested-loop variant) must not exist anywhere in the
+        executed plan. Scoring must run in the Arrow path, not an
+        interpreted per-pair HOF fold."""
+        plan = final_plan(CORPUS["sim_knn_classify"].builder(spark, sf_dir))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+        assert "ArrowEvalPython" in final  # cosine_arrow_exact scoring
