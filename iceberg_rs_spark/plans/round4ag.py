@@ -243,11 +243,17 @@ def agg_smoothed_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     outranking a 90/100 user (the top-20 by smoothed rate is the
     deliverable; raw ranks ride along to show the reordering). The
     global prior is a ratio of sums in a 1-row scalar; scoring is
-    row-local; each ranking runs as the distributed two-pass
-    row_number (operators/distwin.py — range partition + broadcast
-    offsets, no single-partition window over the user relation) with
-    a user_id tiebreak so the leaderboard is hash-stable."""
-    from iceberg_rs_spark.operators.distwin import row_number_global
+    row-local. Because only the top-20 survive, NO global ranking
+    pass exists in the plan: the survivors come from a distributed
+    TakeOrderedAndProject (per-partition top-20, driver merges 20×P
+    rows — the only correct top-k plan at 100 TB), and their global
+    raw/smoothed row_numbers are recovered as 1 + count-of-
+    predecessors in one map-side pass over the user relation against
+    the BROADCAST 20-row leaderboard (a k-bounded nested-loop, not a
+    data×data cartesian). All rank arithmetic is exact: views/buys
+    are integer-valued doubles, so the prior and both rates are
+    bit-deterministic under any aggregation order, and the user_id
+    tiebreak keeps the cut hash-stable."""
     ev = load_table(spark, sf_dir, "events")
     per_user = (
         ev.groupBy("user_id")
@@ -272,23 +278,40 @@ def agg_smoothed_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("views") + _SMOOTH_K)
         ).alias("smoothed_rate"),
     )
-    ranked = row_number_global(
-        row_number_global(
-            scored, [F.col("raw_rate").desc(), F.col("user_id")], "raw_rank"
-        ),
-        [F.col("smoothed_rate").desc(), F.col("user_id")],
-        "smooth_rank",
+    top20 = (
+        scored.orderBy(F.desc("smoothed_rate"), "user_id").limit(20).alias("t")
     )
-    return (
-        ranked.where(F.col("smooth_rank") <= 20)
-        .select(
-            "user_id",
-            F.col("views").cast("long").alias("views"),
-            F.col("buys").cast("long").alias("buys"),
-            rhalf(F.col("raw_rate"), 4).alias("raw_rate"),
-            rhalf(F.col("smoothed_rate"), 4).alias("smoothed_rate"),
-            "raw_rank",
-            "smooth_rank",
+    s = scored.alias("s")
+
+    def before(metric: str):
+        return (
+            (F.col(f"s.{metric}") > F.col(f"t.{metric}"))
+            | (
+                (F.col(f"s.{metric}") == F.col(f"t.{metric}"))
+                & (F.col("s.user_id") < F.col("t.user_id"))
+            )
+        ).cast("long")
+
+    ranked = (
+        s.crossJoin(F.broadcast(top20))
+        .groupBy(
+            F.col("t.user_id").alias("user_id"),
+            F.col("t.views").alias("views"),
+            F.col("t.buys").alias("buys"),
+            F.col("t.raw_rate").alias("raw_rate"),
+            F.col("t.smoothed_rate").alias("smoothed_rate"),
         )
-        .orderBy("smooth_rank")
+        .agg(
+            (F.sum(before("raw_rate")) + 1).cast("int").alias("raw_rank"),
+            (F.sum(before("smoothed_rate")) + 1).cast("int").alias("smooth_rank"),
+        )
     )
+    return ranked.select(
+        "user_id",
+        F.col("views").cast("long").alias("views"),
+        F.col("buys").cast("long").alias("buys"),
+        rhalf(F.col("raw_rate"), 4).alias("raw_rate"),
+        rhalf(F.col("smoothed_rate"), 4).alias("smoothed_rate"),
+        "raw_rank",
+        "smooth_rank",
+    ).orderBy("smooth_rank")

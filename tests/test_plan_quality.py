@@ -819,7 +819,6 @@ class TestDistributedGlobalWindows:
         [
             "pipeline_curriculum_stages",
             "events_powerlaw_rank_fit",
-            "agg_smoothed_rate_ranking",
             "events_concurrent_peak",
         ],
     )
@@ -831,6 +830,19 @@ class TestDistributedGlobalWindows:
         from iceberg_rs_spark.operators import packing
 
         packing.release_caches()
+
+    def test_smoothed_rate_top20_pushes_down(self, spark, sf_dir):
+        """Only the top-20 survive, so the right plan has NO global
+        ranking at all: a distributed TakeOrderedAndProject produces
+        the leaderboard and a k-bounded broadcast count recovers the
+        global row numbers — no Window anywhere, no single-partition
+        exchange over the user relation."""
+        df = CORPUS["agg_smoothed_rate_ranking"].builder(spark, sf_dir)
+        plan = final_plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "TakeOrderedAndProject" in final
+        assert _sp_fed_windows(plan) == []
+        assert "Window" not in final
 
     def test_pareto_global_window_only_on_decile_rollup(self, spark, sf_dir):
         """The only global-ordered window left is the cumulative share
