@@ -40,6 +40,7 @@ __all__ = [
     "rank_global",
     "ntile_global",
     "running_sum_global",
+    "running_max_global",
 ]
 
 
@@ -128,21 +129,92 @@ def ntile_global(
 def running_sum_global(
     df: DataFrame,
     order_by,
-    weight_col: str,
-    out_col: str = "running_sum",
+    weight_col,
+    out_col="running_sum",
     num_partitions: int = 32,
 ) -> DataFrame:
     """``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — the
     inclusive prefix sum: exclusive offset from the two-pass scheme
     plus the row's own weight. The sweep-line concurrency counter and
     any cumulative-total readout route through here instead of a
-    global-order window."""
+    global-order window.
+
+    ``weight_col``/``out_col`` may be matching LISTS: all the running
+    sums share one range partition, one totals pass, and one local
+    window (the cumulative-tokens-AND-cumulative-vocab shape costs the
+    same two passes as a single sum)."""
+    multi = not isinstance(weight_col, str)
+    weights = list(weight_col) if multi else [weight_col]
+    outs = list(out_col) if multi else [out_col]
+    offs = [f"_off{i}" for i in range(len(weights))]
     out = with_global_offset(
-        df, _order_list(order_by), weight_col, num_partitions, out_col="_off"
+        df, _order_list(order_by), weights, num_partitions, out_col=offs
     )
-    res = out.withColumn(
-        out_col, (F.col("_off") + F.col(weight_col)).cast("long")
-    ).drop("_off")
+    res = out
+    for w, oc, off in zip(weights, outs, offs):
+        res = res.withColumn(oc, (F.col(off) + F.col(w)).cast("long"))
+    res = res.drop(*offs)
     res._icelake_packing_cache = getattr(out, "_icelake_packing_cache", None)
     res._icelake_prefix_totals = getattr(out, "_icelake_prefix_totals", {})
+    return res
+
+
+def running_max_global(
+    df: DataFrame,
+    order_by,
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """``MAX(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING [AND -1])``
+    via the same two-pass scheme, specialized for the max combine:
+    per-partition maxima go to the driver (one row per partition),
+    each partition receives the max over all PRECEDING partitions, and
+    a partition-local window finishes its slice —
+    ``greatest(local_running_max, preceding_partitions_max)`` with
+    Spark's null-skipping greatest handling the no-predecessor edges.
+    ``inclusive=False`` gives the strictly-before frame (..., -1):
+    NULL for the global first row, exactly like the native window —
+    the skyline/dominance shape."""
+    from pyspark.storagelevel import StorageLevel
+
+    from iceberg_rs_spark.operators.packing import _PERSISTED
+
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in _order_list(order_by)
+    ]
+    ranged = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(ranged)
+    totals = (
+        ranged.groupBy("_pid").agg(F.max(value_col).alias("_mx")).collect()
+    )
+    vtype = dict(df.dtypes)[value_col]
+    rows, run = [], None
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        rows.append((int(row["_pid"]), run))
+        m = row["_mx"]
+        if m is not None and (run is None or m > run):
+            run = m
+    off_df = df.sparkSession.createDataFrame(
+        rows, f"_pid int, _pmax {vtype}"
+    )
+    hi = Window.currentRow if inclusive else -1
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    res = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col,
+            F.greatest(F.max(value_col).over(win), F.col("_pmax")),
+        )
+        .drop("_pid", "_pmax")
+    )
+    res._icelake_packing_cache = ranged
     return res

@@ -49,9 +49,9 @@ def release_caches() -> int:
 def with_global_offset(
     df: DataFrame,
     order_col,
-    weight_col: str,
+    weight_col,
     num_partitions: int = 32,
-    out_col: str = "start_offset",
+    out_col="start_offset",
     group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Add the exclusive prefix sum of ``weight_col`` in ``order_col``
@@ -75,12 +75,24 @@ def with_global_offset(
     per-group running offsets broadcast back — so a group larger than
     any one partition still never funnels through a single task.
 
+    ``weight_col`` may also be a LIST of column names (with ``out_col``
+    a matching list): all prefix sums share the one range partition,
+    one totals pass, and one within-partition window — the
+    multi-cumulative shape (e.g. cumulative tokens AND cumulative
+    vocabulary over the same document order) costs the same two
+    passes as a single sum.
+
     The returned frame additionally carries the per-group grand
-    totals as ``_icelake_prefix_totals`` (group tuple -> total
-    weight) — already on the driver as a byproduct of the offsets
-    pass, so consumers like distributed NTILE get N without a second
-    action."""
+    totals as ``_icelake_prefix_totals`` (group tuple -> total weight,
+    or tuple of totals for multi-weight calls) — already on the driver
+    as a byproduct of the offsets pass, so consumers like distributed
+    NTILE get N without a second action."""
     groups = list(group_cols or [])
+    multi = not isinstance(weight_col, str)
+    weights = list(weight_col) if multi else [weight_col]
+    outs = list(out_col) if multi else [out_col]
+    if len(weights) != len(outs):
+        raise ValueError("weight_col and out_col lengths differ")
     order_exprs = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
     range_cols = [F.col(c) for c in groups] + order_exprs
@@ -103,7 +115,7 @@ def with_global_offset(
     # reset per group.
     totals = (
         ranged.groupBy("_pid", *groups)
-        .agg(F.sum(weight_col).alias("_tot"))
+        .agg(*[F.sum(w).alias(f"_tot{i}") for i, w in enumerate(weights)])
         .collect()
     )
     spark = df.sparkSession
@@ -113,35 +125,34 @@ def with_global_offset(
         totals, key=lambda r: (tuple(r[g] for g in groups), r["_pid"])
     ):
         gkey = tuple(row[g] for g in groups)
-        off = acc_by_group.get(gkey, 0)
-        rows.append((int(row["_pid"]), *gkey, int(off)))
-        acc_by_group[gkey] = off + row["_tot"]
+        offs = acc_by_group.get(gkey, (0,) * len(weights))
+        rows.append((int(row["_pid"]), *gkey, *[int(o) for o in offs]))
+        acc_by_group[gkey] = tuple(
+            o + row[f"_tot{i}"] for i, o in enumerate(offs)
+        )
     gschema = "".join(
         f"{g} {dict(df.dtypes)[g]}, " for g in groups
     )
-    off_df = spark.createDataFrame(
-        rows, f"_pid int, {gschema}_part_offset bigint"
-    )
+    oschema = ", ".join(f"_part_offset{i} bigint" for i in range(len(weights)))
+    off_df = spark.createDataFrame(rows, f"_pid int, {gschema}{oschema}")
     win = (
         Window.partitionBy("_pid", *groups)
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
-        ranged.join(F.broadcast(off_df), ["_pid", *groups])
-        .withColumn(
-            out_col,
+    out = ranged.join(F.broadcast(off_df), ["_pid", *groups])
+    for i, (w, oc) in enumerate(zip(weights, outs)):
+        out = out.withColumn(
+            oc,
             (
-                F.col("_part_offset")
-                + F.sum(weight_col).over(win)
-                - F.col(weight_col)
+                F.col(f"_part_offset{i}") + F.sum(w).over(win) - F.col(w)
             ).cast("long"),
         )
-        .drop("_pid", "_part_offset")
-    )
+    out = out.drop("_pid", *[f"_part_offset{i}" for i in range(len(weights))])
     out._icelake_packing_cache = ranged
     out._icelake_prefix_totals = {
-        g: int(t) for g, t in acc_by_group.items()
+        g: (tuple(int(x) for x in t) if multi else int(t[0]))
+        for g, t in acc_by_group.items()
     }
     return out
 

@@ -342,19 +342,27 @@ def win_skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict `>` against the prefix max applies the standard
     dominated-iff-weakly-worse-in-both skyline convention, and the
     deterministic tiebreak key makes the frontier hash-stable. The
-    multi-objective shortlist shape (cost vs quality, latency vs
-    recall) that precedes any weighted scoring."""
+    part relation grows with the corpus, so the running max is the
+    distributed two-pass exclusive prefix max
+    (operators/distwin.running_max_global — per-partition maxima to
+    the driver, preceding-partitions max broadcast back, local window
+    finishes) with no single-partition stage. The multi-objective
+    shortlist shape (cost vs quality, latency vs recall) that
+    precedes any weighted scoring."""
+    from iceberg_rs_spark.operators.distwin import running_max_global
+
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.groupBy("l_partkey").agg(
         F.sum("l_quantity").alias("total_qty"),
         (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
     )
-    w = (
-        Window.orderBy(
-            "unit_price", F.col("total_qty").desc(), "l_partkey"
-        ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = running_max_global(
+        pts,
+        [F.col("unit_price"), F.col("total_qty").desc(), F.col("l_partkey")],
+        "total_qty",
+        "best_qty_cheaper",
+        inclusive=False,
     )
-    ranked = pts.withColumn("best_qty_cheaper", F.max("total_qty").over(w))
     return (
         ranked.where(
             F.col("best_qty_cheaper").isNull()

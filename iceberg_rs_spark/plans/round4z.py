@@ -276,7 +276,13 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a term is counted for the document where the corpus first
     says it. One explode + one term-keyed shuffle + a doc-count-sized
     running sum; no per-prefix distinct recomputation (the naive
-    cumulative COUNT(DISTINCT) is quadratic in corpus length)."""
+    cumulative COUNT(DISTINCT) is quadratic in corpus length). The
+    document relation is unbounded, so both cumulative curves run as
+    ONE multi-weight two-pass distributed prefix sum
+    (operators/distwin.running_sum_global — no single-partition
+    window, both sums share the range partition and totals pass)."""
+    from iceberg_rs_spark.operators.distwin import running_sum_global
+
     docs = load_table(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("p", "term")
@@ -289,12 +295,15 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = firsts.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"), F.sum("is_first").alias("n_new")
     )
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = running_sum_global(
+        per_doc,
+        [F.col("doc_id")],
+        ["n_tok", "n_new"],
+        ["cum_tokens", "cum_vocab"],
     )
-    return per_doc.select(
+    return cum.select(
         "doc_id",
-        F.sum("n_tok").over(w_cum).alias("cum_tokens"),
-        F.sum("n_new").over(w_cum).alias("cum_vocab"),
+        "cum_tokens",
+        "cum_vocab",
         F.col("n_new").cast("long").alias("new_terms"),
     ).orderBy("doc_id")

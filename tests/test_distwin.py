@@ -138,3 +138,64 @@ class TestRunningSum:
         )
         exp = signed.select("id", F.sum("w").over(w).alias("s"))
         assert _same(got, exp)
+
+
+class TestRunningMax:
+    def test_inclusive_matches_native(self, base):
+        from iceberg_rs_spark.operators.distwin import running_max_global
+
+        got = running_max_global(
+            base, [F.col("id")], "v", "m", inclusive=True
+        ).select("id", "m")
+        w = Window.orderBy("id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exp = base.select("id", F.max("v").over(w).alias("m"))
+        assert _same(got, exp)
+
+    def test_exclusive_matches_native_including_null_first_row(self, base):
+        from iceberg_rs_spark.operators.distwin import running_max_global
+
+        got = running_max_global(
+            base, [F.col("v"), F.col("id")], "k", "m", inclusive=False
+        ).select("id", "m")
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        exp = base.select("id", F.max("k").over(w).alias("m"))
+        assert _same(got, exp)
+
+    def test_no_single_partition_exchange(self, base):
+        from iceberg_rs_spark.operators.distwin import running_max_global
+
+        got = running_max_global(base, [F.col("id")], "v", "m")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+class TestMultiWeightRunningSum:
+    def test_two_sums_one_pass(self, base):
+        signed = base.withColumn("w1", F.lit(1).cast("long")).withColumn(
+            "w2", (F.col("k") - 12).cast("long")
+        )
+        got = running_sum_global(
+            signed, [F.col("id")], ["w1", "w2"], ["s1", "s2"]
+        ).select("id", "s1", "s2")
+        w = Window.orderBy("id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exp = signed.select(
+            "id",
+            F.sum("w1").over(w).alias("s1"),
+            F.sum("w2").over(w).alias("s2"),
+        )
+        assert _same(got, exp)
+
+    def test_multi_totals_attached(self, base):
+        signed = base.withColumn("w1", F.lit(1).cast("long")).withColumn(
+            "w2", F.lit(2).cast("long")
+        )
+        got = running_sum_global(
+            signed, [F.col("id")], ["w1", "w2"], ["s1", "s2"]
+        )
+        assert got._icelake_prefix_totals == {(): (1201, 2402)}

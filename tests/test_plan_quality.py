@@ -872,3 +872,56 @@ class TestKnnPlan:
         assert "CartesianProduct" not in final
         assert "BroadcastNestedLoopJoin" not in final
         assert "ArrowEvalPython" in final  # cosine_arrow_exact scoring
+
+
+class TestGlobalWindowWhitelist:
+    """VERDICT r4 #3's repo-wide gate: every unpartitioned
+    ``Window.orderBy(`` in plans/ source must be on this explicit
+    whitelist, each entry justified by a BOUNDED input relation
+    (day-/decile-/vocabulary-level rollup or an explicitly limited
+    slice). A new global window over an unbounded relation fails this
+    test until it is either routed through operators/distwin.py or
+    consciously whitelisted with a bounded-input justification."""
+
+    #: (file basename, stripped source line) -> why the input is bounded
+    ALLOWED = {
+        ("round4aa.py", 'w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)'):
+            "day-level rollup (one row per calendar day)",
+        ("round4ad.py", 'w = Window.orderBy("d").rowsBetween('):
+            "day-level rollup",
+        ("round4af.py", 'w = Window.orderBy("d").rowsBetween('):
+            "day-level rollup",
+        ("round4c.py", 'w_rank = Window.orderBy(F.col("n").desc(), F.col("term").asc())'):
+            "vocabulary Zipf head (term rollup, language-bounded)",
+        ("round4m.py", 'F.sum("cents").over(Window.orderBy("decile")) / F.col("t"), 6'):
+            "10-row decile rollup",
+        ("round4t.py", 'wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)'):
+            "day-level rollup",
+        ("windows.py", 'mk = lambda order: F.row_number().over(Window.orderBy(order, F.col("c_custkey")))'):
+            "explicit 50-row slice (c_custkey <= 50) certifying null-order semantics",
+    }
+
+    def test_every_global_window_site_is_whitelisted(self):
+        import os
+
+        plans_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "iceberg_rs_spark",
+            "plans",
+        )
+        found = set()
+        for fname in sorted(os.listdir(plans_dir)):
+            if not fname.endswith(".py"):
+                continue
+            with open(os.path.join(plans_dir, fname)) as f:
+                for line in f:
+                    if "Window.orderBy(" in line and not line.lstrip().startswith("#"):
+                        found.add((fname, line.strip().rstrip(",")))
+        allowed = {(f, l.rstrip(",")) for f, l in self.ALLOWED}
+        unexpected = found - allowed
+        assert not unexpected, (
+            "unwhitelisted global Window.orderBy site(s) — route through "
+            f"operators/distwin.py or whitelist with justification: {unexpected}"
+        )
+        gone = allowed - found
+        assert not gone, f"stale whitelist entries (site changed/removed): {gone}"
