@@ -98,14 +98,14 @@ PRIORITY: list[str] = [
     "ts_cusum_changepoint",
     "ts_weekday_seasonal_index",
     "ts_cross_correlation_leadlag",
-    "win_gaps_islands_streaks",
+    "win_skyline_pareto_frontier",  # REWRITTEN r5: distributed running max
     # --- r6 window and beyond: the rest of the never-certified
     # backlog, whole families front-loaded (win, graph, pipeline,
     # fn, sim, text, table, join, dedup, sub, ingest).
+    "win_gaps_islands_streaks",
     "win_time_range_rolling",
     "win_running_distinct_types",
     "win_rolling_median_daily",
-    "win_skyline_pareto_frontier",
     "win_max_drawdown_curve",
     "win_decile_transition_matrix",
     "graph_label_propagation",
