@@ -367,6 +367,34 @@ class TestCorrectnessFixes:
         } == expected
         base.unpersist()
 
+    def test_incremental_scan_fast_path_reads_one_manifest(
+        self, catalog, spark, events_df, monkeypatch
+    ):
+        """The O(delta) claim, pinned: an all-append range resolves
+        from the END manifest alone — exactly ONE manifest read no
+        matter how many commits the range spans (the old walk read two
+        full manifests per commit)."""
+        base = events_df.limit(30).cache()
+        t = catalog.create_table("db.incr3", base.schema)
+        t.append(base.limit(10))
+        snap1 = t.metadata.current_snapshot_id
+        t.append(base.limit(20).subtract(base.limit(10)))
+        t.append(base.subtract(base.limit(20)))
+        cls = type(t)
+        orig = cls._read_manifest
+        calls: list[int] = []
+
+        def counting(self, snap):
+            calls.append(snap.snapshot_id)
+            return orig(self, snap)
+
+        monkeypatch.setattr(cls, "_read_manifest", counting)
+        n = t.incremental_scan(start_snapshot_id=snap1).count()
+        assert n == 20
+        assert len(calls) == 1
+        assert calls[0] == t.metadata.current_snapshot_id
+        base.unpersist()
+
     def test_delete_preserves_concurrent_append(self, catalog, spark, events_df, monkeypatch):
         """A concurrent append that wins the version race must survive a
         retried DELETE commit (snapshot isolation, no silent data loss)."""
