@@ -1084,6 +1084,29 @@ class TestEqualityDeleteUpserts:
         assert upd.where("value < 999").count() == 0
         base.unpersist()
 
+    def test_partitioned_mor_merge_matches_cow_merge(
+        self, catalog, spark, events_df
+    ):
+        """Scoped delete files must not change MERGE semantics: on a
+        key-partitioned table, merge-on-read (partition-scoped
+        equality deletes) and copy-on-write produce identical rows."""
+        base = events_df.limit(150).cache()
+        ids = [r.event_id for r in base.limit(12).collect()]
+        src = self._upsert_src(spark, base, ids, 77.0)
+        cow = catalog.create_table(
+            "db.eqpcow", base.schema, partition_by=[("event_id", "bucket[4]")]
+        )
+        cow.append(base)
+        cow.merge(src, on=["event_id"])
+        mor = catalog.create_table(
+            "db.eqpmor", base.schema, partition_by=[("event_id", "bucket[4]")]
+        )
+        mor.append(base)
+        mor.merge(src, on=["event_id"], mode="merge-on-read")
+        assert mor.to_df().subtract(cow.to_df()).count() == 0
+        assert cow.to_df().subtract(mor.to_df()).count() == 0
+        base.unpersist()
+
     def test_unpartitioned_merge_delete_write_is_parallel(
         self, catalog, spark, events_df
     ):
