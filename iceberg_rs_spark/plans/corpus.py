@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     # --- r6 window and beyond: the rest of the never-certified
     # backlog, whole families front-loaded (win, graph, pipeline,
     # fn, sim, text, table, join, dedup, sub, ingest).
+    "text_vocab_growth_heaps",  # REWRITTEN r5: multi-weight prefix sum — lead r6
     "win_gaps_islands_streaks",
     "win_time_range_rolling",
     "win_running_distinct_types",
@@ -141,7 +142,6 @@ PRIORITY: list[str] = [
     "text_code_detection",
     "text_containment_pairs",
     "text_rake_phrases",
-    "text_vocab_growth_heaps",
     "text_js_divergence_lang",
     "text_term_burstiness",
     "text_tfidf_doc_similarity",
