@@ -12,7 +12,7 @@ comprehensions over the same chunk arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
