@@ -199,3 +199,38 @@ class TestMultiWeightRunningSum:
             signed, [F.col("id")], ["w1", "w2"], ["s1", "s2"]
         )
         assert got._icelake_prefix_totals == {(): (1201, 2402)}
+
+
+class TestPartitionInvariance:
+    """The answer must not depend on how the two-pass scheme splits
+    the data — the same invariance packing.py pins. One partition is
+    the degenerate all-local case; 64 > row groups exercises empties."""
+
+    @pytest.mark.parametrize("n_part", [1, 5, 64])
+    def test_row_number_invariant(self, base, n_part):
+        got = row_number_global(
+            base, [F.col("v"), F.col("id")], "rn", num_partitions=n_part
+        ).select("id", "rn")
+        exp = base.select(
+            "id",
+            F.row_number().over(Window.orderBy(F.col("v"), "id")).alias("rn"),
+        )
+        assert _same(got, exp)
+
+    @pytest.mark.parametrize("n_part", [1, 5, 64])
+    def test_running_max_invariant(self, base, n_part):
+        from iceberg_rs_spark.operators.distwin import running_max_global
+
+        got = running_max_global(
+            base,
+            [F.col("v"), F.col("id")],
+            "k",
+            "m",
+            num_partitions=n_part,
+            inclusive=False,
+        ).select("id", "m")
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        exp = base.select("id", F.max("k").over(w).alias("m"))
+        assert _same(got, exp)
