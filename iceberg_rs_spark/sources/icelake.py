@@ -1325,6 +1325,8 @@ class Table:
                     )
                 else:
                     entries = _data_entries(all_entries)
+            if where and dels:
+                dels = _prune_scoped_eq_deletes(dels, where, md, self)
             df = self._read_entries_as(md, entries, read_schema, delete_entries=dels)
         if where:
             df = df.filter(where)
@@ -2692,15 +2694,23 @@ def _apply_transform_py(transform: Transform, v) -> object | None:
 _bucket_cache: dict[tuple, int] = {}
 
 
-def _bucket_of_literal(spark: SparkSession, n: int, v) -> int | None:
+def _bucket_of_literal(spark: SparkSession, n: int, v, spark_type=None) -> int | None:
     """Bucket value of a literal, computed by Spark itself (one-row
-    local eval) so it is exactly the write-side function."""
-    key = (n, type(v).__name__, str(v))
+    local eval) so it is exactly the write-side function.
+
+    ``spark_type`` must be the SOURCE COLUMN's type: Spark's murmur3
+    ``hash()`` is type-sensitive (an int literal hashes 4 bytes, the
+    long column it compares against hashes 8), so the literal is cast
+    to the column type before bucketing — without the cast, an integer
+    equality literal lands in the wrong bucket and pruning silently
+    drops the matching file."""
+    key = (n, str(spark_type) if spark_type is not None else type(v).__name__, str(v))
     if key not in _bucket_cache:
         try:
             from iceberg_rs_spark.functions.transforms import bucket
 
-            row = spark.range(1).select(bucket(n, F.lit(v)).alias("b")).first()
+            lit = F.lit(v).cast(spark_type) if spark_type is not None else F.lit(v)
+            row = spark.range(1).select(bucket(n, lit).alias("b")).first()
             _bucket_cache[key] = row["b"]
         except Exception:
             return None
@@ -2745,7 +2755,9 @@ def _precompute_buckets(
                 fld = schema.field_by_name(c.col)
                 if fld is None or pf.source_id != fld.id or c.op != "=":
                     continue
-                b = _bucket_of_literal(spark, pf.transform.param, c.value)
+                b = _bucket_of_literal(
+                    spark, pf.transform.param, c.value, _spark_type_of(fld)
+                )
                 if b is not None:
                     out[(pf.transform.param, str(c.value))] = b
     return out
@@ -2814,6 +2826,41 @@ def _entry_survives(
             except TypeError:
                 continue
     return True
+
+
+def _prune_scoped_eq_deletes(
+    dels: "list[DataFileEntry]",
+    where: str,
+    md: TableMetadata,
+    table: "Table",
+) -> "list[DataFileEntry]":
+    """Predicate-prune partition-SCOPED equality-delete entries.
+
+    Key-aligned merge-on-read merges write their delete-key files
+    partitioned by the table spec, so those entries carry partition
+    values. Every key tuple in such a file shares the file's partition
+    value; a data row matching one of its keys therefore lives in the
+    same partition — and if the hidden-partition check proves no row
+    of that partition can satisfy ``where``, any row the delete would
+    remove is filtered out of the scan anyway. Skipping the delete
+    cannot change the result, and a filtered scan stops paying for
+    the table's whole delete history (the equality-delete anti-join
+    count is otherwise O(all deletes ever) on a long-lived table).
+    Unscoped equality deletes and position deletes (no partition
+    values, no stats) are always kept."""
+    prunable = [
+        e for e in dels if e.content == "equality-deletes" and e.partition
+    ]
+    if not prunable:
+        return dels
+    keep, _ = _split_by_predicate(prunable, where, md, table, keep_unmatched=False)
+    kept_ids = {id(e) for e in keep}
+    return [
+        e
+        for e in dels
+        if not (e.content == "equality-deletes" and e.partition)
+        or id(e) in kept_ids
+    ]
 
 
 def _split_by_predicate(

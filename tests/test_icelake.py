@@ -260,6 +260,28 @@ class TestPruning:
         got = t.scan(where="user_id = 3").count()
         assert got == events_df.where("user_id = 3").count()
 
+    def test_bucket_pruning_long_column_int_literal(self, catalog, events_df):
+        """Regression (r5): Spark's murmur3 hash() is type-sensitive —
+        an int literal hashes 4 bytes while the long column hashes 8 —
+        so bucket pruning must cast the literal to the SOURCE column
+        type. Before the fix, `event_id = 0` on a bucket[4](event_id)
+        table pruned the matching file and silently returned 0 rows."""
+        from iceberg_rs_spark.sources.icelake import _split_by_predicate
+
+        base = events_df.limit(100)
+        t = catalog.create_table(
+            "db.buckprune", base.schema, partition_by=[("event_id", "bucket[4]")]
+        )
+        t.append(base)
+        ids = [r.event_id for r in base.limit(5).collect()]
+        for i in ids:
+            assert t.scan(where=f"event_id = {i}").count() == 1
+        md = t.metadata
+        may, no = _split_by_predicate(
+            t._current_entries(md), f"event_id = {ids[0]}", md, t
+        )
+        assert len(no) > 0  # it actually pruned, not conservative-kept
+
     def test_scan_where_exactness_with_unparseable_predicate(self, catalog, events_df):
         t = catalog.create_table("db.exact", events_df.schema, partition_by=[("ts", "day")])
         t.append(events_df)
@@ -1105,6 +1127,46 @@ class TestEqualityDeleteUpserts:
         mor.merge(src, on=["event_id"], mode="merge-on-read")
         assert mor.to_df().subtract(cow.to_df()).count() == 0
         assert cow.to_df().subtract(mor.to_df()).count() == 0
+        base.unpersist()
+
+    def test_scoped_delete_files_prune_under_scan_predicate(
+        self, catalog, spark, events_df, monkeypatch
+    ):
+        """A filtered scan must not pay for the whole delete history:
+        partition-scoped equality-delete entries whose bucket provably
+        fails the predicate are pruned before the anti-join (unscoped
+        deletes would all be applied). Results stay identical."""
+        import iceberg_rs_spark.sources.icelake as lake
+
+        base = events_df.limit(200).cache()
+        t = catalog.create_table(
+            "db.eqprune", base.schema, partition_by=[("event_id", "bucket[4]")]
+        )
+        t.append(base)
+        ids = [r.event_id for r in base.limit(40).collect()]
+        t.merge(
+            self._upsert_src(spark, base, ids, 1000.0),
+            on=["event_id"],
+            mode="merge-on-read",
+        )
+        n_delete_files = t.files().where("content = 'equality-deletes'").count()
+        assert n_delete_files > 1
+        seen: list[int] = []
+        orig = lake.Table._apply_equality_deletes
+
+        def counting(self, out, eq_dels, target):
+            seen.append(len(eq_dels))
+            return orig(self, out, eq_dels, target)
+
+        monkeypatch.setattr(lake.Table, "_apply_equality_deletes", counting)
+        target = ids[0]
+        got = t.scan(where=f"event_id = {target}").collect()
+        # only the target's bucket's delete file survives pruning
+        assert seen and seen[-1] < n_delete_files
+        assert seen[-1] >= 1
+        # and the filtered read is still exact
+        assert len(got) == 1
+        assert got[0].value >= 1000.0
         base.unpersist()
 
     def test_unpartitioned_merge_delete_write_is_parallel(
