@@ -282,6 +282,55 @@ class TestPruning:
         )
         assert len(no) > 0  # it actually pruned, not conservative-kept
 
+    @pytest.mark.parametrize(
+        "spec",
+        [
+            [("event_id", "bucket[4]")],
+            [("user_id", "bucket[8]")],
+            [("event_type", "identity")],
+            [("event_type", "truncate[2]")],
+            [("event_id", "truncate[100]")],
+            [("ts", "day")],
+            [("ts", "month")],
+            [("event_type", "identity"), ("event_id", "bucket[4]")],
+        ],
+    )
+    @pytest.mark.parametrize(
+        "pred",
+        [
+            "event_id = 7",
+            "user_id = 3",
+            "event_type = 'click'",
+            "event_id >= 50 AND event_id < 60",
+            "value > 50",
+        ],
+    )
+    def test_scan_predicate_differential(self, catalog, events_df, spec, pred):
+        """Differential pruning sweep: for every partition-spec ×
+        predicate combination, a pruned scan must return exactly the
+        rows a full scan + filter returns. This is the harness that
+        catches type-sensitivity bugs in the pruning path (the r5
+        bucket-literal bug class) regardless of which transform or
+        literal type is involved."""
+        name = f"db.diff_{abs(hash((str(spec), pred))) % 10**8}"
+        base = events_df.limit(120)
+        t = catalog.create_table(name, base.schema, partition_by=spec)
+        t.append(base)
+        got = {
+            tuple(r)
+            for r in t.scan(where=pred)
+            .select("event_id", "user_id", "event_type")
+            .collect()
+        }
+        exp = {
+            tuple(r)
+            for r in t.scan()
+            .filter(pred)
+            .select("event_id", "user_id", "event_type")
+            .collect()
+        }
+        assert got == exp
+
     def test_scan_where_exactness_with_unparseable_predicate(self, catalog, events_df):
         t = catalog.create_table("db.exact", events_df.schema, partition_by=[("ts", "day")])
         t.append(events_df)
