@@ -303,6 +303,7 @@ class TestPruning:
             "event_type = 'click'",
             "event_id >= 50 AND event_id < 60",
             "value > 50",
+            "ts >= TIMESTAMP '2024-01-15 00:00:00'",
         ],
     )
     def test_scan_predicate_differential(self, catalog, events_df, spec, pred):
@@ -330,6 +331,57 @@ class TestPruning:
             .collect()
         }
         assert got == exp
+
+    @pytest.mark.parametrize(
+        "spec",
+        [
+            [("event_id", "bucket[4]")],  # scoped delete files
+            [("ts", "day")],  # unscoped delete files (key not in spec)
+            [],  # unpartitioned
+        ],
+    )
+    @pytest.mark.parametrize(
+        "pred",
+        [
+            "event_id = 4",
+            "event_type = 'click'",
+            "event_id >= 30 AND event_id < 80",
+        ],
+    )
+    def test_scan_predicate_differential_with_mor_deletes(
+        self, catalog, events_df, spec, pred
+    ):
+        """The same differential contract on a table carrying BOTH
+        delete-file kinds: a merge-on-read upsert (equality deletes —
+        partition-scoped when the key aligns with the spec, unscoped
+        otherwise) plus a merge-on-read predicate delete (position
+        deletes). Covers the r5 scoped-delete pruning path end-to-end:
+        pruning delete files must never change a filtered result."""
+        name = f"db.diffmor_{abs(hash((str(spec), pred))) % 10**8}"
+        base = events_df.limit(120).cache()
+        t = catalog.create_table(name, base.schema, partition_by=spec)
+        t.append(base)
+        ids = [r.event_id for r in base.limit(20).collect()]
+        upsert = base.where(F.col("event_id").isin(ids)).withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+        t.merge(upsert, on=["event_id"], mode="merge-on-read")
+        t.delete("user_id = 5", mode="merge-on-read")
+        got = {
+            tuple(r)
+            for r in t.scan(where=pred)
+            .select("event_id", "user_id", "value")
+            .collect()
+        }
+        exp = {
+            tuple(r)
+            for r in t.scan()
+            .filter(pred)
+            .select("event_id", "user_id", "value")
+            .collect()
+        }
+        assert got == exp
+        base.unpersist()
 
     def test_scan_where_exactness_with_unparseable_predicate(self, catalog, events_df):
         t = catalog.create_table("db.exact", events_df.schema, partition_by=[("ts", "day")])
