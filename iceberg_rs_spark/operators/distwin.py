@@ -132,6 +132,7 @@ def running_sum_global(
     weight_col,
     out_col="running_sum",
     num_partitions: int = 32,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — the
     inclusive prefix sum: exclusive offset from the two-pass scheme
@@ -142,13 +143,25 @@ def running_sum_global(
     ``weight_col``/``out_col`` may be matching LISTS: all the running
     sums share one range partition, one totals pass, and one local
     window (the cumulative-tokens-AND-cumulative-vocab shape costs the
-    same two passes as a single sum)."""
+    same two passes as a single sum).
+
+    ``group_cols`` makes it a GROUPED running sum (restarts per
+    group) — unlike ``Window.partitionBy(group)``, whose parallelism
+    is capped at the number of DISTINCT group values (a 3-value flag
+    column funnels a 100 TB relation through 3 tasks), the grouped
+    two-pass scheme range-partitions on (group, order) so one group
+    spreads across many partitions."""
     multi = not isinstance(weight_col, str)
     weights = list(weight_col) if multi else [weight_col]
     outs = list(out_col) if multi else [out_col]
     offs = [f"_off{i}" for i in range(len(weights))]
     out = with_global_offset(
-        df, _order_list(order_by), weights, num_partitions, out_col=offs
+        df,
+        _order_list(order_by),
+        weights,
+        num_partitions,
+        out_col=offs,
+        group_cols=group_cols,
     )
     res = out
     for w, oc, off in zip(weights, outs, offs):

@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "sim_ann_agreement_pq",  # NEW r5: hash-checked PQ recall@5 scalar
     "table_merge_upsert_mor",  # CHANGED r5: partitioned delete-file writes
     "stream_cdc_upsert_icelake",  # CHANGED r5: same delete-write path
+    "agg_weighted_percentiles",  # REWRITTEN r5: grouped two-pass prefix sum
     "events_funnel_daily",
     "events_inactivity_churn",
     "events_ab_test_lift",
@@ -97,12 +98,12 @@ PRIORITY: list[str] = [
     "ts_autocorrelation_lags",
     "ts_cusum_changepoint",
     "ts_weekday_seasonal_index",
-    "ts_cross_correlation_leadlag",
     "win_skyline_pareto_frontier",  # REWRITTEN r5: distributed running max
     # --- r6 window and beyond: the rest of the never-certified
     # backlog, whole families front-loaded (win, graph, pipeline,
     # fn, sim, text, table, join, dedup, sub, ingest).
     "text_vocab_growth_heaps",  # REWRITTEN r5: multi-weight prefix sum — lead r6
+    "ts_cross_correlation_leadlag",
     "win_gaps_islands_streaks",
     "win_time_range_rolling",
     "win_running_distinct_types",

@@ -63,9 +63,18 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike `percentile(col)` this weights every row by l_quantity (the
     unit price of a 50-unit line counts 50×), which is the correct
-    statistic for per-unit pricing. The window partitions by the
-    group key — per-group streams, no single-partition funnel; the
-    percentile fan-out (×2) rides a 2-row broadcast values join."""
+    statistic for per-unit pricing. The cumulative sum runs as the
+    GROUPED two-pass distributed prefix sum (operators/distwin.py):
+    `Window.partitionBy(l_returnflag)` would cap parallelism at the 3
+    distinct flags — a 3-task funnel at 100 TB — while the grouped
+    range partition spreads each flag's stream across partitions and
+    restarts the total at group boundaries. Totals per flag ride a
+    3-row broadcast; the percentile fan-out (×2) a 2-row one. The pick
+    is tie-stable: permuting equal (unit_cents, w) rows permutes cw
+    among rows sharing one unit_cents value, and only that value is
+    emitted."""
+    from iceberg_rs_spark.operators.distwin import running_sum_global
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
@@ -74,16 +83,17 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("unit_cents"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    wspec = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("unit_cents", "w")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = base.select(
-        "l_returnflag",
-        "unit_cents",
-        F.sum("w").over(wspec).alias("cw"),
-        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    tot = base.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    cum = (
+        running_sum_global(
+            base,
+            [F.col("unit_cents"), F.col("w")],
+            "w",
+            "cw",
+            group_cols=["l_returnflag"],
+        )
+        .join(F.broadcast(tot), "l_returnflag")
+        .select("l_returnflag", "unit_cents", "cw", "tw")
     )
     pcts = spark.createDataFrame([(p,) for p in WP_PCTS], "p double")
     picks = (
