@@ -234,3 +234,23 @@ class TestPartitionInvariance:
         )
         exp = base.select("id", F.max("k").over(w).alias("m"))
         assert _same(got, exp)
+
+
+class TestGroupedRunningSum:
+    def test_restarts_per_group_matches_native(self, base):
+        got = running_sum_global(
+            base.withColumn("w", F.lit(1).cast("long")),
+            [F.col("v"), F.col("id")],
+            "w",
+            "s",
+            group_cols=["k"],
+        ).select("id", "s")
+        w = (
+            Window.partitionBy("k")
+            .orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        exp = base.withColumn("w", F.lit(1).cast("long")).select(
+            "id", F.sum("w").over(w).alias("s")
+        )
+        assert _same(got, exp)
