@@ -2563,34 +2563,54 @@ class _Conjunct:
     value: object  # python-typed literal
 
 
+_IN_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s+IN\s*\((?P<lits>[^()]+)\)\s*$", flags=re.IGNORECASE
+)
+
+
+def _parse_literal(lit: str):
+    """Parse one SQL literal; None when unrecognized."""
+    lit = lit.strip()
+    m2 = re.match(r"^(?:TIMESTAMP|DATE)?\s*'(.*)'$", lit, flags=re.IGNORECASE)
+    if m2:
+        sval = m2.group(1)
+        try:
+            return datetime.fromisoformat(sval)
+        except ValueError:
+            return sval
+    try:
+        return int(lit)
+    except ValueError:
+        try:
+            return float(lit)
+        except ValueError:
+            return None
+
+
 def _parse_conjuncts(where: str) -> list[_Conjunct] | None:
-    """Parse a conjunction of simple ``col op literal`` predicates for
+    """Parse a conjunction of simple ``col op literal`` predicates —
+    plus ``col IN (lit, ...)``, the dim-driven scan shape — for
     pruning. Anything unparseable → None (prune nothing; exactness is
-    preserved because `where` is re-applied by Spark after the scan)."""
+    preserved because `where` is re-applied by Spark after the scan).
+    ``NOT IN`` deliberately fails the IN regex (the NOT token breaks
+    the col-IN adjacency) and falls through to no-pruning."""
     parts = re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)
     out = []
     for p in parts:
         m = _PRED_RE.match(p)
-        if not m:
+        if m:
+            val = _parse_literal(m["lit"])
+            if val is None:
+                return None
+            out.append(_Conjunct(m["col"], m["op"], val))
+            continue
+        mi = _IN_RE.match(p)
+        if not mi:
             return None
-        lit = m["lit"].strip()
-        val: object
-        m2 = re.match(r"^(?:TIMESTAMP|DATE)?\s*'(.*)'$", lit, flags=re.IGNORECASE)
-        if m2:
-            sval = m2.group(1)
-            try:
-                val = datetime.fromisoformat(sval)
-            except ValueError:
-                val = sval
-        else:
-            try:
-                val = int(lit)
-            except ValueError:
-                try:
-                    val = float(lit)
-                except ValueError:
-                    return None
-        out.append(_Conjunct(m["col"], m["op"], val))
+        vals = tuple(_parse_literal(x) for x in mi["lits"].split(","))
+        if not vals or any(v is None for v in vals):
+            return None
+        out.append(_Conjunct(mi["col"], "in", vals))
     return out
 
 
@@ -2610,6 +2630,8 @@ def _cmp_keep(op: str, mn, mx, v) -> bool:
             return mx is None or mx >= v
         if op == "!=":
             return not (mn is not None and mn == mx == v)
+        if op == "in":
+            return any(_cmp_keep("=", mn, mx, x) for x in v)
     except TypeError:
         return True
     return True
@@ -2753,13 +2775,15 @@ def _precompute_buckets(
                 continue
             for c in conjuncts:
                 fld = schema.field_by_name(c.col)
-                if fld is None or pf.source_id != fld.id or c.op != "=":
+                if fld is None or pf.source_id != fld.id or c.op not in ("=", "in"):
                     continue
-                b = _bucket_of_literal(
-                    spark, pf.transform.param, c.value, _spark_type_of(fld)
-                )
-                if b is not None:
-                    out[(pf.transform.param, str(c.value))] = b
+                vals = c.value if c.op == "in" else (c.value,)
+                for x in vals:
+                    b = _bucket_of_literal(
+                        spark, pf.transform.param, x, _spark_type_of(fld)
+                    )
+                    if b is not None:
+                        out[(pf.transform.param, str(x))] = b
     return out
 
 
@@ -2776,7 +2800,8 @@ def _entry_survives(
         if st is not None:
             mn, mx = st.get("min"), st.get("max")
             v = c.value
-            if isinstance(v, datetime) and isinstance(mn, str):
+            probe = v[0] if c.op == "in" else v
+            if isinstance(probe, datetime) and isinstance(mn, str):
                 try:
                     mn = datetime.fromisoformat(mn) if mn else None
                     mx = datetime.fromisoformat(mx) if mx else None
@@ -2798,10 +2823,40 @@ def _entry_survives(
             if pv_raw is None:
                 continue
             if pf.transform.kind == "bucket":
-                if c.op == "=" and buckets:
-                    b = buckets.get((pf.transform.param, str(c.value)))
-                    if b is not None and int(pv_raw) != b:
+                if c.op in ("=", "in") and buckets:
+                    vals = c.value if c.op == "in" else (c.value,)
+                    bs = [
+                        buckets.get((pf.transform.param, str(x))) for x in vals
+                    ]
+                    if all(b is not None for b in bs) and int(pv_raw) not in set(bs):
                         return False
+                continue
+            if c.op == "in":
+                # partition survives iff its value is any literal's
+                # transform image (per-value equality semantics: a
+                # matching row's partition value IS transform(literal))
+                tvs = [_apply_transform_py(pf.transform, x) for x in c.value]
+                if not tvs or any(t is None for t in tvs):
+                    continue
+                try:
+                    pv = _coerce_partition_value(pv_raw, tvs[0])
+                except (ValueError, TypeError):
+                    continue
+                if pv is None:
+                    continue
+                match, decided = False, True
+                for t2 in tvs:
+                    comparable = type(pv) is type(t2) or (
+                        isinstance(pv, (int, float))
+                        and isinstance(t2, (int, float))
+                    )
+                    if comparable:
+                        if pv == t2:
+                            match = True
+                    else:
+                        decided = False  # can't rule this literal out
+                if decided and not match:
+                    return False
                 continue
             tv = _apply_transform_py(pf.transform, c.value)
             if tv is None:

@@ -304,6 +304,8 @@ class TestPruning:
             "event_id >= 50 AND event_id < 60",
             "value > 50",
             "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+            "event_type IN ('click', 'view')",
+            "event_id IN (3, 7, 250)",
         ],
     )
     def test_scan_predicate_differential(self, catalog, events_df, spec, pred):
@@ -390,6 +392,44 @@ class TestPruning:
         got = t.scan(where="event_type = 'click' OR event_type = 'view'").count()
         exp = events_df.where("event_type IN ('click','view')").count()
         assert got == exp
+
+    def test_in_list_pruning_actually_prunes(self, catalog, events_df):
+        """IN-list predicates (the dim-driven scan shape) participate
+        in pruning: identity partitions keep only the listed values'
+        files, bucket partitions keep only the listed values' buckets,
+        and NOT IN falls through to conservative no-pruning."""
+        from iceberg_rs_spark.sources.icelake import (
+            _parse_conjuncts,
+            _split_by_predicate,
+        )
+
+        base = events_df.limit(120)
+        t = catalog.create_table(
+            "db.inprune", base.schema, partition_by=[("event_type", "identity")]
+        )
+        t.append(base)
+        md = t.metadata
+        may, no = _split_by_predicate(
+            t._current_entries(md), "event_type IN ('click', 'view')", md, t
+        )
+        assert len(no) > 0  # other event types' files pruned
+        got = t.scan(where="event_type IN ('click', 'view')").count()
+        assert got == base.where("event_type IN ('click','view')").count()
+
+        tb = catalog.create_table(
+            "db.inprune_b", base.schema, partition_by=[("event_id", "bucket[8]")]
+        )
+        tb.append(base)
+        mdb = tb.metadata
+        may_b, no_b = _split_by_predicate(
+            tb._current_entries(mdb), "event_id IN (3, 7)", mdb, tb
+        )
+        assert len(no_b) > 0  # at most 2 of 8 buckets survive
+        assert tb.scan(where="event_id IN (3, 7)").count() == base.where(
+            "event_id IN (3, 7)"
+        ).count()
+        # NOT IN is deliberately unparseable → no pruning, still exact
+        assert _parse_conjuncts("event_id NOT IN (3, 7)") is None
 
     def test_empty_table_scan(self, catalog, events_df):
         t = catalog.create_table("db.empty", events_df.schema)
