@@ -269,3 +269,22 @@ class TestPlanningScale:
         t_small, t_big = plan(small), plan(big)
         # 10x the files must cost < 40x the time (generous CI headroom)
         assert t_big < t_small * 40 + 0.05, (t_small, t_big)
+
+
+class TestInListPlanning:
+    def test_in_list_pruning_100k_files_under_budget(self, spark):
+        """IN-list pruning (r5) must stay in the same driver budget as
+        scalar predicates: 100k entries against a 3-value IN list in
+        under 1.5 s, pruning to exactly the admitting files."""
+        entries = _synthetic_entries(100_000)
+        md = _metadata_stub(spark)
+        _split_by_predicate(entries[:2000], "event_id IN (1, 2)", md, table=None)
+        t0 = time.perf_counter()
+        may, no = _split_by_predicate(
+            entries, "event_id IN (500, 1500500, 99999999)", md, table=None
+        )
+        elapsed = time.perf_counter() - t0
+        # each in-range value admits exactly one disjoint-range file
+        assert len(may) == 3
+        assert len(no) == 100_000 - 3
+        assert elapsed < 1.5, f"IN-list planning 100k files took {elapsed:.2f}s"
