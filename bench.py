@@ -68,6 +68,14 @@ HEADLINE = [
     "table_operation_sequence",
     "udf_grouped_map_zscore",
     "skew_salted_join",
+    # round-5 rewrites / additions (VERDICT r4 asks):
+    "sim_knn_classify",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "events_concurrent_peak",
+    "pipeline_curriculum_stages",
+    "agg_smoothed_rate_ranking",
+    "table_incremental_rollup_maintenance",
 ]
 
 
