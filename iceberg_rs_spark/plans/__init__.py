@@ -62,3 +62,4 @@ import iceberg_rs_spark.plans.round4ah  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4ai  # noqa: F401,E402
 import iceberg_rs_spark.plans.round4aj  # noqa: F401,E402
 import iceberg_rs_spark.plans.round5  # noqa: F401,E402
+import iceberg_rs_spark.plans.round6  # noqa: F401,E402

@@ -431,6 +431,45 @@ class TestPruning:
         # NOT IN is deliberately unparseable → no pruning, still exact
         assert _parse_conjuncts("event_id NOT IN (3, 7)") is None
 
+    def test_truncate_in_list_pruning_actually_prunes(self, catalog, events_df):
+        """truncate[W] is monotonic, so an IN list prunes via per-value
+        transform images (VERDICT r5 #5): only partitions equal to some
+        literal's truncation survive — string truncate on a text column
+        and width-truncate on an integer column both actually PRUNE
+        (non-empty `no` set), and the scan stays exact."""
+        from iceberg_rs_spark.sources.icelake import _split_by_predicate
+
+        base = events_df.limit(120)
+        tt = catalog.create_table(
+            "db.truncprune_s",
+            base.schema,
+            partition_by=[("event_type", "truncate[2]")],
+        )
+        tt.append(base)
+        md = tt.metadata
+        may, no = _split_by_predicate(
+            tt._current_entries(md), "event_type IN ('click', 'view')", md, tt
+        )
+        assert len(no) > 0  # prefixes other than 'cl'/'vi' pruned
+        assert tt.scan(where="event_type IN ('click', 'view')").count() == (
+            base.where("event_type IN ('click','view')").count()
+        )
+
+        ti = catalog.create_table(
+            "db.truncprune_i",
+            base.schema,
+            partition_by=[("event_id", "truncate[50]")],
+        )
+        ti.append(base)
+        mdi = ti.metadata
+        may_i, no_i = _split_by_predicate(
+            ti._current_entries(mdi), "event_id IN (3, 7, 103)", mdi, ti
+        )
+        assert len(no_i) > 0  # only width-50 blocks 0 and 100 survive
+        assert ti.scan(where="event_id IN (3, 7, 103)").count() == (
+            base.where("event_id IN (3, 7, 103)").count()
+        )
+
     def test_empty_table_scan(self, catalog, events_df):
         t = catalog.create_table("db.empty", events_df.schema)
         assert t.scan().count() == 0
@@ -557,6 +596,35 @@ class TestCorrectnessFixes:
         assert len(calls) == 1
         assert calls[0] == t.metadata.current_snapshot_id
         base.unpersist()
+
+    def test_incremental_scan_rejects_unstamped_entries(
+        self, catalog, events_df, monkeypatch
+    ):
+        """Entries without per-file sequence numbers (foreign manifests
+        deserialize them to 0) make commit attribution impossible; the
+        fast path must FAIL rather than silently drop those files from
+        the delta (ADVICE r5)."""
+        import dataclasses
+
+        t = catalog.create_table("db.incr4", events_df.schema)
+        t.append(events_df.limit(10))
+        snap1 = t.metadata.current_snapshot_id
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        cls = type(t)
+        orig = cls._read_manifest
+
+        def unstamped(self, snap):
+            return [
+                dataclasses.replace(e, sequence_number=None)
+                for e in orig(self, snap)
+            ]
+
+        monkeypatch.setattr(cls, "_read_manifest", unstamped)
+        with pytest.raises(ValueError, match="sequence numbers"):
+            t.incremental_scan(start_snapshot_id=snap1)
+        # A full-table incremental read (start=None, start_seq=0) has no
+        # attribution to do — still served.
+        assert t.incremental_scan().count() == 20
 
     def test_delete_preserves_concurrent_append(self, catalog, spark, events_df, monkeypatch):
         """A concurrent append that wins the version race must survive a
