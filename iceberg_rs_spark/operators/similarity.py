@@ -379,17 +379,33 @@ def ivf_topk(
         The centroid matrix ships via an explicit Spark broadcast —
         fetched once per executor over the torrent protocol, not
         re-serialized into every task's closure. Returns the topn
-        nearest list ids."""
-        bc = sc.broadcast(cents / np.linalg.norm(cents, axis=1, keepdims=True))
+        nearest list ids.
+
+        FOLD-ORDER-MATCHED cosine (ADVICE r5 #2): the reduction runs
+        vectorized across (row, centroid) cells but SEQUENTIAL across
+        dimensions, on RAW vectors, so every similarity performs
+        exactly the IEEE additions of the JVM left-fold / DuckDB
+        list_sum cosine — a normalize-then-matmul (BLAS pairwise
+        summation) can flip the rn=1 pick on 1e-15 near-ties and
+        desync the assignment from a replaying oracle."""
+        bc = sc.broadcast(cents)
 
         @pandas_udf("array<int>")
         def nearest(v: pd.Series) -> pd.Series:
             if len(v) == 0:
                 return pd.Series([], dtype="object")
-            cn = bc.value
+            cm = bc.value
             x = np.stack(v.values).astype("float64")
-            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-            sims = xn @ cn.T
+            n, dim = x.shape
+            d = np.zeros((n, cm.shape[0]))
+            nx = np.zeros(n)
+            nc = np.zeros(cm.shape[0])
+            for j in range(dim):
+                xj, cj = x[:, j], cm[:, j]
+                d = d + xj[:, None] * cj[None, :]
+                nx = nx + xj * xj
+                nc = nc + cj * cj
+            sims = d / (np.sqrt(nx)[:, None] * np.sqrt(nc)[None, :])
             # argsort is stable → deterministic tie-break by list id
             order = np.argsort(-sims, kind="stable", axis=1)[:, :topn]
             return pd.Series(list(order.astype("int32")))
@@ -428,7 +444,12 @@ def ivf_topk(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_arrow(F.col("_v"), F.col("_q")).alias("cos"),
+        # exact (dimension-sequential) fold: the UNROUNDED cos decides
+        # the rank cut below, so it must be bit-identical to the
+        # sequential oracle — einsum's pairwise summation flips top-k
+        # membership on near-ties (ADVICE r5 #2, the sim_knn_classify
+        # treatment applied here).
+        cosine_arrow_exact(F.col("_v"), F.col("_q")).alias("cos"),
     ).where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -693,7 +714,15 @@ def pq_topk(
         if len(v) == 0:
             return pd.Series([], dtype="object")
         x = np.stack(v.values).astype("float64")
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        # dimension-sequential norm (not np.linalg.norm: pairwise
+        # summation over 64 dims) so the normalized values are
+        # bit-identical to the oracle's sqrt(list_sum(v*v)) fold —
+        # every downstream PQ distance starts from these values
+        # (ADVICE r5 #2).
+        nrm = np.zeros(len(x))
+        for j in range(x.shape[1]):
+            nrm = nrm + x[:, j] * x[:, j]
+        x /= np.sqrt(nrm)[:, None]
         return pd.Series(list(x))
 
     from iceberg_rs_spark.operators.dedup import barrier
@@ -723,9 +752,15 @@ def pq_topk(
                 return pd.Series([], dtype="object")
             c = bc.value  # (m, ksub, dsub)
             x = np.stack(v.values).astype("float64").reshape(len(v), c.shape[0], -1)
-            # (B, m, ksub) squared distances; argmin is stable → lowest
-            # code wins ties deterministically
-            d = ((x[:, :, None, :] - c[None, :, :, :]) ** 2).sum(axis=3)
+            # (B, m, ksub) squared distances, accumulated SEQUENTIALLY
+            # across the dsub dims — np.sum's pairwise reduction only
+            # happens to match the oracle's list_sum fold for dsub < 8,
+            # so spell the fold out instead of relying on the geometry.
+            # argmin is stable → lowest code wins ties deterministically
+            d = np.zeros((x.shape[0], c.shape[0], c.shape[1]))
+            for w in range(c.shape[2]):
+                t = x[:, :, None, w] - c[None, :, :, w]
+                d = d + t * t
             codes = d.argmin(axis=2)
             return pd.Series(list(codes.astype("int32")))
 
@@ -765,7 +800,11 @@ def pq_topk(
     lut_rows = []
     for r in q_rows:
         q = np.asarray(r["_q"], dtype="float64").reshape(m, dsub)
-        part = ((q[:, None, :] - codebook) ** 2).sum(axis=2)  # (m, ksub)
+        # same sequential dsub fold as _encode_udf (oracle's _SUBDIST)
+        part = np.zeros((m, codebook.shape[1]))  # (m, ksub)
+        for w in range(dsub):
+            t = q[:, None, w] - codebook[:, :, w]
+            part = part + t * t
         lut_rows.append((r[query_id_col], [float(x) for x in part.reshape(-1)]))
     lut = spark.createDataFrame(
         lut_rows, f"{query_id_col} long, _lut array<double>"
