@@ -52,7 +52,7 @@ def row_number_global(
     df: DataFrame,
     order_by,
     out_col: str = "rn",
-    num_partitions: int = 32,
+    num_partitions: "int | None" = None,
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY ...)`` without the
     single-partition window: exclusive prefix sum of weight 1, plus
@@ -77,19 +77,27 @@ def rank_global(
     order_by,
     tie_cols: "list[str | Column]",
     out_col: str = "rank",
-    num_partitions: int = 32,
+    num_partitions: "int | None" = None,
 ) -> DataFrame:
     """``RANK() OVER (ORDER BY ...)``: row_number with an arbitrary
-    tiebreak, then the minimum row number within each tie group —
-    a window PARTITIONED by the order-value columns (``tie_cols``),
-    which parallelizes across distinct values instead of
-    single-partitioning the world. Ties share the smallest number and
-    the next distinct value jumps past them, exactly the SQL rule."""
+    tiebreak, then the minimum row number within each tie group. Ties
+    share the smallest number and the next distinct value jumps past
+    them, exactly the SQL rule.
+
+    Tie resolution is a grouped MIN + equi-join back on ``tie_cols``,
+    NOT ``Window.partitionBy(tie_cols)`` — a window partitioned by a
+    low-cardinality metric funnels every row of one value through one
+    task (the single-task shape this module exists to kill), while the
+    grouped min partial-aggregates map-side (reduce input is one row
+    per distinct value) and AQE turns the join back into a BROADCAST
+    join when the distinct set is small, leaving the fact side's
+    partitioning untouched (ADVICE r5 #4)."""
     rn = row_number_global(df, order_by, "_rn_tie", num_partitions)
-    w = Window.partitionBy(*tie_cols)
-    res = rn.withColumn(out_col, F.min("_rn_tie").over(w).cast("int")).drop(
-        "_rn_tie"
+    tie_names = [c if isinstance(c, str) else rn.select(c).columns[0] for c in tie_cols]
+    mins = rn.groupBy(*tie_names).agg(
+        F.min("_rn_tie").cast("int").alias(out_col)
     )
+    res = rn.join(mins, tie_names).drop("_rn_tie")
     res._icelake_packing_cache = getattr(rn, "_icelake_packing_cache", None)
     res._icelake_prefix_totals = getattr(rn, "_icelake_prefix_totals", {})
     return res
@@ -100,7 +108,7 @@ def ntile_global(
     n: int,
     order_by,
     out_col: str = "tile",
-    num_partitions: int = 32,
+    num_partitions: "int | None" = None,
 ) -> DataFrame:
     """``NTILE(n) OVER (ORDER BY ...)`` with the exact SQL fill rule:
     with N rows, the first ``N mod n`` tiles hold ``N div n + 1`` rows
@@ -131,7 +139,7 @@ def running_sum_global(
     order_by,
     weight_col,
     out_col="running_sum",
-    num_partitions: int = 32,
+    num_partitions: "int | None" = None,
     group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — the
@@ -177,7 +185,7 @@ def running_max_global(
     order_by,
     value_col: str,
     out_col: str = "running_max",
-    num_partitions: int = 32,
+    num_partitions: "int | None" = None,
     inclusive: bool = True,
 ) -> DataFrame:
     """``MAX(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING [AND -1])``
@@ -192,11 +200,12 @@ def running_max_global(
     the skyline/dominance shape."""
     from pyspark.storagelevel import StorageLevel
 
-    from iceberg_rs_spark.operators.packing import _PERSISTED
+    from iceberg_rs_spark.operators.packing import _PERSISTED, _resolve_partitions
 
     order_exprs = [
         F.col(c) if isinstance(c, str) else c for c in _order_list(order_by)
     ]
+    num_partitions = _resolve_partitions(df, num_partitions)
     ranged = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )

