@@ -45,24 +45,89 @@ CORPUS: dict[str, QuerySpec] = {}
 #: list pointing at (a) queries with no green driver row yet and (b)
 #: queries whose implementation changed since their last green row.
 PRIORITY: list[str] = [
-    # --- r5 driver window (first 50): the two one-of-a-kind execution
-    # modes, every query whose implementation changed this round, the
-    # two new ANN agreement scalars, then whole never-driver-checked
-    # families (events, agg, ts) to drain the certification backlog.
-    "stream_windowed_distinct_users",  # one-of-a-kind: streaming collect_set buffer
-    "udf_arrow_python_scalar",  # one-of-a-kind: Arrow-batched Python UDF path
-    "sim_knn_classify",  # REWRITTEN r5: LSH candidates, no cartesian
-    "pipeline_curriculum_stages",  # REWRITTEN r5: distributed ntile
-    "events_revenue_pareto_deciles",  # REWRITTEN r5: distributed ntile
-    "events_powerlaw_rank_fit",  # REWRITTEN r5: distributed row_number
-    "agg_smoothed_rate_ranking",  # REWRITTEN r5: distributed row_number x2
-    "events_concurrent_peak",  # REWRITTEN r5: distributed prefix sum
-    "table_incremental_rollup_maintenance",  # CHANGED r5: O(delta) incremental_scan
-    "sim_ann_agreement_ivf",  # NEW r5: hash-checked IVF quality scalar
-    "sim_ann_agreement_pq",  # NEW r5: hash-checked PQ recall@5 scalar
-    "table_merge_upsert_mor",  # CHANGED r5: partitioned delete-file writes
-    "stream_cdc_upsert_icelake",  # CHANGED r5: same delete-write path
-    "agg_weighted_percentiles",  # REWRITTEN r5: grouped two-pass prefix sum
+    # --- r6 driver window (first 50): the entire never-driver-certified
+    # backlog from CORRECTNESS_r01-r05 (VERDICT r5 ask #1), family-grouped
+    # fn->win->sim->text->pipeline->graph->join->table, led by the one new
+    # judge-requested query and the one changed-but-uncertified query.
+    "table_incremental_scan_compacted",  # NEW r6: VERDICT r5 ask #4 — slow-path incremental scan across a compaction
+    "text_vocab_growth_heaps",  # REWRITTEN r5 (multi-weight prefix sum), never certified — ADVICE r5 #1
+    "fn_variant_semistructured",
+    "fn_collation_ci_grouping",
+    "fn_try_error_safe",
+    "fn_url_parse_family",
+    "fn_encoding_family",
+    "fn_make_datetime_family",
+    "fn_string_inspection_family",
+    "fn_char_byte_family",
+    "win_gaps_islands_streaks",
+    "win_time_range_rolling",
+    "win_running_distinct_types",
+    "win_rolling_median_daily",
+    "win_max_drawdown_curve",
+    "win_decile_transition_matrix",
+    "sim_hybrid_rrf_fusion",
+    "sim_mmr_rerank",
+    "sim_ranking_metrics_ndcg",
+    "sim_threshold_sweep",
+    "sim_rank_correlation_kendall",
+    "sim_silhouette_by_label",
+    "sim_vector_stats_profile",
+    "text_code_detection",
+    "text_containment_pairs",
+    "text_rake_phrases",
+    "text_js_divergence_lang",
+    "text_term_burstiness",
+    "text_tfidf_doc_similarity",
+    "pipeline_doc_chunking",
+    "pipeline_span_corruption",
+    "pipeline_bpe_pair_merges",
+    "pipeline_conversation_assembly",
+    "pipeline_dataset_card_by_source",
+    "pipeline_importance_resampling",
+    "pipeline_lsh_scurve_planner",
+    "pipeline_padding_waste_report",
+    "pipeline_doc_feature_vector",
+    "pipeline_epoch_shuffle_batches",
+    "graph_label_propagation",
+    "graph_bfs_shortest_hops",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_peel",
+    "graph_reciprocity_profile",
+    "join_bucketed_colocate",
+    "join_dynamic_partition_pruning",
+    "join_null_safe_keys",
+    "join_asof_tolerance_left",
+    "join_interval_coalesce_union",
+    "table_branch_diff_audit",
+    # --- r7 queue: the 9 never-certified queries the 50-window cannot
+    # hold this round (VERDICT r5 ask #2) -- they lead round 7.
+    "table_vacuum_lifecycle_audit",
+    "table_snapshot_ancestry",
+    "table_partition_evolution_reads",
+    "sub_in_exists_family",
+    "sub_quantified_all_any",
+    "dedup_lsh_quality_eval",
+    "dedup_component_size_profile",
+    "ingest_orc_roundtrip",
+    "ts_cross_correlation_leadlag",
+    # --- changed-implementation re-certs: green r05 rows predate the r6
+    # exact-cosine change; re-verified vs the DuckDB oracle locally, queued
+    # here for the first driver window with free slots.
+    "sim_ann_agreement_ivf",  # CHANGED r6: exact-cosine rerank in ivf_topk (ADVICE r5 #2)
+    "sim_ann_agreement_pq",  # CHANGED r6: exact-cosine rerank in pq paths (ADVICE r5 #2)
+    # --- r5 window (all certified green in CORRECTNESS_r05) ---
+    "stream_windowed_distinct_users",
+    "udf_arrow_python_scalar",
+    "sim_knn_classify",
+    "pipeline_curriculum_stages",
+    "events_revenue_pareto_deciles",
+    "events_powerlaw_rank_fit",
+    "agg_smoothed_rate_ranking",
+    "events_concurrent_peak",
+    "table_incremental_rollup_maintenance",
+    "table_merge_upsert_mor",
+    "stream_cdc_upsert_icelake",
+    "agg_weighted_percentiles",
     "events_funnel_daily",
     "events_inactivity_churn",
     "events_ab_test_lift",
@@ -98,68 +163,7 @@ PRIORITY: list[str] = [
     "ts_autocorrelation_lags",
     "ts_cusum_changepoint",
     "ts_weekday_seasonal_index",
-    "win_skyline_pareto_frontier",  # REWRITTEN r5: distributed running max
-    # --- r6 window and beyond: the rest of the never-certified
-    # backlog, whole families front-loaded (win, graph, pipeline,
-    # fn, sim, text, table, join, dedup, sub, ingest).
-    "text_vocab_growth_heaps",  # REWRITTEN r5: multi-weight prefix sum — lead r6
-    "ts_cross_correlation_leadlag",
-    "win_gaps_islands_streaks",
-    "win_time_range_rolling",
-    "win_running_distinct_types",
-    "win_rolling_median_daily",
-    "win_max_drawdown_curve",
-    "win_decile_transition_matrix",
-    "graph_label_propagation",
-    "graph_bfs_shortest_hops",
-    "graph_jaccard_link_prediction",
-    "graph_kcore_peel",
-    "graph_reciprocity_profile",
-    "pipeline_doc_chunking",
-    "pipeline_span_corruption",
-    "pipeline_bpe_pair_merges",
-    "pipeline_conversation_assembly",
-    "pipeline_dataset_card_by_source",
-    "pipeline_importance_resampling",
-    "pipeline_lsh_scurve_planner",
-    "pipeline_padding_waste_report",
-    "pipeline_doc_feature_vector",
-    "pipeline_epoch_shuffle_batches",
-    "fn_variant_semistructured",
-    "fn_collation_ci_grouping",
-    "fn_try_error_safe",
-    "fn_url_parse_family",
-    "fn_encoding_family",
-    "fn_make_datetime_family",
-    "fn_string_inspection_family",
-    "fn_char_byte_family",
-    "sim_hybrid_rrf_fusion",
-    "sim_mmr_rerank",
-    "sim_ranking_metrics_ndcg",
-    "sim_threshold_sweep",
-    "sim_rank_correlation_kendall",
-    "sim_silhouette_by_label",
-    "sim_vector_stats_profile",
-    "text_code_detection",
-    "text_containment_pairs",
-    "text_rake_phrases",
-    "text_js_divergence_lang",
-    "text_term_burstiness",
-    "text_tfidf_doc_similarity",
-    "table_branch_diff_audit",
-    "table_vacuum_lifecycle_audit",
-    "table_snapshot_ancestry",
-    "table_partition_evolution_reads",
-    "join_bucketed_colocate",
-    "join_dynamic_partition_pruning",
-    "join_null_safe_keys",
-    "join_asof_tolerance_left",
-    "join_interval_coalesce_union",
-    "dedup_lsh_quality_eval",
-    "dedup_component_size_profile",
-    "sub_in_exists_family",
-    "sub_quantified_all_any",
-    "ingest_orc_roundtrip",
+    "win_skyline_pareto_frontier",
 ]
 
 

@@ -43,6 +43,29 @@ def sp_fed_windows(plan: str) -> int:
     return hits
 
 
+def audit_counts(executed_plan: str) -> "tuple[int, int, int]":
+    """(cartesians, broadcast-nested-loop joins, single-partition-fed
+    windows) for one executed-plan string. Shared by this sweep and by
+    bench.py, which audits every query's plan as a free by-product of
+    the timing run (VERDICT r5 #6) and records the result in
+    BENCH_FULL.json.
+
+    AQE note (VERDICT r5): callers read ``executedPlan().toString()``
+    AFTER ``collect()``, so for an ``AdaptiveSparkPlan`` the string
+    leads with ``== Final Plan ==`` — the plan that actually ran,
+    including any runtime re-optimizations — followed by
+    ``== Initial Plan ==``. The split keeps only the final plan and
+    drops the initial one (which would double-count nodes and could
+    report shapes AQE replaced, e.g. a sort-merge join that became a
+    broadcast join at runtime)."""
+    plan = executed_plan.split("== Initial Plan ==")[0]
+    return (
+        plan.count("CartesianProduct"),
+        plan.count("BroadcastNestedLoopJoin"),
+        sp_fed_windows(plan),
+    )
+
+
 def main() -> None:
     from iceberg_rs_spark.operators import packing
     from iceberg_rs_spark.plans import CORPUS
@@ -56,15 +79,9 @@ def main() -> None:
         try:
             df = spec.builder(spark, sf)
             df.collect()
-            plan = (
-                df._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-                .split("== Initial Plan ==")[0]
+            cart, bnlj, spw = audit_counts(
+                df._jdf.queryExecution().executedPlan().toString()
             )
-            cart = plan.count("CartesianProduct")
-            bnlj = plan.count("BroadcastNestedLoopJoin")
-            spw = sp_fed_windows(plan)
             cart_total += cart
             if cart or bnlj or spw:
                 flagged.append((name, cart, bnlj, spw))

@@ -1,4 +1,4 @@
-"""PRIORITY-rotation helper (maintenance tool for the next round).
+"""PRIORITY-rotation helper (run after EVERY CORRECTNESS recording).
 
 The driver certifies only the first 50 `queries()` entries per round,
 so `iceberg_rs_spark/plans/corpus.py:PRIORITY` must lead with queries
@@ -6,24 +6,32 @@ that (a) have no green driver CORRECTNESS row yet, or (b) changed
 implementation since their last green row. This script computes the
 remaining backlog after each round:
 
-    python scripts/rotate_priority.py
+    python scripts/rotate_priority.py            # report only
+    python scripts/rotate_priority.py --write    # rewrite corpus.PRIORITY
 
-It prints, in current PRIORITY order:
-- the names already certified (candidates to rotate OUT of the head);
+Report mode prints, in current PRIORITY order:
 - the never-certified backlog (what the next 50-window should lead
   with), grouped by family;
 - any certified name still sitting inside the first 50 (wasted window
   slots, unless deliberately kept for re-verification of a change).
 
-It does NOT edit corpus.py — the head also encodes judgment calls
-(changed implementations, one-of-a-kind execution modes), so apply the
-rotation by hand and keep `test_priority_queries_lead_registry` green.
+``--write`` regenerates the PRIORITY block mechanically: hash-
+certifiable backlog first (family-grouped, stable order), then
+certified names in their previous relative order, then the no-oracle
+rows-only queries last. Changed-implementation re-certs are a judgment
+call the script cannot make — pass them via ``--lead name1,name2`` to
+pin them at the very head. The r5 miss (recorded a round, forgot to
+rotate) is the failure mode --write exists to kill: the bench-record
+commit ritual is  record CORRECTNESS → rotate --write → commit
+(VERDICT r5 asks #1-#2).
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
+import re
 import sys
 from collections import Counter
 from pathlib import Path
@@ -32,12 +40,16 @@ REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+#: rotation order between families (VERDICT r5 #1); unknown families
+#: sort after, alphabetically.
+FAMILY_ORDER = [
+    "fn", "win", "sim", "text", "pipeline", "graph", "join",
+    "table", "sub", "dedup", "ingest", "ts",
+]
 
-def main() -> None:
-    import iceberg_rs_spark.plans  # noqa: F401 — populate the registry
-    from iceberg_rs_spark.plans import corpus
 
-    certified: set[str] = set()
+def certified_names() -> set[str]:
+    out: set[str] = set()
     for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         with open(path) as f:
             rows = json.load(f)
@@ -46,7 +58,67 @@ def main() -> None:
                 row.get("rows_match") and row.get("err") is None
             )
             if ok:
-                certified.add(name)
+                out.add(name)
+    return out
+
+
+def rotation(lead: list[str]) -> list[str]:
+    """The full PRIORITY list a mechanical rotation would produce."""
+    from iceberg_rs_spark.plans import corpus
+
+    certified = certified_names()
+    names = list(corpus.CORPUS)
+    fam_rank = {f: i for i, f in enumerate(FAMILY_ORDER)}
+
+    def fam_key(n: str):
+        f = n.split("_")[0]
+        return (fam_rank.get(f, len(FAMILY_ORDER)), f)
+
+    cur_order = {n: i for i, n in enumerate(corpus.PRIORITY)}
+    backlog = [
+        n for n in names
+        if n not in certified and corpus.CORPUS[n].oracle is not None
+    ]
+    backlog.sort(key=lambda n: (fam_key(n), cur_order.get(n, 10**6)))
+    rest = [n for n in names if n not in set(backlog) and n not in set(lead)]
+    rest.sort(
+        key=lambda n: (
+            corpus.CORPUS[n].oracle is None,  # rows-only queries last
+            cur_order.get(n, 10**6),
+        )
+    )
+    lead = [n for n in lead if n in corpus.CORPUS]
+    return lead + [n for n in backlog if n not in set(lead)] + rest
+
+
+def write_priority(names: list[str]) -> None:
+    path = f"{REPO}/iceberg_rs_spark/plans/corpus.py"
+    src = open(path).read()
+    start = src.index("PRIORITY: list[str] = [")
+    end = src.index("]\n", start) + 2
+    lines = ["PRIORITY: list[str] = ["]
+    lines.append("    # Mechanically rotated by scripts/rotate_priority.py --write:")
+    lines.append("    # never-driver-certified (hash-certifiable) queries lead, family-")
+    lines.append("    # grouped; certified names follow in prior order; rows-only last.")
+    for n in names:
+        lines.append(f'    "{n}",')
+    lines.append("]")
+    open(path, "w").write(src[:start] + "\n".join(lines) + "\n" + src[end:])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="rewrite corpus.PRIORITY with the mechanical rotation")
+    ap.add_argument("--lead", default="",
+                    help="comma-separated names to pin at the very head "
+                         "(changed implementations needing re-certification)")
+    args = ap.parse_args()
+
+    import iceberg_rs_spark.plans  # noqa: F401 — populate the registry
+    from iceberg_rs_spark.plans import corpus
+
+    certified = certified_names()
     names = list(corpus.CORPUS)
     backlog = [n for n in names if n not in certified]
     head50 = [n for n in corpus.PRIORITY if n in corpus.CORPUS][:50]
@@ -57,12 +129,22 @@ def main() -> None:
     print("\n-- never-certified backlog (current PRIORITY order) --")
     order = {n: i for i, n in enumerate(corpus.PRIORITY)}
     for n in sorted(backlog, key=lambda n: order.get(n, 10**6)):
-        print(f"  {n}")
+        tag = "" if corpus.CORPUS[n].oracle else "  [rows-only: no oracle]"
+        print(f"  {n}{tag}")
     if stale:
         print("\n-- certified names inside the 50-window (rotate out unless "
               "kept for re-verification of a change) --")
         for n in stale:
             print(f"  {n}")
+
+    if args.write:
+        lead = [s for s in args.lead.split(",") if s]
+        rotated = rotation(lead)
+        assert sorted(rotated) == sorted(names)
+        write_priority(rotated)
+        n_new = sum(1 for n in rotated[:50] if n not in certified)
+        print(f"\nwrote corpus.PRIORITY: {len(rotated)} names, "
+              f"{n_new} never-certified in the 50-window")
 
 
 if __name__ == "__main__":
