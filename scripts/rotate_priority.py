@@ -91,8 +91,8 @@ def rotation(lead: list[str]) -> list[str]:
     return lead + [n for n in backlog if n not in set(lead)] + rest
 
 
-def write_priority(names: list[str]) -> None:
-    path = f"{REPO}/iceberg_rs_spark/plans/corpus.py"
+def write_priority(names: list[str], path: "str | None" = None) -> None:
+    path = path or f"{REPO}/iceberg_rs_spark/plans/corpus.py"
     src = open(path).read()
     start = src.index("PRIORITY: list[str] = [")
     end = src.index("]\n", start) + 2

@@ -1,0 +1,121 @@
+"""scripts/rotate_priority.py — the rotation that keeps the driver's
+50-query CORRECTNESS window pointed at never-certified queries.
+
+``--write`` REWRITES ``iceberg_rs_spark/plans/corpus.py`` in place; a
+buggy splice would corrupt the corpus for every subsequent round, so
+the round-trip is pinned here against a temp copy (no Spark needed).
+"""
+
+from __future__ import annotations
+
+import ast
+import shutil
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from scripts.rotate_priority import (  # noqa: E402
+    certified_names,
+    rotation,
+    write_priority,
+)
+
+
+def _priority_literal(source: str) -> list[str]:
+    """The PRIORITY list literal of a corpus.py source string
+    (AnnAssign: ``PRIORITY: list[str] = [...]``)."""
+    for node in ast.walk(ast.parse(source)):
+        if (
+            isinstance(node, ast.AnnAssign)
+            and getattr(node.target, "id", "") == "PRIORITY"
+        ):
+            return [ast.literal_eval(e) for e in node.value.elts]
+    raise AssertionError("PRIORITY assignment missing")
+
+
+def _load_corpus_module():
+    import iceberg_rs_spark.plans  # noqa: F401 — populate the registry
+    from iceberg_rs_spark.plans import corpus
+
+    return corpus
+
+
+class TestRotation:
+    def test_rotation_is_a_permutation_of_the_corpus(self):
+        corpus = _load_corpus_module()
+        rot = rotation([])
+        assert sorted(rot) == sorted(corpus.CORPUS)
+
+    def test_backlog_leads_and_rows_only_trail(self):
+        corpus = _load_corpus_module()
+        cert = certified_names()
+        rot = rotation([])
+        n_backlog = sum(
+            1
+            for n in corpus.CORPUS
+            if n not in cert and corpus.CORPUS[n].oracle is not None
+        )
+        head = rot[:n_backlog]
+        assert all(
+            n not in cert and corpus.CORPUS[n].oracle is not None
+            for n in head
+        )
+        n_no_oracle = sum(
+            1 for n in corpus.CORPUS if corpus.CORPUS[n].oracle is None
+        )
+        tail = rot[-n_no_oracle:]
+        # every certified no-oracle query sorts to the very end
+        assert all(
+            corpus.CORPUS[n].oracle is None for n in tail if n in cert
+        )
+
+    def test_lead_pins_the_head(self):
+        corpus = _load_corpus_module()
+        some = list(corpus.CORPUS)[:3]
+        rot = rotation(some)
+        assert rot[:3] == some
+        assert sorted(rot) == sorted(corpus.CORPUS)
+
+    def test_unknown_lead_names_are_dropped(self):
+        corpus = _load_corpus_module()
+        rot = rotation(["not_a_query_xyz"])
+        assert "not_a_query_xyz" not in rot
+        assert sorted(rot) == sorted(corpus.CORPUS)
+
+
+class TestWriteRoundTrip:
+    def test_write_splices_only_the_priority_block(self, tmp_path):
+        corpus = _load_corpus_module()
+        src_path = REPO / "iceberg_rs_spark" / "plans" / "corpus.py"
+        copy = tmp_path / "corpus_copy.py"
+        shutil.copy(src_path, copy)
+
+        rot = rotation([])
+        write_priority(rot, path=str(copy))
+
+        before = src_path.read_text()
+        after = copy.read_text()
+        # everything before the PRIORITY block and after its closing
+        # bracket is byte-identical — the splice touches nothing else
+        b_start = before.index("PRIORITY: list[str] = [")
+        a_start = after.index("PRIORITY: list[str] = [")
+        assert before[:b_start] == after[:a_start]
+        b_end = before.index("]\n", b_start) + 2
+        a_end = after.index("]\n", a_start) + 2
+        assert before[b_end:] == after[a_end:]
+
+        # the rewritten file still parses and exposes the exact rotation
+        assert _priority_literal(after) == rot
+
+    def test_write_is_idempotent(self, tmp_path):
+        corpus = _load_corpus_module()
+        src_path = REPO / "iceberg_rs_spark" / "plans" / "corpus.py"
+        copy = tmp_path / "corpus_copy.py"
+        shutil.copy(src_path, copy)
+        rot = rotation([])
+        write_priority(rot, path=str(copy))
+        once = copy.read_text()
+        write_priority(rot, path=str(copy))
+        assert copy.read_text() == once
