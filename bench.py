@@ -34,6 +34,14 @@ if REPO not in sys.path:
 from iceberg_rs_spark.plans import CORPUS  # noqa: E402
 from iceberg_rs_spark.session import get_spark  # noqa: E402
 
+#: The hard per-query perf contract vs BENCH_BASELINE.json: flag when
+#: over PIN_RATIO_LIMIT× the pin AND more than PIN_ABS_SLACK seconds
+#: absolute (sub-second jitter filter). Shared by the flagging gate
+#: and the outlier re-time pass — a one-sided edit would either stop
+#: re-sampling the band the gate flags or flag a band never re-timed.
+PIN_RATIO_LIMIT = 2.0
+PIN_ABS_SLACK = 0.3
+
 #: stdout subset — one-plus query per family, expensive queries first.
 HEADLINE = [
     "q1_pricing_summary",
@@ -208,12 +216,19 @@ def main() -> None:
     # and keep the min of the two samples; both samples are recorded
     # under `retimed` so the smoothing is auditable, and a genuine
     # regression (slow on BOTH executions) still flags.
+    #
+    # The retry is accepted only when it is a plausible full
+    # re-execution (>= 25% of the first sample): queries backed by a
+    # process-level fixture cache re-run nearly for free, and taking a
+    # warm retry would smooth away a genuine cold-path regression and
+    # record a time no cold run can reproduce. Observed GC one-offs
+    # retry at 35-60% of the first sample, well above the bar.
     retimed: dict[str, dict] = {}
     for name in sorted(timings):
         t = timings[name]
         if name not in pinned or t < 0:
             continue
-        if t <= 2.0 * pinned[name] or t - pinned[name] <= 0.3:
+        if t <= PIN_RATIO_LIMIT * pinned[name] or t - pinned[name] <= PIN_ABS_SLACK:
             continue
         t0 = time.perf_counter()
         try:
@@ -224,8 +239,16 @@ def main() -> None:
             continue
         finally:
             packing.release_caches()
-        retimed[name] = {"first": t, "retry": t2}
-        timings[name] = min(t, t2)
+        accepted = t2 >= 0.25 * t
+        retimed[name] = {"first": t, "retry": t2, "accepted": accepted}
+        if accepted:
+            timings[name] = min(t, t2)
+        else:
+            print(
+                f"BENCH RETIME-WARM {name}: retry {t2}s < 25% of first "
+                f"{t}s (fixture-cache warm) — keeping the first sample",
+                file=sys.stderr,
+            )
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # Regression early-warning: any query >1.5× its last recorded time
@@ -253,7 +276,7 @@ def main() -> None:
     flagged_pinned = {
         name: {"pinned": pinned[name], "now": timings[name], "ratio": r}
         for name, r in ratios_vs_pinned.items()
-        if r > 2.0 and timings[name] - pinned[name] > 0.3
+        if r > PIN_RATIO_LIMIT and timings[name] - pinned[name] > PIN_ABS_SLACK
     }
     for name, info in sorted(flagged_pinned.items(), key=lambda kv: -kv[1]["ratio"]):
         print(

@@ -91,13 +91,44 @@ def rank_global(
     grouped min partial-aggregates map-side (reduce input is one row
     per distinct value) and AQE turns the join back into a BROADCAST
     join when the distinct set is small, leaving the fact side's
-    partitioning untouched (ADVICE r5 #4)."""
-    rn = row_number_global(df, order_by, "_rn_tie", num_partitions)
-    tie_names = [c if isinstance(c, str) else rn.select(c).columns[0] for c in tie_cols]
+    partitioning untouched (ADVICE r5 #4).
+
+    The join back is NULL-SAFE (``<=>``): SQL RANK() treats NULL order
+    values as one tie group, and a plain equi-join would silently drop
+    every NULL-keyed row. Column expressions in ``tie_cols`` are
+    materialized as temp columns first so they are resolvable as
+    group/join keys."""
+    # Materialize Column-typed tie expressions so groupBy/join can
+    # resolve them by name; plain strings pass through untouched.
+    exprs = {
+        f"_tie{i}": c
+        for i, c in enumerate(tie_cols)
+        if not isinstance(c, str)
+    }
+    work = df
+    for name, c in exprs.items():
+        work = work.withColumn(name, c)
+    tie_names = [
+        c if isinstance(c, str) else f"_tie{i}"
+        for i, c in enumerate(tie_cols)
+    ]
+    rn = row_number_global(work, order_by, "_rn_tie", num_partitions)
     mins = rn.groupBy(*tie_names).agg(
-        F.min("_rn_tie").cast("int").alias(out_col)
+        F.min("_rn_tie").cast("int").alias("_rank_min")
     )
-    res = rn.join(mins, tie_names).drop("_rn_tie")
+    cond = None
+    for t in tie_names:
+        clause = F.col(f"_l.{t}").eqNullSafe(F.col(f"_r.{t}"))
+        cond = clause if cond is None else cond & clause
+    keep = [c for c in rn.columns if c != "_rn_tie" and c not in exprs]
+    res = (
+        rn.alias("_l")
+        .join(mins.alias("_r"), cond)
+        .select(
+            *[F.col(f"_l.{c}") for c in keep],
+            F.col("_r._rank_min").alias(out_col),
+        )
+    )
     res._icelake_packing_cache = getattr(rn, "_icelake_packing_cache", None)
     res._icelake_prefix_totals = getattr(rn, "_icelake_prefix_totals", {})
     return res

@@ -2008,9 +2008,23 @@ class Table:
             for snap in reversed(chain):
                 if snap.operation == "replace":
                     continue
+                own = self._read_manifest(snap)
+                if any(not e.sequence_number for e in own):
+                    # Same silent-data-loss class as the fast path: an
+                    # unstamped entry (foreign manifests deserialize
+                    # sequence_number to 0) can never equal the
+                    # commit's sequence number (>= 1), so the filter
+                    # below would drop it from the delta without a
+                    # trace. Fail loudly instead.
+                    raise ValueError(
+                        "incremental scan: manifest entries of snapshot "
+                        f"{snap.snapshot_id} missing per-file sequence "
+                        "numbers; cannot attribute files to commits in "
+                        "the range — delta would be incomplete"
+                    )
                 added.extend(
                     e
-                    for e in self._read_manifest(snap)
+                    for e in own
                     if e.sequence_number == snap.sequence_number
                 )
         return self._read_entries_as(md, added, md.current_schema())

@@ -29,9 +29,9 @@ commit ritual is  record CORRECTNESS → rotate --write → commit
 from __future__ import annotations
 
 import argparse
+import ast
 import glob
 import json
-import re
 import sys
 from collections import Counter
 from pathlib import Path
@@ -94,8 +94,18 @@ def rotation(lead: list[str]) -> list[str]:
 def write_priority(names: list[str], path: "str | None" = None) -> None:
     path = path or f"{REPO}/iceberg_rs_spark/plans/corpus.py"
     src = open(path).read()
-    start = src.index("PRIORITY: list[str] = [")
-    end = src.index("]\n", start) + 2
+    # Locate the PRIORITY literal by AST, not by string search: hand
+    # edits between rotations are expected, and a comment ending in
+    # "]" would derail a first-"]\n" scan and splice mid-block.
+    node = next(
+        n
+        for n in ast.walk(ast.parse(src))
+        if isinstance(n, ast.AnnAssign)
+        and getattr(n.target, "id", "") == "PRIORITY"
+    )
+    lines_src = src.splitlines(keepends=True)
+    start = sum(len(l) for l in lines_src[: node.lineno - 1])
+    end = sum(len(l) for l in lines_src[: node.end_lineno])
     lines = ["PRIORITY: list[str] = ["]
     lines.append("    # Mechanically rotated by scripts/rotate_priority.py --write:")
     lines.append("    # never-driver-certified (hash-certifiable) queries lead, family-")
@@ -138,7 +148,12 @@ def main() -> None:
             print(f"  {n}")
 
     if args.write:
-        lead = [s for s in args.lead.split(",") if s]
+        lead = [s.strip() for s in args.lead.split(",") if s.strip()]
+        unknown = [n for n in lead if n not in corpus.CORPUS]
+        if unknown:
+            # A silently-dropped --lead name recreates the r5 miss
+            # class (a changed implementation shipping uncertified).
+            sys.exit(f"--lead names not in the corpus: {unknown}")
         rotated = rotation(lead)
         assert sorted(rotated) == sorted(names)
         write_priority(rotated)

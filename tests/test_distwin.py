@@ -307,3 +307,38 @@ class TestRankNoValueFunnel:
         # the tie min must come from HashAggregate (partial+final), not
         # a Window over partitionBy(f)
         assert "windowspecdefinition(f" not in plan.lower()
+
+    def test_null_tie_values_rank_as_one_group(self, spark, base):
+        """SQL RANK() puts NULL order values in one tie group; the
+        null-safe join back must KEEP those rows (a plain equi-join
+        silently drops every NULL-keyed row)."""
+        flag = base.withColumn(
+            "f",
+            F.when(F.col("k") % 4 == 0, F.lit(None)).otherwise(
+                F.col("k") % 3
+            ).cast("int"),
+        )
+        got = rank_global(flag, [F.col("f"), F.col("id")], ["f"], "r")
+        exp = flag.select(
+            "id", F.rank().over(Window.orderBy("f")).alias("r")
+        )
+        assert got.count() == flag.count()
+        assert _same(got.select("id", "r"), exp)
+        packing.release_caches()
+
+    def test_column_expression_tie_cols(self, base):
+        """tie_cols accepts Column expressions (the declared
+        ``list[str | Column]`` signature): expressions are materialized
+        as resolvable temp keys and dropped from the output."""
+        got = rank_global(
+            base,
+            [(F.col("k") % 3).asc(), F.col("id")],
+            [F.col("k") % 3],
+            "r",
+        )
+        exp = base.select(
+            "id", F.rank().over(Window.orderBy(F.col("k") % 3)).alias("r")
+        )
+        assert _same(got.select("id", "r"), exp)
+        assert all(not c.startswith("_tie") for c in got.columns)
+        packing.release_caches()

@@ -626,6 +626,36 @@ class TestCorrectnessFixes:
         # attribution to do — still served.
         assert t.incremental_scan().count() == 20
 
+    def test_incremental_scan_slow_path_rejects_unstamped_entries(
+        self, catalog, events_df, monkeypatch
+    ):
+        """The per-snapshot (compaction-inside-the-range) path filters
+        entries by e.sequence_number == snap.sequence_number; an
+        unstamped entry (0/None) never matches and would silently
+        vanish from the delta, so it must raise like the fast path."""
+        import dataclasses
+
+        t = catalog.create_table("db.incr5", events_df.schema)
+        t.append(events_df.limit(10))
+        snap1 = t.metadata.current_snapshot_id
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        t.compact()  # replace inside the range forces the slow path
+        t.append(events_df.limit(25).subtract(events_df.limit(20)))
+        cls = type(t)
+        orig = cls._read_manifest
+
+        def unstamped(self, snap):
+            return [
+                dataclasses.replace(e, sequence_number=None)
+                for e in orig(self, snap)
+            ]
+
+        # sanity: the stamped slow path serves the exact delta
+        assert t.incremental_scan(start_snapshot_id=snap1).count() == 15
+        monkeypatch.setattr(cls, "_read_manifest", unstamped)
+        with pytest.raises(ValueError, match="sequence numbers"):
+            t.incremental_scan(start_snapshot_id=snap1)
+
     def test_delete_preserves_concurrent_append(self, catalog, spark, events_df, monkeypatch):
         """A concurrent append that wins the version race must survive a
         retried DELETE commit (snapshot isolation, no silent data loss)."""

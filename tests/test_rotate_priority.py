@@ -109,6 +109,25 @@ class TestWriteRoundTrip:
         # the rewritten file still parses and exposes the exact rotation
         assert _priority_literal(after) == rot
 
+    def test_write_survives_bracket_in_hand_comment(self, tmp_path):
+        """Hand edits between rotations are expected; a comment line
+        inside the block ending in ']' must not derail the splice
+        (the AST locator finds the real closing bracket)."""
+        corpus = _load_corpus_module()
+        src_path = REPO / "iceberg_rs_spark" / "plans" / "corpus.py"
+        text = src_path.read_text()
+        marker = "PRIORITY: list[str] = ["
+        i = text.index(marker) + len(marker)
+        tricky = text[:i] + "\n    # see CORRECTNESS_r05[3]" + text[i:]
+        copy = tmp_path / "corpus_tricky.py"
+        copy.write_text(tricky)
+
+        rot = rotation([])
+        write_priority(rot, path=str(copy))
+        after = copy.read_text()
+        ast.parse(after)  # still valid python — no mid-block splice
+        assert _priority_literal(after) == rot
+
     def test_write_is_idempotent(self, tmp_path):
         corpus = _load_corpus_module()
         src_path = REPO / "iceberg_rs_spark" / "plans" / "corpus.py"
