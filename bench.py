@@ -42,6 +42,28 @@ from iceberg_rs_spark.session import get_spark  # noqa: E402
 PIN_RATIO_LIMIT = 2.0
 PIN_ABS_SLACK = 0.3
 
+#: A re-time retry below this fraction of the first sample is a warm
+#: fixture-cache artifact, not a re-execution — reject it.
+RETIME_WARM_FRACTION = 0.25
+
+
+def breaches_pin(t: float, pin: float) -> bool:
+    """Does a timing breach the hard per-query contract vs its pin?
+    Shared by the flagging gate and the outlier re-time trigger so the
+    two bands cannot drift apart."""
+    return t > PIN_RATIO_LIMIT * pin and t - pin > PIN_ABS_SLACK
+
+
+def retime_decision(first: float, retry: float) -> "tuple[bool, float]":
+    """(accepted, recorded_time) for an outlier re-time: accept the
+    retry only when it is a plausible full re-execution (>=
+    RETIME_WARM_FRACTION of the first sample — fixture-cached queries
+    re-run nearly for free, and a warm retry would smooth away a
+    genuine cold-path regression); when accepted, record the min of
+    the two samples."""
+    accepted = retry >= RETIME_WARM_FRACTION * first
+    return accepted, (min(first, retry) if accepted else first)
+
 #: stdout subset — one-plus query per family, expensive queries first.
 HEADLINE = [
     "q1_pricing_summary",
@@ -228,8 +250,21 @@ def main() -> None:
         t = timings[name]
         if name not in pinned or t < 0:
             continue
-        if t <= PIN_RATIO_LIMIT * pinned[name] or t - pinned[name] <= PIN_ABS_SLACK:
+        if not breaches_pin(t, pinned[name]):
             continue
+        # Clear the two process-level table-fixture caches so the
+        # retry rebuilds its table like the first sample did — a warm
+        # fixture would make the retry incomparably fast (the
+        # RETIME_WARM_FRACTION guard below stays as the backstop for
+        # any cache this list misses).
+        try:
+            from iceberg_rs_spark.plans import round6 as _r6
+            from iceberg_rs_spark.plans import tables as _tbl
+
+            _tbl._TABLES.clear()
+            _r6._TABLES.clear()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         try:
             CORPUS[name].builder(spark, sf_dir).collect()
@@ -239,14 +274,14 @@ def main() -> None:
             continue
         finally:
             packing.release_caches()
-        accepted = t2 >= 0.25 * t
+        accepted, recorded = retime_decision(t, t2)
         retimed[name] = {"first": t, "retry": t2, "accepted": accepted}
-        if accepted:
-            timings[name] = min(t, t2)
-        else:
+        timings[name] = recorded
+        if not accepted:
             print(
-                f"BENCH RETIME-WARM {name}: retry {t2}s < 25% of first "
-                f"{t}s (fixture-cache warm) — keeping the first sample",
+                f"BENCH RETIME-WARM {name}: retry {t2}s < "
+                f"{RETIME_WARM_FRACTION:.0%} of first {t}s (fixture-cache "
+                "warm) — keeping the first sample",
                 file=sys.stderr,
             )
 
@@ -276,7 +311,7 @@ def main() -> None:
     flagged_pinned = {
         name: {"pinned": pinned[name], "now": timings[name], "ratio": r}
         for name, r in ratios_vs_pinned.items()
-        if r > PIN_RATIO_LIMIT and timings[name] - pinned[name] > PIN_ABS_SLACK
+        if breaches_pin(timings[name], pinned[name])
     }
     for name, info in sorted(flagged_pinned.items(), key=lambda kv: -kv[1]["ratio"]):
         print(

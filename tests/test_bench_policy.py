@@ -1,0 +1,64 @@
+"""bench.py timing policy — the pinned-gate band and the outlier
+re-time rule are the honesty contract of every recorded
+BENCH_FULL.json, so the decision functions are pinned here (pure
+logic, no Spark).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+class TestBreachesPin:
+    def test_requires_both_ratio_and_absolute_slack(self):
+        # 3x but only 0.2s over: sub-second jitter, not a breach
+        assert not bench.breaches_pin(0.3, 0.1)
+        # big absolute delta but under the ratio limit
+        assert not bench.breaches_pin(5.9, 3.0)
+        # both conditions met
+        assert bench.breaches_pin(1.2, 0.4)
+
+    def test_boundary_is_exclusive(self):
+        # exactly 2x / exactly 0.3s over -> not a breach
+        assert not bench.breaches_pin(1.0, 0.5)
+        assert not bench.breaches_pin(0.5, 0.2)
+
+    def test_flag_band_equals_retime_band(self):
+        """The retime trigger and the flag gate share breaches_pin, so
+        any flagged timing would have been re-timed first — a flag in
+        BENCH_FULL.json always means slow on BOTH executions."""
+        cases = [(2.61, 0.50), (1.18, 0.51), (0.45, 0.36), (10.0, 1.0)]
+        for t, pin in cases:
+            assert bench.breaches_pin(t, pin) == (
+                t > bench.PIN_RATIO_LIMIT * pin
+                and t - pin > bench.PIN_ABS_SLACK
+            )
+
+
+class TestRetimeDecision:
+    def test_gc_oneoff_retry_accepted_and_min_recorded(self):
+        # observed shape: 2.6s GC one-off, 0.9s steady retry (35%)
+        accepted, recorded = bench.retime_decision(2.6, 0.9)
+        assert accepted and recorded == 0.9
+
+    def test_warm_fixture_retry_rejected_keeps_first(self):
+        # fixture-cache warm retry (milliseconds) must NOT smooth a
+        # cold-path regression away
+        accepted, recorded = bench.retime_decision(3.0, 0.05)
+        assert not accepted and recorded == 3.0
+
+    def test_slower_retry_keeps_first(self):
+        accepted, recorded = bench.retime_decision(1.0, 1.4)
+        assert accepted and recorded == 1.0
+
+    def test_warm_bar_boundary(self):
+        frac = bench.RETIME_WARM_FRACTION
+        accepted, _ = bench.retime_decision(1.0, frac)
+        assert accepted  # exactly at the bar counts as a re-execution
+        accepted, recorded = bench.retime_decision(1.0, frac - 1e-9)
+        assert not accepted and recorded == 1.0
