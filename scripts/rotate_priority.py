@@ -48,17 +48,32 @@ FAMILY_ORDER = [
 ]
 
 
-def certified_names() -> set[str]:
+def certified_names(paths: "list[str] | None" = None) -> set[str]:
+    """Names with a PASSING driver CORRECTNESS row in any round.
+
+    A hash-checked query (has an oracle in the current registry)
+    counts only on ``hash_match``; a rows-only query (no oracle, by
+    the declared determinism rules) counts on ``rows_match``. A row
+    with ``rows_match`` but ``hash_match: false`` is a hash FAILURE
+    (r01 recorded three) and must stay in the backlog — the old
+    either/or rule would have silently certified it."""
+    import iceberg_rs_spark.plans  # noqa: F401 — populate the registry
+    from iceberg_rs_spark.plans import corpus
+
+    if paths is None:
+        paths = sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json"))
     out: set[str] = set()
-    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+    for path in paths:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            ok = row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
-            )
-            if ok:
-                out.add(name)
+            if row.get("err") is not None or not row.get("rows_match"):
+                continue
+            spec = corpus.CORPUS.get(name)
+            needs_hash = spec is not None and spec.oracle is not None
+            if needs_hash and not row.get("hash_match"):
+                continue
+            out.add(name)
     return out
 
 

@@ -85,6 +85,69 @@ class TestRotation:
         assert sorted(rot) == sorted(corpus.CORPUS)
 
 
+class TestCertifiedNames:
+    def test_hash_failure_is_not_certified(self, tmp_path):
+        """rows_match=true + hash_match=false is a hash FAILURE for an
+        oracle-backed query (CORRECTNESS_r01 recorded three) — it must
+        stay in the backlog, not count as certified."""
+        corpus = _load_corpus_module()
+        oracle_q = next(
+            n for n in corpus.CORPUS if corpus.CORPUS[n].oracle is not None
+        )
+        rows_only_q = next(
+            n for n in corpus.CORPUS if corpus.CORPUS[n].oracle is None
+        )
+        rec = tmp_path / "CORRECTNESS_rXX.json"
+        rec.write_text(
+            __import__("json").dumps(
+                {
+                    oracle_q: {
+                        "rows_match": True,
+                        "hash_match": False,
+                        "err": None,
+                    },
+                    rows_only_q: {
+                        "rows_match": True,
+                        "hash_match": False,
+                        "err": None,
+                    },
+                }
+            )
+        )
+        got = certified_names(paths=[str(rec)])
+        assert oracle_q not in got  # hash failure stays in the backlog
+        assert rows_only_q in got  # rows-only passes on rows_match
+
+    def test_errored_row_never_certifies(self, tmp_path):
+        corpus = _load_corpus_module()
+        q = next(iter(corpus.CORPUS))
+        rec = tmp_path / "CORRECTNESS_rYY.json"
+        rec.write_text(
+            __import__("json").dumps(
+                {q: {"rows_match": True, "hash_match": True, "err": "boom"}}
+            )
+        )
+        assert q not in certified_names(paths=[str(rec)])
+
+    def test_every_certified_oracle_query_has_a_hash_green_row(self):
+        """Invariant over the REAL recordings: any certified name that
+        carries an oracle must own at least one hash_match=true driver
+        row — rows_match alone (the r01 hash-failure shape) is never
+        enough."""
+        import glob
+        import json
+
+        corpus = _load_corpus_module()
+        hash_green = set()
+        for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+            for n, row in json.load(open(p)).items():
+                if row.get("hash_match") and row.get("err") is None:
+                    hash_green.add(n)
+        for n in certified_names():
+            if n in corpus.CORPUS and corpus.CORPUS[n].oracle is not None:
+                assert n in hash_green, n
+
+
 class TestWriteRoundTrip:
     def test_write_splices_only_the_priority_block(self, tmp_path):
         corpus = _load_corpus_module()
