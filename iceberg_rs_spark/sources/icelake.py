@@ -233,11 +233,23 @@ class Catalog:
             if col not in by_name:
                 raise ValueError(f"partition source column not in schema: {col}")
             suffix = {"identity": ""}.get(transform.kind, f"_{transform.kind}")
+            pf_name = f"{col}{suffix}"
+            if pf_name in by_name and pf_name != col:
+                # _write_data_files materializes the transform under
+                # this name via withColumn — a collision with a real
+                # data column would silently overwrite the user's data
+                # with transform values. Real Iceberg rejects
+                # conflicting partition names; so do we.
+                raise ValueError(
+                    f"partition field name {pf_name!r} (from {col!r} "
+                    f"{transform.kind}) collides with a schema column; "
+                    "rename the column or choose a different transform"
+                )
             pfields.append(
                 PartitionField(
                     source_id=by_name[col].id,
                     field_id=next_pfield,
-                    name=f"{col}{suffix}",
+                    name=pf_name,
                     transform=transform,
                 )
             )
@@ -626,7 +638,16 @@ class Table:
             last_sequence_number=snap.sequence_number,
             current_snapshot_id=snap_id if branch == MAIN_BRANCH else md.current_snapshot_id,
             snapshots=md.snapshots + (snap,),
-            snapshot_log=md.snapshot_log + (SnapshotLogEntry(snap_id, snap.timestamp_ms),),
+            # The snapshot log is the TIMESTAMP AS OF index — "when did
+            # MAIN change". Side-branch commits leave main untouched;
+            # logging them would resolve time travel to snapshots that
+            # were never current (Iceberg's snapshot-log has the same
+            # main-only rule).
+            snapshot_log=(
+                md.snapshot_log + (SnapshotLogEntry(snap_id, snap.timestamp_ms),)
+                if branch == MAIN_BRANCH
+                else md.snapshot_log
+            ),
             refs=refs,
         )
 
@@ -680,11 +701,22 @@ class Table:
         touched = {tuple(sorted(e.partition.items())) for e in new_entries}
 
         def updater(cur: TableMetadata) -> TableMetadata:
+            cur_entries = self._current_entries(cur, branch)
             kept = [
                 e
-                for e in self._current_entries(cur, branch)
+                for e in cur_entries
                 if tuple(sorted(e.partition.items())) not in touched
             ]
+            # Unscoped position-delete files (empty partition) survive
+            # the partition filter but may reference data files in the
+            # replaced partitions — prune those dangling positions.
+            removed = {
+                e.path
+                for e in cur_entries
+                if e.content == "data"
+                and tuple(sorted(e.partition.items())) in touched
+            }
+            kept = self._prune_dangling_position_deletes(kept, removed)
             return self._new_snapshot(cur, "overwrite", kept + new_entries, branch)
 
         self._commit(updater)
@@ -786,6 +818,9 @@ class Table:
                     "merge-on-read delete; re-run against fresh metadata"
                 )
             untouched = [e for e in cur_entries if e.path not in candidate_paths]
+            untouched = self._prune_dangling_position_deletes(
+                untouched, candidate_paths
+            )
             summary = {"deleted-records": str(deleted)}
             if dropped_meta_only:
                 summary["deleted-files-metadata-only"] = str(dropped_meta_only)
@@ -795,6 +830,55 @@ class Table:
 
         self._commit(updater)
         return deleted
+
+    def _prune_dangling_position_deletes(
+        self, entries: "list[DataFileEntry]", removed_paths: "set[str]"
+    ) -> "list[DataFileEntry]":
+        """Drop or rewrite position-delete entries whose rows reference
+        data files a copy-on-write rewrite just removed. The rewrite
+        applied those deletes before writing its replacements, so the
+        surviving positions are dangling: reads ignore them (the path
+        join finds no file), but compact() / rewrite_position_deletes()
+        count their record_count against files that no longer carry
+        those rows and fail their record-count invariants. A delete
+        file referencing BOTH removed and kept data files is rewritten
+        to keep only the live positions."""
+        if not removed_paths:
+            return entries
+        out: list[DataFileEntry] = []
+        for e in entries:
+            if e.content != "position-deletes":
+                out.append(e)
+                continue
+            tbl = pq.read_table(e.path, columns=["file_path", "pos"])
+            fps = tbl.column("file_path").to_pylist()
+            # Delete rows store scan-time _metadata.file_path URIs
+            # (file:///x); entry paths are plain — normalize to compare.
+            keep = [
+                i
+                for i, fp in enumerate(fps)
+                if _strip_file_scheme(fp) not in removed_paths
+            ]
+            if len(keep) == len(fps):
+                out.append(e)
+                continue
+            if not keep:
+                continue  # every referenced data file was rewritten
+            kept = tbl.take(keep)
+            path = os.path.join(
+                self.location, "deletes", f"pruned_{uuid.uuid4().hex[:16]}.parquet"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(kept, path)
+            out.append(
+                dataclasses.replace(
+                    e,
+                    path=path,
+                    record_count=len(keep),
+                    file_size_bytes=os.path.getsize(path),
+                )
+            )
+        return out
 
     def _delete_merge_on_read(self, where: str, branch: str = MAIN_BRANCH) -> int:
         """Write position-delete files for rows matching ``where``."""
@@ -905,12 +989,20 @@ class Table:
         src = self._align(source, md.current_schema())
         cols = [f.name for f in md.current_schema().fields]
         t = target.alias("t")
-        s = src.alias("s")
+        # Presence marker, not coalesce: "matched rows take the
+        # source's values" must hold even when the source sets a
+        # non-key column to NULL — coalesce(s.c, t.c) would silently
+        # keep the old value there, diverging from merge-on-read's
+        # whole-row equality-delete replacement.
+        s = src.withColumn("_s_present", F.lit(True)).alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
         joined = t.join(s, cond, "full_outer")
+        matched = F.col("s._s_present").isNotNull()
         merged = joined.select(
             *[
-                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                F.when(matched, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
                 if c not in on
                 else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
                 for c in cols
@@ -1287,14 +1379,21 @@ class Table:
         """
         md = self.metadata
         snap = self._resolve_snapshot(md, snapshot_id, as_of_timestamp_ms, branch or tag)
+        # Branch reads are NOT time travel for schema purposes: a
+        # branch is a live ref sharing the table's one schema (schema
+        # evolution commits no snapshot, so the branch head's
+        # schema_id predates any evolution — projecting it would
+        # return stale columns and break merge()'s current-schema
+        # column list after add_column). Snapshot/timestamp/tag reads
+        # pin the snapshot's schema — "what the data meant then".
         time_travel = any(
-            x is not None for x in (snapshot_id, as_of_timestamp_ms, branch, tag)
+            x is not None for x in (snapshot_id, as_of_timestamp_ms, tag)
         )
         if snap is None:
             df = self.spark.createDataFrame([], md.current_schema().to_spark())
         else:
             # Time-travel reads use the snapshot's schema (what the data
-            # meant then); current reads use the current schema.
+            # meant then); current and branch reads use the current schema.
             read_schema = (
                 md.schema_by_id(snap.schema_id)
                 if time_travel and snap.schema_id is not None
@@ -1562,6 +1661,18 @@ class Table:
         def build(cur: IceSchema, last_col: int):
             if cur.field_by_name(name):
                 raise ValueError(f"column already exists: {name}")
+            # Reverse of the create_table collision rule: a new data
+            # column must not shadow a derived partition-field name
+            # (the write path materializes that name via withColumn,
+            # which would overwrite the new column's data).
+            md = self.metadata
+            for spec in md.partition_specs:
+                for pf in spec.fields:
+                    if pf.name == name and pf.transform.kind != "identity":
+                        raise ValueError(
+                            f"column name {name!r} collides with partition "
+                            f"field {pf.name!r} of spec {spec.spec_id}"
+                        )
             fid = last_col + 1
             new_last = max(last_col + 1, last_col + 1 + max_field_id(t))
             return list(cur.fields) + [IceField(fid, name, False, t, doc)], new_last
@@ -1574,6 +1685,13 @@ class Table:
                 raise KeyError(f"no column {old}")
             if cur.field_by_name(new):
                 raise ValueError(f"column already exists: {new}")
+            for spec in self.metadata.partition_specs:
+                for pf in spec.fields:
+                    if pf.name == new and pf.transform.kind != "identity":
+                        raise ValueError(
+                            f"column name {new!r} collides with partition "
+                            f"field {pf.name!r} of spec {spec.spec_id}"
+                        )
             fields = [
                 IceField(f.id, new if f.name == old else f.name, f.required, f.type, f.doc)
                 for f in cur.fields
@@ -1629,8 +1747,16 @@ class Table:
                 col, tr = (p, "identity") if isinstance(p, str) else p
                 transform = Transform.parse(tr)
                 suffix = {"identity": ""}.get(transform.kind, f"_{transform.kind}")
+                pf_name = f"{col}{suffix}"
+                if pf_name in by_name and pf_name != col:
+                    # same collision rule as create_table: the write
+                    # path's withColumn would overwrite the data column
+                    raise ValueError(
+                        f"partition field name {pf_name!r} (from {col!r} "
+                        f"{transform.kind}) collides with a schema column"
+                    )
                 pfields.append(
-                    PartitionField(by_name[col].id, next_pfield, f"{col}{suffix}", transform)
+                    PartitionField(by_name[col].id, next_pfield, pf_name, transform)
                 )
                 next_pfield += 1
             spec = PartitionSpec(spec_id=max(s.spec_id for s in md.partition_specs) + 1,
@@ -1740,13 +1866,20 @@ class Table:
                 max_snapshot_age_ms=cur_ref.max_snapshot_age_ms if cur_ref else None,
                 max_ref_age_ms=cur_ref.max_ref_age_ms if cur_ref else None,
             )
+            # The snapshot log is the TIMESTAMP AS OF index — "when did
+            # MAIN change". A side-branch fast-forward leaves main
+            # untouched; logging it would make time travel resolve to
+            # a snapshot that was never current.
             return md.evolve(
                 refs=refs,
                 current_snapshot_id=(
                     src_head if branch == MAIN_BRANCH else md.current_snapshot_id
                 ),
-                snapshot_log=md.snapshot_log
-                + (SnapshotLogEntry(src_head, _now_ms()),),
+                snapshot_log=(
+                    md.snapshot_log + (SnapshotLogEntry(src_head, _now_ms()),)
+                    if branch == MAIN_BRANCH
+                    else md.snapshot_log
+                ),
             )
 
         self._commit(updater)
@@ -1879,7 +2012,10 @@ class Table:
             if md.current_snapshot_id is not None:
                 keep.add(md.current_snapshot_id)
             ordered = sorted(md.snapshots, key=lambda s: s.sequence_number)
-            for s in ordered[-retain_last:]:
+            # retain_last=0 means "no positional retention, refs only" —
+            # guard the slice: ordered[-0:] is the WHOLE list, which
+            # would silently retain everything.
+            for s in ordered[-retain_last:] if retain_last > 0 else []:
                 keep.add(s.snapshot_id)
             expired = [
                 s
@@ -2305,7 +2441,13 @@ class Table:
                 e.spec_id,
                 int(e.sequence_number or 0),
                 list(e.equality_ids),
-                {k: str(v) for k, v in e.partition.items()},
+                # NULL partition values stay NULL in the map — str(None)
+                # would render the string 'None', indistinguishable from
+                # a real value and a bogus grouping key in partitions().
+                {
+                    k: (str(v) if v is not None else None)
+                    for k, v in e.partition.items()
+                },
             )
             for e in self._current_entries(md)
         ]
@@ -2550,6 +2692,12 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
     # is unknown — taking it from only the stats-bearing groups would
     # let pruning drop files whose stat-less groups hold matching rows.
     unknown: set[str] = set()
+    # Columns where ANY row group lacks a null count: the file-level
+    # null count is UNKNOWN (None), not 0 — treating "writer recorded
+    # no null_count" as "zero nulls" would let the metadata-only DELETE
+    # fast path (_entry_fully_matches requires nulls == 0) drop a file
+    # whose NULL rows do not satisfy the predicate and must survive.
+    unknown_nulls: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -2558,6 +2706,8 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
             if "." in name:  # nested — skip stats, never prune on these
                 continue
             s = col.statistics
+            if s is None or s.null_count is None:
+                unknown_nulls.add(name)
             if s is None or not s.has_min_max:
                 unknown.add(name)
                 entry = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
@@ -2578,6 +2728,8 @@ def _file_stats(pf: pq.ParquetFile) -> dict:
             entry["nulls"] += s.null_count or 0
     for name in unknown:
         stats[name]["min"] = stats[name]["max"] = None
+    for name in unknown_nulls:
+        stats[name]["nulls"] = None
     _ = arrow_schema
     return stats
 
@@ -2605,6 +2757,16 @@ def _parse_literal(lit: str):
     m2 = re.match(r"^(?:TIMESTAMP|DATE)?\s*'(.*)'$", lit, flags=re.IGNORECASE)
     if m2:
         sval = m2.group(1)
+        if "\\" in sval:
+            # Backslash escapes are Spark-dialect-dependent; bail to
+            # no-pruning (None) rather than compare a mis-unescaped
+            # value against file stats and silently drop files.
+            return None
+        # SQL doubled-quote escape: '' inside a string literal is one
+        # quote. Spark's parser agrees ('it''s' == "it's"), and the
+        # residual filter runs through Spark — pruning must compare
+        # the same value or a matching file is dropped with no error.
+        sval = sval.replace("''", "'")
         try:
             return datetime.fromisoformat(sval)
         except ValueError:

@@ -1829,3 +1829,152 @@ class TestMetadataOnlyDelete:
         snap = t.metadata.snapshot_by_id(t.metadata.current_snapshot_id)
         assert int(snap.summary["deleted-files-metadata-only"]) >= 1
         assert t.scan().count() == 50
+
+
+class TestReviewFindingsR6:
+    """Regression pins for the round-6 adversarial review of this
+    module — every case reproduced as a live failure before its fix."""
+
+    def test_merge_after_schema_evolution(self, catalog, spark, events_df):
+        """Branch reads share the table's CURRENT schema (schema
+        evolution commits no snapshot); projecting the branch head's
+        old schema_id broke merge() after add_column."""
+        t = catalog.create_table("db.rf_evo", events_df.schema)
+        t.append(events_df.limit(10))
+        t.add_column("score", "double")
+        src = events_df.limit(5).withColumn("score", F.lit(1.5))
+        t.merge(src, on=["event_id"])  # raised AnalysisException before
+        assert t.scan(branch="main").columns == t.scan().columns
+        assert t.scan().where("score = 1.5").count() == 5
+
+    def test_tag_read_keeps_snapshot_schema(self, catalog, events_df):
+        """The other half of the rule: tags pin 'what the data meant
+        then' — evolution after tagging must not widen a tag read."""
+        t = catalog.create_table("db.rf_tag", events_df.schema)
+        t.append(events_df.limit(10))
+        t.create_tag("v1")
+        t.add_column("score", "double")
+        assert "score" not in t.scan(tag="v1").columns
+        assert "score" in t.scan().columns
+
+    def test_cow_delete_prunes_dangling_position_deletes(
+        self, catalog, spark, events_df
+    ):
+        """A copy-on-write rewrite applies existing position deletes,
+        so delete rows referencing the rewritten files must be dropped
+        (rewriting mixed files keeps only live positions) — dangling
+        positions wedged compact()'s record-count invariant."""
+        ids = sorted(r.event_id for r in events_df.limit(40).collect())
+        a, b = ids[:20], ids[20:]
+        t = catalog.create_table("db.rf_dangle", events_df.schema)
+        t.append(events_df.where(F.col("event_id").isin(a)))
+        t.append(events_df.where(F.col("event_id").isin(b)))
+        t.delete(
+            f"event_id IN ({a[0]}, {a[1]}, {b[0]})", mode="merge-on-read"
+        )
+        t.delete(f"event_id = {a[2]}", mode="copy-on-write")
+        from iceberg_rs_spark.sources.icelake import _delete_file_entries
+
+        dels = _delete_file_entries(t._current_entries(t.metadata))
+        assert sum(e.record_count for e in dels) == 1  # only b's position
+        assert t.scan().count() == 36
+        t.compact()  # raised 'compaction changed record count' before
+        assert t.scan().count() == 36
+
+    def test_branch_commits_stay_out_of_snapshot_log(
+        self, catalog, events_df
+    ):
+        """snapshot_log is the TIMESTAMP AS OF index for MAIN; side-
+        branch commits and side-branch fast-forwards must not log."""
+        t = catalog.create_table("db.rf_log", events_df.schema)
+        t.append(events_df.limit(3))
+        t.create_branch("dev")
+        t.create_branch("staging")
+        t.append(
+            events_df.limit(6).subtract(events_df.limit(3)), branch="staging"
+        )
+        t.fast_forward("dev", "staging")
+        assert [e.snapshot_id for e in t.metadata.snapshot_log] == [
+            t.metadata.current_snapshot_id
+        ]
+        # main fast-forward DOES log (WAP publish shape)
+        t.fast_forward("main", "staging")
+        assert len(t.metadata.snapshot_log) == 2
+
+    def test_doubled_quote_literal_prunes_correctly(
+        self, catalog, spark, events_df
+    ):
+        """'it''s' is the SQL (and Spark) escape for it's; pruning must
+        unescape before comparing to file stats — it silently dropped
+        every matching file before."""
+        df = events_df.limit(6).withColumn("event_type", F.lit("it's"))
+        t = catalog.create_table("db.rf_quote", df.schema)
+        t.append(df)
+        assert t.scan(where="event_type = 'it''s'").count() == 6
+
+    def test_partition_name_collision_rejected(
+        self, catalog, events_df
+    ):
+        """A derived partition-field name equal to a data column would
+        silently overwrite that column's data via the write path's
+        withColumn — reject at create/evolve/add/rename time."""
+        clash = events_df.limit(4).withColumn("ts_day", F.lit("x"))
+        with pytest.raises(ValueError, match="collides"):
+            catalog.create_table(
+                "db.rf_clash", clash.schema, partition_by=[("ts", "day")]
+            )
+        t = catalog.create_table(
+            "db.rf_clash2", events_df.schema, partition_by=[("ts", "day")]
+        )
+        t.append(events_df.limit(4))
+        with pytest.raises(ValueError, match="collides"):
+            t.add_column("ts_day", "string")
+        with pytest.raises(ValueError, match="collides"):
+            t.rename_column("event_type", "ts_day")
+        # spec evolution onto a schema that already holds the derived name
+        clash2 = catalog.create_table("db.rf_clash3", clash.schema)
+        clash2.append(clash)
+        with pytest.raises(ValueError, match="collides"):
+            clash2.set_partition_spec([("ts", "day")])
+
+    def test_cow_merge_null_source_value_wins(self, catalog, events_df):
+        """'Matched rows take the source's values' includes NULL: both
+        merge modes must null the column, not coalesce the old value
+        back (they diverged before)."""
+        counts = {}
+        for mode in ("copy-on-write", "merge-on-read"):
+            t = catalog.create_table(f"db.rf_null_{mode[:3]}", events_df.schema)
+            t.append(events_df.limit(5))
+            src = events_df.limit(2).withColumn(
+                "value", F.lit(None).cast("double")
+            )
+            t.merge(src, on=["event_id"], mode=mode)
+            counts[mode] = (
+                t.scan().where(F.col("value").isNull()).count(),
+                t.scan().count(),
+            )
+        assert counts["copy-on-write"] == counts["merge-on-read"] == (2, 5)
+
+    def test_expire_retain_last_zero(self, catalog, events_df):
+        """retain_last=0 means refs-only retention; ordered[-0:] kept
+        every snapshot before."""
+        t = catalog.create_table("db.rf_exp0", events_df.schema)
+        for _ in range(3):
+            t.append(events_df.limit(3))
+        t.expire_snapshots(older_than_ms=10**18, retain_last=0)
+        # only the ref-pinned head survives
+        assert [s.snapshot_id for s in t.metadata.snapshots] == [
+            t.metadata.current_snapshot_id
+        ]
+
+    def test_files_renders_null_partition_as_null(self, catalog, events_df):
+        pdf = events_df.limit(4).withColumn(
+            "event_type", F.lit(None).cast("string")
+        )
+        t = catalog.create_table(
+            "db.rf_nullpart", pdf.schema, partition_by=[("event_type", "identity")]
+        )
+        t.append(pdf)
+        parts = [r["partition"] for r in t.files().collect()]
+        assert parts and all(p.get("event_type") is None for p in parts)
+        assert t.scan().count() == 4
