@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "dedup_component_size_profile",
     "ingest_orc_roundtrip",
     "ts_cross_correlation_leadlag",
+    "sim_topk_lsh",  # UPGRADED r6: replay oracle added (was rows-only) — first hash certification pending
     # --- changed-implementation re-certs: green r05 rows predate the r6
     # exact-cosine change; re-verified vs the DuckDB oracle locally, queued
     # here for the first driver window with free slots.

@@ -342,25 +342,6 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query(
-    "sim_topk_lsh",
-    oracle=None,  # approximate: recall vs brute force asserted in tests
-    tags=("llm", "similarity", "lsh", "approx"),
-)
-def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets with
-    Hamming-1 multi-probe (the 100 TB path: each query probes
-    (1+planes)/2^planes of the data). Excluded from hash-checking per
-    FIXTURES.md rule 4 (approx); recall bars (incl. ≥0.8 on planted
-    near-dups) are asserted against brute force in
-    tests/test_operators.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return S.lsh_topk(emb, queries, k=5, num_planes=2).orderBy("query_id", "rank")
-
-
 def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64, col: str = "ea") -> str:
     """DuckDB expression for the random-hyperplane sign bucket of a
     DOUBLE[] column ``col`` — built from the *same* deterministic
@@ -374,9 +355,68 @@ def _lsh_bucket_sql(num_planes: int = 4, dim: int = 64, col: str = "ea") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: sim_topk_lsh's pinned index geometry: 2 hyperplanes, Hamming-1
+#: multi-probe => XOR masks {0 (own bucket), 1, 2 (one sign flip)}.
+_TOPK_LSH_PLANES = 2
+_TOPK_LSH_MASKS = "[0, 1, 2]"
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    b AS (
+        SELECT vec_id, ea, {_lsh_bucket_sql(_TOPK_LSH_PLANES)} AS bucket FROM e),
+    q AS (
+        SELECT vec_id AS query_id, ea AS qa, bucket AS qbucket
+        FROM b WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, qa, xor(qbucket, m.m) AS pb
+        FROM q, (SELECT unnest({_TOPK_LSH_MASKS}) AS m) m),
+    scored AS (
+        SELECT p.query_id, b.vec_id,
+               list_sum([p.qa[i] * b.ea[i] for i in generate_series(1, 64)])
+               / (sqrt(list_sum([p.qa[i] * p.qa[i] for i in generate_series(1, 64)]))
+                  * sqrt(list_sum([b.ea[i] * b.ea[i] for i in generate_series(1, 64)]))) AS cos
+        FROM b JOIN probes p ON b.bucket = p.pb
+        WHERE b.vec_id != p.query_id)
+    SELECT query_id, vec_id, {rhalf_sql('cos', 4)} AS cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "lsh", "approx"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets with
+    Hamming-1 multi-probe (the 100 TB path: each query probes
+    (1+planes)/2^planes of the data). HASH-CHECKED since r6: the index
+    has no training step — md5-derived plane constants, sign
+    bucketing, XOR multi-probe, JVM left-fold cosine — so the oracle
+    replays the identical pipeline in SQL (the sim_ann_agreement
+    pattern at k=5 instead of a top-1 agreement scalar). Every pair
+    meets under exactly ONE probe mask (the mask is the XOR of the two
+    buckets), so neither engine needs a distinct. Recall bars (incl.
+    ≥0.8 on planted near-dups) remain asserted against brute force in
+    tests/test_operators.py; the ranking cut itself is certified here.
+    Sibling queries sim_topk_ivf / sim_pq_topk stay rows-only: their
+    Lloyd refinement averages floats in partition order, which no
+    static oracle can replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.lsh_topk(emb, queries, k=5, num_planes=_TOPK_LSH_PLANES)
+    return topk.select(
+        "query_id", "vec_id", rhalf(F.col("cos"), 4).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "sim_topk_ivf",
-    oracle=None,  # approximate: recall vs brute force asserted in tests
+    oracle=None,  # approximate: Lloyd means fold floats in partition order
     tags=("llm", "similarity", "ivf", "approx"),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
