@@ -342,3 +342,132 @@ class TestRankNoValueFunnel:
         assert _same(got.select("id", "r"), exp)
         assert all(not c.startswith("_tie") for c in got.columns)
         packing.release_caches()
+
+
+class TestRandomizedDifferential:
+    """Property-based cross-check of every distwin operator against the
+    native single-partition window on adversarial SMALL frames — heavy
+    tie blocks, NULL order keys, negative/zero weights, n < num_partitions,
+    n < ntile buckets — shapes a fixed 1201-row fixture cannot cover.
+    The native ``Window.orderBy`` result is the semantic oracle; the
+    two-pass scheme must reproduce it on every generated input."""
+
+    @staticmethod
+    def _sorted_rows(df):
+        return sorted(map(tuple, df.collect()), key=lambda t: tuple(
+            (v is None, v) for v in t
+        ))
+
+    def _check_all(self, spark, rows):
+        from hypothesis import assume
+
+        from iceberg_rs_spark.operators.distwin import running_max_global
+
+        assume(len(rows) >= 1)
+        data = [(i, k, v, w) for i, (k, v, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, k int, v int, w long")
+        n = len(data)
+        inc = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exc = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        try:
+            got = row_number_global(
+                df, [F.col("v"), F.col("id")], "rn", num_partitions=4
+            ).select("id", "rn")
+            exp = df.select(
+                "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+            )
+            assert self._sorted_rows(got) == self._sorted_rows(exp)
+
+            got = rank_global(
+                df, [F.col("k"), F.col("id")], ["k"], "r", num_partitions=4
+            ).select("id", "r")
+            exp = df.select("id", F.rank().over(Window.orderBy("k")).alias("r"))
+            assert self._sorted_rows(got) == self._sorted_rows(exp)
+
+            for nt in (1, 3, n + 2):  # n + 2 > n rows: first-N-tiles fill rule
+                got = ntile_global(
+                    df, nt, [F.col("v"), F.col("id")], num_partitions=4
+                ).select("id", "tile")
+                exp = df.select(
+                    "id",
+                    F.ntile(nt).over(Window.orderBy("v", "id")).alias("tile"),
+                )
+                assert self._sorted_rows(got) == self._sorted_rows(exp), f"ntile({nt})"
+
+            got = running_sum_global(
+                df, [F.col("v"), F.col("id")], "w", "s", num_partitions=4
+            ).select("id", "s")
+            exp = df.select("id", F.sum("w").over(inc).alias("s"))
+            assert self._sorted_rows(got) == self._sorted_rows(exp)
+
+            got = running_max_global(
+                df,
+                [F.col("v"), F.col("id")],
+                "k",
+                "m",
+                num_partitions=4,
+                inclusive=False,
+            ).select("id", "m")
+            exp = df.select("id", F.max("k").over(exc).alias("m"))
+            assert self._sorted_rows(got) == self._sorted_rows(exp)
+        finally:
+            packing.release_caches()
+
+    def test_randomized_frames_match_native(self, spark):
+        from hypothesis import HealthCheck, example, given, settings
+        from hypothesis import strategies as st
+
+        row = st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-2, max_value=2)),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-3, max_value=3),
+        )
+
+        @given(rows=st.lists(row, min_size=1, max_size=30))
+        @example(rows=[(None, 0, 0)])                 # one all-NULL-key row
+        @example(rows=[(1, 2, 1)] * 7)                # one total tie block
+        @example(rows=[(None, -5, -3), (None, -5, 3), (0, -5, 0)])
+        @settings(
+            max_examples=5,  # + the 3 pinned examples; each example runs
+            # 7 operator comparisons, so the budget is Spark-job count,
+            # not hypothesis's default example volume
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        def run(rows):
+            self._check_all(spark, rows)
+
+        run()
+
+
+class TestEmptyInput:
+    """Zero-row frames flow through the two-pass scheme without error
+    and yield zero rows — the degenerate case a pipeline hits when an
+    upstream filter drains a partition of the corpus."""
+
+    def test_all_operators_empty(self, spark):
+        from iceberg_rs_spark.operators.distwin import running_max_global
+        from iceberg_rs_spark.operators.packing import with_global_offset
+
+        df = spark.createDataFrame([], "id long, k int, v int, w long")
+        try:
+            assert row_number_global(df, [F.col("v"), F.col("id")], "rn").count() == 0
+            assert rank_global(df, [F.col("k"), F.col("id")], ["k"], "r").count() == 0
+            assert ntile_global(df, 3, [F.col("v"), F.col("id")]).count() == 0
+            assert (
+                running_sum_global(df, [F.col("v"), F.col("id")], "w", "s").count()
+                == 0
+            )
+            assert (
+                running_max_global(df, [F.col("v"), F.col("id")], "k", "m").count()
+                == 0
+            )
+            assert (
+                with_global_offset(df, [F.col("v"), F.col("id")], "w").count() == 0
+            )
+        finally:
+            packing.release_caches()
