@@ -30,8 +30,20 @@ def asof_join(
     ignorenulls=True)`` ordered by (ts, side) — right rows at the same
     timestamp sort before left rows, so an exact-tie matches.
 
+    Equi-join NULL semantics are preserved: right rows with a NULL
+    timestamp or a NULL key are dropped from the spine before the
+    window (a NULL ts has no defined "prior" position — it would sort
+    nulls-first and pose as the match for every early left row — and a
+    NULL key never equi-matches anything), so left rows with NULL keys
+    come back unmatched instead of pairing up with NULL-keyed right
+    rows that happen to share their window partition.
+
     Scale: one shuffle (window partition on the key); no join at all.
     """
+    usable = F.col(right_ts).isNotNull()
+    for k in on:
+        usable = usable & F.col(k).isNotNull()
+    right = right.where(usable)
     right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
     payload = F.struct(*[F.col(c) for c in right_cols])
 

@@ -55,7 +55,20 @@ def salted_join(
     """Skew-safe equi-join: the big side gets a deterministic salt in
     [0, buckets); the small side is replicated once per salt value, so
     a hot key's rows land on `buckets` different reducers. Equivalent
-    to `big.join(small, key, how)` row-for-row."""
+    to `big.join(small, key, how)` row-for-row for every big-side-
+    preserving join type. Small-side-preserving joins (right/full
+    outer) are REJECTED: the small side is exploded ``buckets`` times,
+    so an unmatched small row would surface once per salt replica —
+    ``buckets`` duplicate null-padded rows, not one. Flip the sides
+    (salt what you preserve) or pre-aggregate instead."""
+    _small_preserving = {"right", "rightouter", "right_outer", "full",
+                         "outer", "fullouter", "full_outer"}
+    if how.lower().replace(" ", "") in _small_preserving:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would emit one null-padded row per salt bucket "
+            "for every unmatched small row"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(buckets))
     )

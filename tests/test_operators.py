@@ -969,3 +969,83 @@ class TestCosineArrowExact:
             S.cosine_arrow_exact(F.col("a.v"), F.col("b.v")).alias("arrow"),
         )
         assert pairs.where(F.col("jvm") != F.col("arrow")).count() == 0
+
+
+class TestAsofJoinNullSemantics:
+    """asof_join must preserve EQUI-join NULL semantics: a NULL right
+    timestamp has no defined 'prior' position (nulls-first ordering
+    would make it the match for every early left row), and NULL keys
+    never equi-match — even though the union+window idiom would happily
+    group NULL keys into one window partition."""
+
+    def _frames(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        left = spark.createDataFrame(
+            [(1, 3, "l0"), (1, 10, "l1"), (1, 20, "l2"), (None, 15, "lnull")],
+            "k int, ts int, lv string",
+        )
+        right = spark.createDataFrame(
+            [(1, 5, "r5"), (1, None, "rnull_ts"), (None, 1, "rnull_key")],
+            "k int, ts int, rv string",
+        )
+        return left, right
+
+    def test_null_right_ts_never_matches(self, spark):
+        from iceberg_rs_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, ["k"], "ts", "ts").collect()
+        by_lv = {r["lv"]: r["rv_right"] for r in out}
+        # l0 precedes every REAL right row: unmatched — a NULL-ts right
+        # row must not pose as its "prior" match (nulls sort first)
+        assert by_lv["l0"] is None
+        assert by_lv["l1"] == "r5"
+        assert by_lv["l2"] == "r5"
+
+    def test_null_keys_do_not_pair_up(self, spark):
+        from iceberg_rs_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, ["k"], "ts", "ts").collect()
+        by_lv = {r["lv"]: r["rv_right"] for r in out}
+        # the NULL-key left row must come back unmatched (NULL != NULL
+        # under equi-join), not paired with the NULL-key right row
+        assert by_lv["lnull"] is None
+        assert len(out) == 4  # every left row preserved exactly once
+
+
+class TestSaltedJoinHowGuard:
+    """salted_join explodes the small side once per salt bucket, so a
+    small-side-preserving join would duplicate unmatched small rows
+    `buckets` times — those join types must be rejected, and the
+    big-side-preserving types must stay row-for-row equivalent."""
+
+    def _frames(self, spark):
+        big = spark.createDataFrame(
+            [(i, "a" if i % 3 else "b") for i in range(30)] + [(100, "zz")],
+            "event_id long, event_type string",
+        )
+        dim = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("unused", 9)], "event_type string, w int"
+        )
+        return big, dim
+
+    @pytest.mark.parametrize("how", ["right", "full", "full_outer"])
+    def test_small_preserving_rejected(self, spark, how):
+        from iceberg_rs_spark.operators.skew import salted_join
+
+        big, dim = self._frames(spark)
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, dim, "event_type", "event_id", how=how)
+
+    @pytest.mark.parametrize("how", ["inner", "left", "left_anti", "left_semi"])
+    def test_big_preserving_equivalent(self, spark, how):
+        from iceberg_rs_spark.operators.skew import salted_join
+
+        big, dim = self._frames(spark)
+        got = salted_join(big, dim, "event_type", "event_id", how=how)
+        exp = big.join(dim, "event_type", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        )
