@@ -42,8 +42,12 @@ from iceberg_rs_spark.session import get_spark  # noqa: E402
 PIN_RATIO_LIMIT = 2.0
 PIN_ABS_SLACK = 0.3
 
-#: A re-time retry below this fraction of the first sample is a warm
-#: fixture-cache artifact, not a re-execution — reject it.
+#: A re-time retry below this fraction of the query's PIN is a warm
+#: fixture-cache artifact, not a re-execution — reject it. Denominated
+#: in the pin (the expected cold cost), NOT the first sample: a retime
+#: only runs when the first sample is >= 2x the pin, so a first-sample
+#: bar would scale with exactly the inflation being re-measured and
+#: reject the fast-but-genuine retries the pass exists to accept.
 RETIME_WARM_FRACTION = 0.25
 
 
@@ -54,14 +58,22 @@ def breaches_pin(t: float, pin: float) -> bool:
     return t > PIN_RATIO_LIMIT * pin and t - pin > PIN_ABS_SLACK
 
 
-def retime_decision(first: float, retry: float) -> "tuple[bool, float]":
+def retime_decision(
+    first: float, retry: float, pinned: float
+) -> "tuple[bool, float]":
     """(accepted, recorded_time) for an outlier re-time: accept the
-    retry only when it is a plausible full re-execution (>=
-    RETIME_WARM_FRACTION of the first sample — fixture-cached queries
-    re-run nearly for free, and a warm retry would smooth away a
-    genuine cold-path regression); when accepted, record the min of
-    the two samples."""
-    accepted = retry >= RETIME_WARM_FRACTION * first
+    retry only when it is a plausible full re-execution — at least
+    RETIME_WARM_FRACTION of the PIN. A fixture-cache-warm rerun costs
+    5-10% of its pin (the pin includes the table build), so it stays
+    rejected and cannot smooth away a genuine cold-path regression;
+    a genuine steady-state rerun lands near the pin and passes. The
+    bar was originally a fraction of the FIRST sample, which misfired:
+    the retime only triggers when first >= 2x pin, so the inflated
+    first raised the bar with the very noise being re-measured
+    (observed r6: pin 0.88s, GC-hit first 2.01s, genuine 0.46s retry
+    rejected at 23%-of-first despite being 53%-of-pin). When accepted,
+    the min of the two samples is recorded."""
+    accepted = retry >= RETIME_WARM_FRACTION * pinned
     return accepted, (min(first, retry) if accepted else first)
 
 #: stdout subset — one-plus query per family, expensive queries first.
@@ -240,11 +252,12 @@ def main() -> None:
     # regression (slow on BOTH executions) still flags.
     #
     # The retry is accepted only when it is a plausible full
-    # re-execution (>= 25% of the first sample): queries backed by a
-    # process-level fixture cache re-run nearly for free, and taking a
-    # warm retry would smooth away a genuine cold-path regression and
-    # record a time no cold run can reproduce. Observed GC one-offs
-    # retry at 35-60% of the first sample, well above the bar.
+    # re-execution (>= 25% of the PIN — see retime_decision): queries
+    # backed by a process-level fixture cache re-run nearly for free
+    # (5-10% of their pin), and taking a warm retry would smooth away
+    # a genuine cold-path regression and record a time no cold run can
+    # reproduce. Observed GC one-offs retry at 50-110% of the pin,
+    # well above the bar.
     retimed: dict[str, dict] = {}
     for name in sorted(timings):
         t = timings[name]
@@ -274,14 +287,14 @@ def main() -> None:
             continue
         finally:
             packing.release_caches()
-        accepted, recorded = retime_decision(t, t2)
+        accepted, recorded = retime_decision(t, t2, pinned[name])
         retimed[name] = {"first": t, "retry": t2, "accepted": accepted}
         timings[name] = recorded
         if not accepted:
             print(
                 f"BENCH RETIME-WARM {name}: retry {t2}s < "
-                f"{RETIME_WARM_FRACTION:.0%} of first {t}s (fixture-cache "
-                "warm) — keeping the first sample",
+                f"{RETIME_WARM_FRACTION:.0%} of pin {pinned[name]}s "
+                "(fixture-cache warm) — keeping the first sample",
                 file=sys.stderr,
             )
 

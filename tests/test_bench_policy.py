@@ -42,23 +42,33 @@ class TestBreachesPin:
 
 class TestRetimeDecision:
     def test_gc_oneoff_retry_accepted_and_min_recorded(self):
-        # observed shape: 2.6s GC one-off, 0.9s steady retry (35%)
-        accepted, recorded = bench.retime_decision(2.6, 0.9)
+        # observed shape: 2.6s GC one-off over a 1.0s pin, 0.9s steady
+        # retry (90% of pin)
+        accepted, recorded = bench.retime_decision(2.6, 0.9, pinned=1.0)
         assert accepted and recorded == 0.9
 
     def test_warm_fixture_retry_rejected_keeps_first(self):
-        # fixture-cache warm retry (milliseconds) must NOT smooth a
-        # cold-path regression away
-        accepted, recorded = bench.retime_decision(3.0, 0.05)
+        # fixture-cache warm retry (milliseconds, ~4% of the pin) must
+        # NOT smooth a cold-path regression away
+        accepted, recorded = bench.retime_decision(3.0, 0.05, pinned=1.2)
         assert not accepted and recorded == 3.0
 
     def test_slower_retry_keeps_first(self):
-        accepted, recorded = bench.retime_decision(1.0, 1.4)
+        accepted, recorded = bench.retime_decision(1.0, 1.4, pinned=0.45)
         assert accepted and recorded == 1.0
 
     def test_warm_bar_boundary(self):
         frac = bench.RETIME_WARM_FRACTION
-        accepted, _ = bench.retime_decision(1.0, frac)
+        accepted, _ = bench.retime_decision(2.5, frac, pinned=1.0)
         assert accepted  # exactly at the bar counts as a re-execution
-        accepted, recorded = bench.retime_decision(1.0, frac - 1e-9)
-        assert not accepted and recorded == 1.0
+        accepted, recorded = bench.retime_decision(2.5, frac - 1e-9, pinned=1.0)
+        assert not accepted and recorded == 2.5
+
+    def test_bar_is_pin_denominated_not_first_denominated(self):
+        """Regression pin for the observed r6 misfire: pin 0.88s, GC-hit
+        first sample 2.01s, genuine cold retry 0.46s. A first-sample-
+        denominated bar (25% of 2.01 = 0.50) rejected the retry and left
+        a spurious over-2x flag; the pin-denominated bar accepts it
+        (0.46 = 53% of the pin) and records the honest min."""
+        accepted, recorded = bench.retime_decision(2.009, 0.4647, pinned=0.8782)
+        assert accepted and recorded == 0.4647
