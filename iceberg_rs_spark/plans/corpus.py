@@ -111,11 +111,10 @@ PRIORITY: list[str] = [
     "ingest_orc_roundtrip",
     "ts_cross_correlation_leadlag",
     "sim_topk_lsh",  # UPGRADED r6: replay oracle added (was rows-only) — first hash certification pending
-    # --- changed-implementation re-certs: green r05 rows predate the r6
-    # exact-cosine change; re-verified vs the DuckDB oracle locally, queued
-    # here for the first driver window with free slots.
-    "sim_ann_agreement_ivf",  # CHANGED r6: exact-cosine rerank in ivf_topk (ADVICE r5 #2)
-    "sim_ann_agreement_pq",  # CHANGED r6: exact-cosine rerank in pq paths (ADVICE r5 #2)
+    # --- changed-implementation re-certs (see RECERT below): queued here
+    # for the first driver window with free slots.
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
     # --- r5 window (all certified green in CORRECTNESS_r05) ---
     "stream_windowed_distinct_users",
     "udf_arrow_python_scalar",
@@ -165,6 +164,20 @@ PRIORITY: list[str] = [
     "ts_cusum_changepoint",
     "ts_weekday_seasonal_index",
     "win_skyline_pareto_frontier",
+]
+
+#: Changed-implementation re-certification queue: names whose latest
+#: green driver row PREDATES a behavior-relevant change to their
+#: implementation. ``scripts/rotate_priority.py --write`` treats this
+#: list as an automatic ``--lead`` — these names are pinned at the very
+#: head of every mechanical rotation — so a rotation can never silently
+#: drop a changed-but-uncertified query out of the driver window (the
+#: r5 miss class, made structural instead of a flag someone must
+#: remember). Remove a name once a NEW green CORRECTNESS row postdating
+#: its change lands; the rotation report prints this queue every run.
+RECERT: list[str] = [
+    "sim_ann_agreement_ivf",  # CHANGED r6: exact-cosine rerank in ivf_topk (ADVICE r5 #2)
+    "sim_ann_agreement_pq",  # CHANGED r6: exact-cosine rerank in pq paths (ADVICE r5 #2)
 ]
 
 

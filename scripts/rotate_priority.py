@@ -18,12 +18,14 @@ Report mode prints, in current PRIORITY order:
 ``--write`` regenerates the PRIORITY block mechanically: hash-
 certifiable backlog first (family-grouped, stable order), then
 certified names in their previous relative order, then the no-oracle
-rows-only queries last. Changed-implementation re-certs are a judgment
-call the script cannot make — pass them via ``--lead name1,name2`` to
-pin them at the very head. The r5 miss (recorded a round, forgot to
-rotate) is the failure mode --write exists to kill: the bench-record
-commit ritual is  record CORRECTNESS → rotate --write → commit
-(VERDICT r5 asks #1-#2).
+rows-only queries last. Changed-implementation re-certs lead the head
+automatically via ``corpus.RECERT`` (record the change THERE, next to
+the code that changed — not as a flag someone must remember); ``--lead
+name1,name2`` pins additional names ahead of everything for one-off
+judgment calls. The r5 miss (recorded a round, forgot to rotate) is
+the failure mode --write exists to kill: the bench-record commit
+ritual is  record CORRECTNESS → update RECERT → rotate --write →
+commit (VERDICT r5 asks #1-#2).
 """
 
 from __future__ import annotations
@@ -77,10 +79,15 @@ def certified_names(paths: "list[str] | None" = None) -> set[str]:
     return out
 
 
-def rotation(lead: list[str]) -> list[str]:
-    """The full PRIORITY list a mechanical rotation would produce."""
+def rotation(lead: "list[str] | None" = None) -> list[str]:
+    """The full PRIORITY list a mechanical rotation would produce.
+    ``corpus.RECERT`` (changed implementations awaiting a fresh driver
+    row) is always prepended to ``lead`` — a rotation that dropped a
+    queued re-cert would recreate the r5 miss class silently."""
     from iceberg_rs_spark.plans import corpus
 
+    recert = [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
+    lead = recert + [n for n in (lead or []) if n not in set(recert)]
     certified = certified_names()
     names = list(corpus.CORPUS)
     fam_rank = {f: i for i, f in enumerate(FAMILY_ORDER)}
@@ -123,8 +130,9 @@ def write_priority(names: list[str], path: "str | None" = None) -> None:
     end = sum(len(l) for l in lines_src[: node.end_lineno])
     lines = ["PRIORITY: list[str] = ["]
     lines.append("    # Mechanically rotated by scripts/rotate_priority.py --write:")
-    lines.append("    # never-driver-certified (hash-certifiable) queries lead, family-")
-    lines.append("    # grouped; certified names follow in prior order; rows-only last.")
+    lines.append("    # RECERT queue + --lead first, then never-driver-certified")
+    lines.append("    # (hash-certifiable) queries family-grouped; certified names")
+    lines.append("    # follow in prior order; rows-only last.")
     for n in names:
         lines.append(f'    "{n}",')
     lines.append("]")
@@ -151,6 +159,12 @@ def main() -> None:
 
     print(f"corpus={len(names)} certified={len(certified)} backlog={len(backlog)}")
     print("backlog by family:", dict(Counter(n.split('_')[0] for n in backlog)))
+    recert = [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
+    if recert:
+        print(
+            "recert queue (changed implementations, auto-lead on --write):",
+            recert,
+        )
     print("\n-- never-certified backlog (current PRIORITY order) --")
     order = {n: i for i, n in enumerate(corpus.PRIORITY)}
     for n in sorted(backlog, key=lambda n: order.get(n, 10**6)):

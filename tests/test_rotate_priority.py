@@ -52,12 +52,15 @@ class TestRotation:
         corpus = _load_corpus_module()
         cert = certified_names()
         rot = rotation([])
+        n_recert = len(
+            [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
+        )
         n_backlog = sum(
             1
             for n in corpus.CORPUS
             if n not in cert and corpus.CORPUS[n].oracle is not None
         )
-        head = rot[:n_backlog]
+        head = rot[n_recert : n_recert + n_backlog]
         assert all(
             n not in cert and corpus.CORPUS[n].oracle is not None
             for n in head
@@ -71,11 +74,27 @@ class TestRotation:
             corpus.CORPUS[n].oracle is None for n in tail if n in cert
         )
 
-    def test_lead_pins_the_head(self):
+    def test_recert_queue_auto_leads(self):
+        """corpus.RECERT (changed implementations awaiting a fresh
+        driver row) must head EVERY mechanical rotation without any
+        flag — a rotation that dropped them would ship a changed
+        implementation uncertified (the r5 miss class)."""
         corpus = _load_corpus_module()
-        some = list(corpus.CORPUS)[:3]
+        recert = [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
+        if not recert:
+            import pytest
+
+            pytest.skip("RECERT queue empty at HEAD")
+        rot = rotation([])
+        assert rot[: len(recert)] == recert
+
+    def test_lead_pins_the_head_after_recerts(self):
+        corpus = _load_corpus_module()
+        recert = [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
+        some = [n for n in list(corpus.CORPUS) if n not in set(recert)][:3]
         rot = rotation(some)
-        assert rot[:3] == some
+        assert rot[: len(recert)] == recert
+        assert rot[len(recert) : len(recert) + 3] == some
         assert sorted(rot) == sorted(corpus.CORPUS)
 
     def test_unknown_lead_names_are_dropped(self):
