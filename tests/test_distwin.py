@@ -471,3 +471,50 @@ class TestEmptyInput:
             )
         finally:
             packing.release_caches()
+
+
+class TestPackBinsRandomized:
+    """pack_bins against an INDEPENDENT python prefix-sum oracle (not a
+    Spark window): randomized per-group weight streams, zero weights,
+    bins smaller/larger than any document, groups with one row."""
+
+    def test_pack_bins_matches_python_prefix_sum(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from iceberg_rs_spark.operators.packing import pack_bins
+
+        row = st.tuples(
+            st.integers(min_value=0, max_value=1),   # group
+            st.integers(min_value=0, max_value=7),   # weight (0 allowed)
+        )
+
+        @given(
+            rows=st.lists(row, min_size=1, max_size=25),
+            ctx=st.sampled_from([1, 3, 8]),
+        )
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        def run(rows, ctx):
+            data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+            df = spark.createDataFrame(data, "id long, g int, w long")
+            try:
+                got = {
+                    (r["g"], r["id"]): r["bin"]
+                    for r in pack_bins(
+                        df, "id", "w", ctx, num_partitions=3, group_cols=["g"]
+                    ).collect()
+                }
+            finally:
+                packing.release_caches()
+            exp = {}
+            offsets = {0: 0, 1: 0}
+            for i, g, w in sorted(data):
+                exp[(g, i)] = offsets[g] // ctx
+                offsets[g] += w
+            assert got == exp
+
+        run()
