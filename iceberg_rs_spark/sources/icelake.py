@@ -1702,9 +1702,40 @@ class Table:
 
     def drop_column(self, name: str) -> None:
         def build(cur: IceSchema, last_col: int):
-            if not cur.field_by_name(name):
+            f = cur.field_by_name(name)
+            if not f:
                 raise KeyError(f"no column {name}")
-            return [f for f in cur.fields if f.name != name], last_col
+            # The write path derives partition values and sort keys
+            # from the CURRENT schema by source field id
+            # (_partition_exprs / _write_data_files): dropping a source
+            # column would leave every subsequent write crashing on an
+            # unresolvable id (observed: AttributeError deep in
+            # _partition_exprs) — reject with the evolution to run
+            # first instead. OLD (non-default) specs are fine to orphan:
+            # their files' partition values live in the manifests and
+            # are never re-derived from data.
+            md = self.metadata
+            for pf in md.default_spec().fields:
+                if pf.source_id == f.id and pf.transform.kind != "void":
+                    raise ValueError(
+                        f"cannot drop {name!r}: partition field "
+                        f"{pf.name!r} of the default spec derives from "
+                        "it; evolve the spec first (set_partition_spec)"
+                    )
+            for sf in md.default_sort_order().fields:
+                if sf.source_id == f.id:
+                    raise ValueError(
+                        f"cannot drop {name!r}: the default sort order "
+                        "references it; set a new write order first "
+                        "(write_ordered_by)"
+                    )
+            if f.id in tuple(cur.identifier_field_ids or ()):
+                raise ValueError(
+                    f"cannot drop identifier field {name!r}: it is the "
+                    "row-identity key equality deletes are written "
+                    "against"
+                )
+            return [x for x in cur.fields if x.name != name], last_col
 
         self._evolve_schema(build)
 

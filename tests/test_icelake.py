@@ -1978,3 +1978,46 @@ class TestReviewFindingsR6:
         parts = [r["partition"] for r in t.files().collect()]
         assert parts and all(p.get("event_type") is None for p in parts)
         assert t.scan().count() == 4
+
+
+class TestDropColumnGuards:
+    """drop_column must refuse to orphan a field id the WRITE PATH still
+    resolves from the current schema (default partition spec source,
+    default sort-order source, identifier field) — before the guard,
+    the drop succeeded and every later write crashed with an opaque
+    AttributeError deep in _partition_exprs, leaving the table
+    write-wedged. Old (non-default) specs may be orphaned: their files'
+    partition values live in the manifests, never re-derived."""
+
+    def test_partition_source_refused_until_spec_evolves(self, catalog, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5, 10), (2, "b", 6, 20)],
+            "id long, s string, v int, w int",
+        )
+        t = catalog.create_table(
+            "db.dropguard_part", df.schema, partition_by=[("id", "bucket[4]")]
+        )
+        t.append(df)
+        with pytest.raises(ValueError, match="partition field"):
+            t.drop_column("id")
+        # non-source columns still droppable, table still writable
+        t.drop_column("s")
+        t.append(spark.createDataFrame([(3, 7, 30)], "id long, v int, w int"))
+        assert t.scan().count() == 3
+        # the documented escape hatch: evolve the spec, then drop
+        t.set_partition_spec(["v"])
+        t.drop_column("id")
+        t.append(spark.createDataFrame([(9, 90)], "v int, w int"))
+        assert t.scan().count() == 4
+
+    def test_sort_order_source_refused(self, catalog, spark):
+        df = spark.createDataFrame([(1, 5)], "id long, v int")
+        t = catalog.create_table("db.dropguard_sort", df.schema)
+        t.append(df)
+        t.write_ordered_by([("v", "identity", "asc", "nulls-first")])
+        with pytest.raises(ValueError, match="sort order"):
+            t.drop_column("v")
+        t.write_ordered_by([("id", "identity", "asc", "nulls-first")])
+        t.drop_column("v")
+        t.append(spark.createDataFrame([(2,)], "id long"))
+        assert t.scan().count() == 2
