@@ -175,6 +175,15 @@ def minhash_candidate_pairs(
     shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a < id_b) pairs sharing at least one LSH band bucket."""
+    if num_hashes % bands:
+        # Silent truncation would quietly change the s-curve the caller
+        # tuned (bands x rows sets the similarity threshold); make the
+        # geometry explicit instead.
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}; "
+            f"{num_hashes - bands * (num_hashes // bands)} signature "
+            "rows would be silently unused"
+        )
     rows_per_band = num_hashes // bands
     # The bucket self-join references the signature relation twice;
     # signatures are one row of `num_hashes` longs per doc — a trivial
@@ -421,8 +430,12 @@ def simhash_fingerprints(
     """(id, _fp) — the scalable SimHash: explode tokens, hash each
     once (codegen md5), then 60 per-bit sign sums in one hash
     aggregation (map-side partials: 60 longs per doc cross the
-    network, not the tokens). Equivalent to :func:`simhash` but stays
-    in whole-stage codegen instead of interpreted HOF evaluation."""
+    network, not the tokens). Matches :func:`simhash` bit-for-bit on
+    every non-NULL document (blank text tokenizes to the [""]
+    pseudo-token in both). NULL text differs: the column expression
+    yields a NULL fingerprint, while the explode drops the row from
+    this output entirely — callers needing every row should left-join
+    back."""
     w = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_w")
     )

@@ -1049,3 +1049,41 @@ class TestSaltedJoinHowGuard:
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, exp.collect())
         )
+
+
+class TestDedupGeometryGuards:
+    def test_indivisible_band_geometry_rejected(self, spark):
+        """12 hashes / 5 bands would silently drop 2 signature rows and
+        shift the tuned s-curve — must raise instead."""
+        from iceberg_rs_spark.operators.dedup import minhash_candidate_pairs
+
+        df = _docs(spark, [(1, "one two three four")])
+        with pytest.raises(ValueError, match="not divisible"):
+            minhash_candidate_pairs(df, num_hashes=12, bands=5)
+
+    def test_simhash_blank_and_null_contract(self, spark):
+        """Blank text tokenizes to the [""] pseudo-token, so BOTH
+        simhash forms agree on it bit-for-bit; NULL text is the one
+        divergence — NULL fingerprint from the column expression, row
+        dropped by the explode-based variant. Pinned so neither
+        silently changes."""
+        from iceberg_rs_spark.operators.dedup import (
+            simhash,
+            simhash_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello world hello"), (2, "   "), (3, None)],
+            "doc_id long, text string",
+        )
+        col_fp = {
+            r["doc_id"]: r["fp"]
+            for r in df.select("doc_id", simhash(F.col("text")).alias("fp")).collect()
+        }
+        assert col_fp[1] != 0 and col_fp[2] is not None and col_fp[3] is None
+        agg_fp = {
+            r["doc_id"]: r["_fp"] for r in simhash_fingerprints(df).collect()
+        }
+        assert set(agg_fp) == {1, 2}            # NULL-text row dropped
+        assert agg_fp[1] == col_fp[1]           # bit-identical
+        assert agg_fp[2] == col_fp[2]           # blank text agrees too
