@@ -5,7 +5,7 @@ query: CartesianProduct nodes, BroadcastNestedLoopJoin nodes, and
 Window operators fed by a single-partition Exchange. The repo's
 standing posture (SURVEY.md §Scale-posture):
 
-- CartesianProduct: ZERO anywhere (round-5 audit: 0/294);
+- CartesianProduct: ZERO anywhere (round-5 audit: 0/294; recorded per-run in BENCH_FULL.json since round 6);
 - BroadcastNestedLoopJoin: allowed only when the broadcast side is a
   1-row scalar, a literal frame, or a k-bounded top-k result;
 - single-partition Windows: allowed only over bounded rollups
@@ -17,7 +17,7 @@ Run:  python scripts/plan_audit.py            # sf0.001
 
 The per-query gates in tests/test_plan_quality.py enforce the
 load-bearing cases in CI; this sweep is the periodic full audit (it
-executes all 294 queries, ~8 min — too slow for the default suite).
+executes the full corpus (295 queries as of round 6), ~8 min — too slow for the default suite).
 """
 
 from __future__ import annotations
