@@ -7,8 +7,9 @@ session shape: partition count (float fold order, pandas-UDF batch
 boundaries), the Arrow toPandas path, or shuffle sizing. This script
 re-runs corpus queries against their DuckDB oracles under a
 DELIBERATELY different session — fewer cores, 200 shuffle partitions,
-Arrow disabled — so any such sensitivity fails here, before a driver
-round burns a certification slot on it.
+Arrow disabled, optionally a non-UTC session timezone (--timezone) —
+so any such sensitivity fails here, before a driver round burns a
+certification slot on it.
 
     python scripts/perturbed_drive.py            # the 50-query driver window
     python scripts/perturbed_drive.py --all      # every hash-checked query
@@ -47,6 +48,12 @@ def main() -> None:
                     help="comma-separated explicit query names")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--shuffle-partitions", type=int, default=200)
+    ap.add_argument("--timezone", default=None,
+                    help="session timezone override (e.g. America/New_York). "
+                         "get_spark pins UTC, but the DRIVER's session may "
+                         "not — a pass under a shifted tz proves every "
+                         "oracle-checked result is tz-independent (NTZ "
+                         "arithmetic end to end)")
     args = ap.parse_args()
 
     import duckdb
@@ -60,6 +67,8 @@ def main() -> None:
         extra_conf={"spark.sql.execution.arrow.pyspark.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.timezone:
+        spark.conf.set("spark.sql.session.timeZone", args.timezone)
 
     import iceberg_rs_spark.plans  # noqa: F401 — populate the registry
     from iceberg_rs_spark.plans import corpus
