@@ -401,9 +401,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets), so neither engine needs a distinct. Recall bars (incl.
     ≥0.8 on planted near-dups) remain asserted against brute force in
     tests/test_operators.py; the ranking cut itself is certified here.
-    Sibling queries sim_topk_ivf / sim_pq_topk stay rows-only: their
-    Lloyd refinement averages floats in partition order, which no
-    static oracle can replay."""
+    Sibling queries sim_topk_ivf / sim_pq_topk are hash-checked the
+    same way since r7, pinned to their seeds-only (lloyd_iters=0)
+    index form."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -414,25 +414,93 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: sim_topk_ivf's pinned index geometry (must match the oracle below):
+#: 16 seeds-only lists (lloyd_iters=0 — centroids are a pure function
+#: of the portable h60 hash order), 6 probed per query.
+_TOPK_IVF_CENTROIDS, _TOPK_IVF_PROBE = 16, 6
+
+
+def _cosq(a: str, b: str) -> str:
+    """DuckDB left-fold cosine of two DOUBLE[] columns — the same
+    sequential IEEE additions as the JVM fold / numpy per-dim loop."""
+    dot = f"list_sum([{a}[i] * {b}[i] for i in generate_series(1, 64)])"
+    na = f"sqrt(list_sum([{a}[i] * {a}[i] for i in generate_series(1, 64)]))"
+    nb = f"sqrt(list_sum([{b}[i] * {b}[i] for i in generate_series(1, 64)]))"
+    return f"{dot} / ({na} * {nb})"
+
+
 @query(
     "sim_topk_ivf",
-    oracle=None,  # approximate: Lloyd means fold floats in partition order
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 5),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY {h60_sql('CAST(vec_id AS VARCHAR)')}, vec_id) - 1 AS c,
+               v AS cv
+        FROM base
+        ORDER BY {h60_sql('CAST(vec_id AS VARCHAR)')}, vec_id
+        LIMIT {_TOPK_IVF_CENTROIDS}),
+    asn AS (
+        SELECT vec_id, c AS cid FROM (
+            SELECT base.vec_id, s.c,
+                   ROW_NUMBER() OVER (PARTITION BY base.vec_id
+                       ORDER BY {_cosq('base.v', 's.cv')} DESC, s.c) AS rn
+            FROM base CROSS JOIN seeds s)
+        WHERE rn = 1),
+    probe AS (
+        SELECT qid, c AS cid FROM (
+            SELECT q.qid, s.c,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY {_cosq('q.qv', 's.cv')} DESC, s.c) AS rn
+            FROM q CROSS JOIN seeds s)
+        WHERE rn <= {_TOPK_IVF_PROBE}),
+    scored AS (
+        SELECT p.qid AS query_id, e.vec_id, {_cosq('q.qv', 'e.v')} AS cos
+        FROM asn a
+        JOIN base e ON e.vec_id = a.vec_id
+        JOIN probe p ON a.cid = p.cid
+        JOIN q ON q.qid = p.qid
+        WHERE e.vec_id != p.qid)
+    SELECT query_id, vec_id, {rhalf_sql('cos', 4)} AS cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
     tags=("llm", "similarity", "ivf", "approx"),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via an IVF inverted-file index (the second
-    classic ANN scale path next to LSH): Lloyd-refined centroids,
-    broadcast-argmin assignment, each query probes only its n_probe
-    nearest lists — n_probe/n_centroids of the data scanned. Excluded
-    from hash-checking (approx); recall ≥ threshold is asserted
-    against brute force in tests/test_operators.py."""
+    classic ANN scale path next to LSH): broadcast-argmin centroid
+    assignment, each query probes only its n_probe nearest lists —
+    n_probe/n_centroids of the data scanned. HASH-CHECKED since r7
+    (VERDICT r6 ask #5), pinned to seeds-only centroids
+    (lloyd_iters=0): the index is then a pure function of the portable
+    h60 hash order, so the oracle rebuilds the identical 16 centroids
+    and replays assignment, 6-list probing, and the exact-cosine rank
+    cut in SQL — the sim_ann_agreement_ivf replay extended from a
+    top-1 agreement scalar to the full top-k table. Every mechanism of
+    operators/similarity.ivf_topk (h60 seeding, fold-order-matched
+    numpy assignment, broadcast probe fan-out, dimension-sequential
+    Arrow cosine) runs for real on the Spark side; Lloyd refinement
+    only moves centroids and keeps its recall bars in
+    tests/test_operators.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6).orderBy(
-        "query_id", "rank"
+    topk = S.ivf_topk(
+        emb,
+        queries,
+        k=5,
+        n_centroids=_TOPK_IVF_CENTROIDS,
+        n_probe=_TOPK_IVF_PROBE,
+        lloyd_iters=0,
     )
+    return topk.select(
+        "query_id", "vec_id", rhalf(F.col("cos"), 4).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")
 
 
 _AGREE_PLANES = 2  # pinned so the oracle rebuilds the identical buckets

