@@ -45,12 +45,180 @@ CORPUS: dict[str, QuerySpec] = {}
 #: list pointing at (a) queries with no green driver row yet and (b)
 #: queries whose implementation changed since their last green row.
 PRIORITY: list[str] = [
-    # --- r6 driver window (first 50): the entire never-driver-certified
-    # backlog from CORRECTNESS_r01-r05 (VERDICT r5 ask #1), family-grouped
-    # fn->win->sim->text->pipeline->graph->join->table, led by the one new
-    # judge-requested query and the one changed-but-uncertified query.
-    "table_incremental_scan_compacted",  # NEW r6: VERDICT r5 ask #4 — slow-path incremental scan across a compaction
-    "text_vocab_growth_heaps",  # REWRITTEN r5 (multi-weight prefix sum), never certified — ADVICE r5 #1
+    # Mechanically rotated by scripts/rotate_priority.py --write:
+    # RECERT queue + --lead first, then never-driver-certified
+    # (hash-certifiable) queries family-grouped; certified names
+    # follow in prior order; rows-only last.
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_pq_topk",
+    "table_vacuum_lifecycle_audit",
+    "table_snapshot_ancestry",
+    "table_partition_evolution_reads",
+    "sub_in_exists_family",
+    "sub_quantified_all_any",
+    "dedup_lsh_quality_eval",
+    "dedup_component_size_profile",
+    "ingest_orc_roundtrip",
+    "ts_cross_correlation_leadlag",
+    "agg_collect_sorted",
+    "agg_cube_orders",
+    "agg_decimal_exact",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_revenue",
+    "agg_stats_by_nation",
+    "fn_cast_matrix",
+    "fn_conditional_null",
+    "fn_datetime_family",
+    "fn_epoch_transforms",
+    "fn_map_ops",
+    "fn_map_struct_json",
+    "fn_regex_family",
+    "fn_string_family",
+    "join_anti_inactive_1995",
+    "join_asof_purchase_after_signup",
+    "join_cross_region_nation",
+    "join_full_outer_daily_activity",
+    "join_inner_customer_totals",
+    "join_interval_overlap_orders",
+    "join_left_missing_side",
+    "join_range_size_buckets",
+    "join_semi_big_spenders",
+    "join_theta_late_shipments",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "setop_drop_duplicates",
+    "setop_except_all",
+    "setop_except_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "sort_four_null_orderings",
+    "sub_scalar_correlated",
+    "win_first_last_nth",
+    "win_lag_lead_order_gaps",
+    "win_moving_avg",
+    "win_range_frame_balance",
+    "win_rank_family",
+    "win_running_totals",
+    "win_topk_per_group",
+    "agg_approx_sketches",
+    "agg_dispersion_variants",
+    "dedup_exact_content_hash",
+    "dedup_simhash_fingerprints",
+    "fn_array_family2",
+    "fn_array_generators",
+    "fn_conditional_null2",
+    "fn_datetime_family2",
+    "fn_hash_engine_specific",
+    "fn_hash_portable",
+    "fn_json_family2",
+    "fn_map_family2",
+    "fn_null_safe_equality",
+    "fn_string_family2",
+    "fn_struct_inline",
+    "ingest_csv_json_parquet",
+    "multimodal_decode_features",
+    "sim_topk_bruteforce",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_tumbling_window",
+    "table_add_files_name_mapping",
+    "table_branch_tag_reads",
+    "table_incremental_scan",
+    "table_operation_sequence",
+    "table_scan_pushdown",
+    "table_schema_evolution_scan",
+    "table_snapshots_metadata",
+    "table_time_travel",
+    "text_language_id",
+    "text_stats_profile",
+    "text_token_counts_by_lang",
+    "udf_grouped_agg_median",
+    "udf_grouped_map_zscore",
+    "udf_map_in_arrow_bytes",
+    "udf_scalar_pandas_bucket",
+    "udf_scalar_python_classify",
+    "udf_udtf_sequence",
+    "agg_corr_covar",
+    "agg_percentiles_regression",
+    "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_matrix",
+    "dedup_simhash_near_pairs",
+    "fn_array_hof_family",
+    "fn_math_family",
+    "fn_unpivot_melt",
+    "join_lateral_topn",
+    "multimodal_audio_features",
+    "multimodal_resize_thumbnail",
+    "multimodal_video_frame_sample",
+    "pipeline_sequence_packing",
+    "pipeline_train_test_split",
+    "pipeline_training_data",
+    "prepare_training_corpus",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q13_customer_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_ann_agreement",
+    "sim_embedding_high_pairs",
+    "stream_ingest_icelake",
+    "stream_stateful_user_sessions",
+    "stream_stream_abandoned_clicks",
+    "table_mor_delete",
+    "table_typed_columns_roundtrip",
+    "table_zorder_rewrite",
+    "text_repetition_signals",
+    "ts_gapfill_interpolate",
+    "pipeline_dedup_purge",
+    "sim_quantized_grouped_topk",
+    "sim_quantized_topk",
+    "table_changelog_scan",
+    "table_partition_drop_metadata_only",
+    "table_partitions_metadata",
+    "table_rewrite_deletes",
+    "table_rollback_restore",
+    "table_wap_publish",
+    "agg_weighted_percentiles",
+    "events_concurrent_peak",
+    "events_powerlaw_rank_fit",
+    "events_revenue_pareto_deciles",
+    "pipeline_curriculum_stages",
+    "sim_knn_classify",
+    "stream_cdc_upsert_icelake",
+    "table_incremental_rollup_maintenance",
+    "table_merge_upsert_mor",
+    "win_skyline_pareto_frontier",
+    "table_incremental_scan_compacted",
+    "text_vocab_growth_heaps",
     "fn_variant_semistructured",
     "fn_collation_ci_grouping",
     "fn_try_error_safe",
@@ -99,35 +267,9 @@ PRIORITY: list[str] = [
     "join_asof_tolerance_left",
     "join_interval_coalesce_union",
     "table_branch_diff_audit",
-    # --- r7 queue: the 9 never-certified queries the 50-window cannot
-    # hold this round (VERDICT r5 ask #2) -- they lead round 7.
-    "table_vacuum_lifecycle_audit",
-    "table_snapshot_ancestry",
-    "table_partition_evolution_reads",
-    "sub_in_exists_family",
-    "sub_quantified_all_any",
-    "dedup_lsh_quality_eval",
-    "dedup_component_size_profile",
-    "ingest_orc_roundtrip",
-    "ts_cross_correlation_leadlag",
-    "sim_topk_lsh",  # UPGRADED r6: replay oracle added (was rows-only) — first hash certification pending
-    # --- changed-implementation re-certs (see RECERT below): queued here
-    # for the first driver window with free slots.
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
-    # --- r5 window (all certified green in CORRECTNESS_r05) ---
     "stream_windowed_distinct_users",
     "udf_arrow_python_scalar",
-    "sim_knn_classify",
-    "pipeline_curriculum_stages",
-    "events_revenue_pareto_deciles",
-    "events_powerlaw_rank_fit",
     "agg_smoothed_rate_ranking",
-    "events_concurrent_peak",
-    "table_incremental_rollup_maintenance",
-    "table_merge_upsert_mor",
-    "stream_cdc_upsert_icelake",
-    "agg_weighted_percentiles",
     "events_funnel_daily",
     "events_inactivity_churn",
     "events_ab_test_lift",
@@ -163,7 +305,45 @@ PRIORITY: list[str] = [
     "ts_autocorrelation_lags",
     "ts_cusum_changepoint",
     "ts_weekday_seasonal_index",
-    "win_skyline_pareto_frontier",
+    "text_winnowing_fingerprints",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "text_pii_redaction",
+    "pipeline_decontaminate_ngrams",
+    "text_boilerplate_ngrams",
+    "join_bloom_prefilter",
+    "events_rolling_active_users",
+    "events_sessionization_batch",
+    "events_attribution_last_touch",
+    "pipeline_scd2_intervals",
+    "pipeline_ngram_lm_quality",
+    "pipeline_stratified_sample",
+    "pipeline_domain_cap",
+    "events_path_transitions",
+    "text_tfidf_keywords",
+    "text_zipf_token_curve",
+    "multimodal_pixel_dedup",
+    "fn_bitwise_family",
+    "fn_trig_family",
+    "agg_histogram_numeric",
+    "agg_higher_moments",
+    "events_rfm_segments",
+    "events_anomaly_daily_zscore",
+    "sim_centroid_per_label",
+    "pipeline_mixture_weights",
+    "join_pit_dimension",
+    "stream_trending_topk",
+    "graph_pagerank_trade",
+    "quality_expectations",
+    "agg_heavy_hitters_mg",
+    "pipeline_vocab_coverage",
+    "dedup_url_canonical",
+    "fn_string_distance",
+    "graph_triangle_count",
+    "ts_downsample_m4",
+    "ts_exp_decay_features",
+    "pipeline_filter_funnel",
+    "dedup_cluster_survivorship",
 ]
 
 #: Changed-implementation re-certification queue: names whose latest

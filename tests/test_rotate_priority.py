@@ -48,7 +48,14 @@ class TestRotation:
         rot = rotation([])
         assert sorted(rot) == sorted(corpus.CORPUS)
 
-    def test_backlog_leads_and_rows_only_trail(self):
+    def test_backlog_leads_then_derived_recerts(self):
+        """Rotation contract (r7): hand RECERT first, then the ENTIRE
+        never-certified backlog, then git-derived re-cert candidates
+        (certified, but implementation changed since their green row),
+        then everything else — so a 50-window always drains the
+        highest-value names first."""
+        from scripts.rotate_priority import derived_recert
+
         corpus = _load_corpus_module()
         cert = certified_names()
         rot = rotation([])
@@ -65,13 +72,54 @@ class TestRotation:
             n not in cert and corpus.CORPUS[n].oracle is not None
             for n in head
         )
-        n_no_oracle = sum(
-            1 for n in corpus.CORPUS if corpus.CORPUS[n].oracle is None
+        derived = {
+            n
+            for n in derived_recert()
+            if n in corpus.CORPUS and n not in set(rot[: n_recert + n_backlog])
+        }
+        mid = rot[n_recert + n_backlog : n_recert + n_backlog + len(derived)]
+        assert set(mid) == derived
+        # among the rest, never-certified (rows-only) queries sort
+        # ahead of certified ones (ADVICE r6 #1), certified rows-only
+        # queries at the very end
+        rest = rot[n_recert + n_backlog + len(derived) :]
+        flags = [n in cert for n in rest]
+        assert flags == sorted(flags)
+        cert_rest = [n for n in rest if n in cert]
+        oracle_flags = [corpus.CORPUS[n].oracle is None for n in cert_rest]
+        assert oracle_flags == sorted(oracle_flags)
+
+    def test_stale_priority_head_fails_ci(self):
+        """VERDICT r6 ask #2: a stale PRIORITY head must FAIL CI, not
+        print a log line. Whenever the never-certified backlog is
+        non-empty, the committed corpus.PRIORITY's first 50 entries
+        must contain every backlog name that fits (the mechanical
+        rotation puts the whole backlog right after the hand RECERT
+        queue) — a head of 50 already-green names while the backlog
+        waits means a driver round certifies nothing new (the r5 AND
+        r6 repeat miss). Fix: run scripts/rotate_priority.py --write
+        and commit."""
+        corpus = _load_corpus_module()
+        cert = certified_names()
+        backlog = [
+            n
+            for n in corpus.CORPUS
+            if n not in cert and corpus.CORPUS[n].oracle is not None
+        ]
+        if not backlog:
+            import pytest
+
+            pytest.skip("backlog empty — nothing a stale head could starve")
+        head50 = [n for n in corpus.PRIORITY if n in corpus.CORPUS][:50]
+        n_recert = len(
+            [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
         )
-        tail = rot[-n_no_oracle:]
-        # every certified no-oracle query sorts to the very end
-        assert all(
-            corpus.CORPUS[n].oracle is None for n in tail if n in cert
+        fits = min(len(backlog), 50 - n_recert)
+        missing = [n for n in backlog if n not in head50]
+        assert len(backlog) - len(missing) >= fits, (
+            f"PRIORITY head is STALE: {missing} never-certified but outside "
+            "the 50-query driver window; run scripts/rotate_priority.py "
+            "--write and commit"
         )
 
     def test_recert_queue_auto_leads(self):
@@ -136,6 +184,36 @@ class TestCertifiedNames:
         got = certified_names(paths=[str(rec)])
         assert oracle_q not in got  # hash failure stays in the backlog
         assert rows_only_q in got  # rows-only passes on rows_match
+
+    def test_no_oracle_row_certifies_rows_only_queries_only(self, tmp_path):
+        """The driver records a rows-only query's weaker check as
+        err='no_oracle' + spark_rows (rows_match stays None) — that row
+        IS the declared-rule pass (ADVICE r6 #1: the old rows_match
+        rule made rows-only queries permanently uncertifiable). The
+        SAME row shape must NOT certify an oracle-backed query: the
+        sim_topk_* r02/r03 no_oracle rows predate their oracles."""
+        import json
+
+        corpus = _load_corpus_module()
+        oracle_q = next(
+            n for n in corpus.CORPUS if corpus.CORPUS[n].oracle is not None
+        )
+        rows_only_q = next(
+            n for n in corpus.CORPUS if corpus.CORPUS[n].oracle is None
+        )
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": 25,
+            "oracle_rows": None,
+            "err": "no_oracle",
+        }
+        rec = tmp_path / "CORRECTNESS_rZZ.json"
+        rec.write_text(json.dumps({oracle_q: row, rows_only_q: row}))
+        got = certified_names(paths=[str(rec)])
+        assert rows_only_q in got
+        assert oracle_q not in got
 
     def test_errored_row_never_certifies(self, tmp_path):
         corpus = _load_corpus_module()
