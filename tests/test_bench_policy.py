@@ -40,12 +40,33 @@ class TestBreachesPin:
             )
 
 
+class TestBreachesPrev:
+    def test_prev_band_is_15x_with_absolute_slack(self):
+        """The flagged_vs_previous band: >1.5x AND >0.3s over. Since r7
+        this band also triggers a cold re-time (VERDICT r6 ask #4), so
+        any surviving flag was slow on BOTH executions."""
+        assert bench.breaches_prev(1.64, 1.0)  # the r6 pseudo-drift shape
+        assert not bench.breaches_prev(1.45, 1.0)  # under the ratio
+        assert not bench.breaches_prev(0.5, 0.25)  # 2x but sub-slack
+        # boundaries are exclusive
+        assert not bench.breaches_prev(1.5, 1.0)
+        assert not bench.breaches_prev(0.75, 0.5)
+
+
 class TestRetimeDecision:
-    def test_gc_oneoff_retry_accepted_and_min_recorded(self):
+    def test_gc_oneoff_retry_accepted_and_floored_at_pin(self):
         # observed shape: 2.6s GC one-off over a 1.0s pin, 0.9s steady
-        # retry (90% of pin)
+        # retry (90% of pin). Recorded = min(first, max(retry, pin)):
+        # the retry runs in a fully warmed process at the end of the
+        # sweep, so recording it raw would drift totals and the next
+        # round's `prev` downward (ADVICE r6 #2) — the floor is the pin.
         accepted, recorded = bench.retime_decision(2.6, 0.9, pinned=1.0)
-        assert accepted and recorded == 0.9
+        assert accepted and recorded == 1.0
+
+    def test_retry_above_pin_records_the_min(self):
+        # a steady-but-slower-than-pin retry is recorded as measured
+        accepted, recorded = bench.retime_decision(2.6, 1.3, pinned=1.0)
+        assert accepted and recorded == 1.3
 
     def test_warm_fixture_retry_rejected_keeps_first(self):
         # fixture-cache warm retry (milliseconds, ~4% of the pin) must
@@ -69,6 +90,18 @@ class TestRetimeDecision:
         first sample 2.01s, genuine cold retry 0.46s. A first-sample-
         denominated bar (25% of 2.01 = 0.50) rejected the retry and left
         a spurious over-2x flag; the pin-denominated bar accepts it
-        (0.46 = 53% of the pin) and records the honest min."""
+        (0.46 = 53% of the pin). Since r7 the recorded value is the PIN,
+        not the raw warm retry (ADVICE r6 #2 downward-drift guard)."""
         accepted, recorded = bench.retime_decision(2.009, 0.4647, pinned=0.8782)
-        assert accepted and recorded == 0.4647
+        assert accepted and recorded == 0.8782
+
+    def test_accepted_retime_never_records_below_the_pin(self):
+        """Drift invariant (ADVICE r6 #2): for any accepted retime the
+        recorded value is >= min(first, pin), so a sweep-warmed retry
+        can never ratchet recorded totals below cold cost."""
+        cases = [(2.6, 0.9, 1.0), (2.0, 0.5, 0.9), (3.1, 1.1, 1.0),
+                 (1.64, 0.41, 1.0)]
+        for first, retry, pin in cases:
+            accepted, recorded = bench.retime_decision(first, retry, pin)
+            if accepted:
+                assert recorded >= min(first, pin)
