@@ -298,3 +298,229 @@ class TestWriteRoundTrip:
         once = copy.read_text()
         write_priority(rot, path=str(copy))
         assert copy.read_text() == once
+
+
+class TestDerivedRecertFingerprints:
+    """The git-derived RECERT sweep (VERDICT r6 ask #7) hinges on the
+    statement-level fingerprint: a false NEGATIVE ships a changed
+    implementation uncertified (the r5/r6 miss class), a false POSITIVE
+    only spends a driver slot. These tests pin the sensitivity matrix
+    against a synthetic git repo shaped like the real package."""
+
+    BUILDER = '''\
+from iceberg_rs_spark.plans.corpus import query
+from iceberg_rs_spark.operators import op as OP
+from iceberg_rs_spark.functions.hashing import h60_sql
+
+K_PROBE = 6
+
+
+def helper(x):
+    return x + K_PROBE
+
+
+@query("q_alpha", oracle=f"SELECT {h60_sql('c')} AS h, {K_PROBE} AS k")
+def q_alpha(spark, sf_dir):
+    """Alpha docstring."""
+    return helper(OP.run(spark))
+
+
+@query("q_beta", oracle="SELECT 2")
+def q_beta(spark, sf_dir):
+    """Beta docstring."""
+    return 2
+'''
+
+    FILES = {
+        "iceberg_rs_spark/__init__.py": "",
+        "iceberg_rs_spark/plans/__init__.py": "",
+        "iceberg_rs_spark/plans/corpus.py": (
+            "CORPUS = {}\n"
+            "PRIORITY: list[str] = []\n"
+            "RECERT: list[str] = []\n"
+            "def query(name, oracle=None, tags=()):\n"
+            "    def deco(fn):\n"
+            "        CORPUS[name] = (fn, oracle)\n"
+            "        return fn\n"
+            "    return deco\n"
+        ),
+        "iceberg_rs_spark/plans/mini.py": BUILDER,
+        "iceberg_rs_spark/operators/__init__.py": "",
+        "iceberg_rs_spark/operators/op.py": (
+            "LIMIT = 10\n"
+            "def run(spark):\n"
+            "    return LIMIT\n"
+        ),
+        "iceberg_rs_spark/functions/__init__.py": "",
+        "iceberg_rs_spark/functions/hashing.py": (
+            "def h60_sql(c):\n"
+            "    return f'hash({c})'\n"
+        ),
+    }
+
+    def _repo(self, tmp_path, monkeypatch):
+        import subprocess
+
+        import scripts.rotate_priority as rp
+
+        for rel, src in self.FILES.items():
+            p = tmp_path / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(src)
+        env_git = ["git", "-c", "user.email=t@t", "-c", "user.name=t"]
+        subprocess.run(["git", "init", "-q"], cwd=tmp_path, check=True)
+        subprocess.run(
+            [*env_git, "add", "-A"], cwd=tmp_path, check=True
+        )
+        subprocess.run(
+            [*env_git, "commit", "-q", "-m", "base"], cwd=tmp_path, check=True
+        )
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=tmp_path,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        monkeypatch.setattr(rp, "REPO", str(tmp_path))
+        self._clear_caches()
+        return rp, commit
+
+    @staticmethod
+    def _clear_caches():
+        import scripts.rotate_priority as rp
+
+        rp._mod_to_path.cache_clear()
+        rp._tree.cache_clear()
+        rp._tree_blobs.cache_clear()
+        rp._last_green_rounds.cache_clear()
+        rp._derived_recert_cached.cache_clear()
+
+    def _fp_pair(self, rp, commit, name):
+        wt, _ = rp._tree(None).fingerprint(
+            "iceberg_rs_spark/plans/mini.py", name
+        )
+        at, _ = rp._tree(commit).fingerprint(
+            "iceberg_rs_spark/plans/mini.py", name
+        )
+        return wt, at
+
+    def _edit(self, tmp_path, rel, old, new):
+        p = tmp_path / rel
+        p.write_text(p.read_text().replace(old, new))
+        self._clear_caches()
+
+    def test_docstring_and_comment_edits_never_flag(
+        self, tmp_path, monkeypatch
+    ):
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/plans/mini.py",
+            '"""Alpha docstring."""',
+            '"""Rewritten docstring. # with a comment-looking tail"""',
+        )
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/operators/op.py",
+            "LIMIT = 10",
+            "LIMIT = 10  # new trailing comment",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt == at
+
+    def test_sibling_query_edit_does_not_flag(self, tmp_path, monkeypatch):
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/plans/mini.py",
+            "return 2",
+            "return 3",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt == at
+        wt_b, at_b = self._fp_pair(rp, commit, "q_beta")
+        assert wt_b != at_b
+
+    def test_shared_constant_and_helper_edits_flag(
+        self, tmp_path, monkeypatch
+    ):
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/plans/mini.py",
+            "K_PROBE = 6",
+            "K_PROBE = 8",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at  # referenced constant feeds the oracle f-string
+
+    def test_oracle_string_edit_flags(self, tmp_path, monkeypatch):
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/plans/mini.py",
+            'oracle="SELECT 2"',
+            'oracle="SELECT 2 AS two"',
+        )
+        wt, at = self._fp_pair(rp, commit, "q_beta")
+        assert wt != at
+        wt_a, at_a = self._fp_pair(rp, commit, "q_alpha")
+        assert wt_a == at_a
+
+    def test_module_alias_dep_flags_on_any_statement(
+        self, tmp_path, monkeypatch
+    ):
+        # operators.op is imported as a module alias -> whole-file dep
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/operators/op.py",
+            "LIMIT = 10",
+            "LIMIT = 11",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at
+        # ...but q_beta never touches operators.op
+        wt_b, at_b = self._fp_pair(rp, commit, "q_beta")
+        assert wt_b == at_b
+
+    def test_name_level_import_tracks_only_the_imported_name(
+        self, tmp_path, monkeypatch
+    ):
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        # an UNRELATED function added to hashing.py must not flag
+        p = tmp_path / "iceberg_rs_spark/functions/hashing.py"
+        p.write_text(p.read_text() + "\ndef other():\n    return 1\n")
+        self._clear_caches()
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt == at
+        # but editing the imported h60_sql itself must flag
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/functions/hashing.py",
+            "return f'hash({c})'",
+            "return f'xxhash({c})'",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at
+
+    def test_priority_rotation_never_flags_via_corpus(
+        self, tmp_path, monkeypatch
+    ):
+        rp, commit = self._repo(tmp_path, monkeypatch)
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/plans/corpus.py",
+            "PRIORITY: list[str] = []",
+            'PRIORITY: list[str] = ["q_beta", "q_alpha"]',
+        )
+        # corpus.py is reached name-level (query) AND its PRIORITY/
+        # RECERT are excluded from the whole-module hash, so a rotation
+        # flags nothing
+        for q in ("q_alpha", "q_beta"):
+            wt, at = self._fp_pair(rp, commit, q)
+            assert wt == at, q
+        assert rp._tree(None).module_hash(
+            "iceberg_rs_spark/plans/corpus.py"
+        ) == rp._tree(commit).module_hash("iceberg_rs_spark/plans/corpus.py")
