@@ -197,14 +197,27 @@ def _mod_to_path(mod: str) -> "str | None":
     return None
 
 
+def _rel_import_base(path: str, level: int) -> "str | None":
+    """The absolute module a relative import resolves against: for
+    module file a/b/c.py (or package file a/b/__init__.py), level 1 is
+    package a.b; each extra level pops one more."""
+    parts = path[:-3].split("/")
+    parts = parts[:-1]  # module -> its package; __init__ -> its dir
+    drop = level - 1
+    if drop >= len(parts):
+        return None
+    return ".".join(parts[: len(parts) - drop])
+
+
 class _ModuleIndex:
     """Top-level-statement index of one module source: which statement
     defines which name, which statements are @query builders, which run
     unconditionally at import (wildcards — included in every
     fingerprint), and which package modules each import touches."""
 
-    def __init__(self, src: str):
+    def __init__(self, src: str, path: "str | None" = None):
         tree = ast.parse(src)
+        self.path = path
         self.stmts: list[ast.stmt] = tree.body
         self.defs: dict[str, list[int]] = {}
         self.wild: list[int] = []
@@ -214,7 +227,14 @@ class _ModuleIndex:
             if q is not None:
                 self.queries[q] = i
             names = _defined_names(st)
-            if names:
+            star = isinstance(st, ast.ImportFrom) and any(
+                a.name == "*" for a in st.names
+            )
+            if star:
+                # a star import defines names we cannot enumerate — no
+                # ref can ever pull it, so include it unconditionally
+                self.wild.append(i)
+            elif names:
                 for nm in names:
                     self.defs.setdefault(nm, []).append(i)
             elif not _is_docstring_stmt(st):
@@ -224,10 +244,13 @@ class _ModuleIndex:
     def refs(st: ast.stmt) -> set[str]:
         return {n.id for n in ast.walk(st) if isinstance(n, ast.Name)}
 
-    @staticmethod
-    def pkg_imports(st: ast.stmt) -> "list[tuple[str, str | None]]":
+    def pkg_imports(self, st: ast.stmt) -> "list[tuple[str, str | None]]":
         """(dep module path, imported name or None-for-whole-module)
-        pairs for every iceberg_rs_spark import anywhere in ``st``."""
+        pairs for every iceberg_rs_spark import anywhere in ``st``.
+        Relative imports resolve against this module's own package; a
+        star import is a whole-module dependency — both would otherwise
+        escape the sweep silently (a false negative ships a changed
+        implementation uncertified)."""
         out: list[tuple[str, str | None]] = []
         for n in ast.walk(st):
             if isinstance(n, ast.Import):
@@ -237,14 +260,28 @@ class _ModuleIndex:
                         if p:
                             out.append((p, None))
             elif isinstance(n, ast.ImportFrom):
-                if n.module and n.module.startswith(PKG):
-                    base = _mod_to_path(n.module)
-                    for a in n.names:
-                        sub = _mod_to_path(f"{n.module}.{a.name}")
-                        if sub:
-                            out.append((sub, None))  # module alias import
-                        elif base:
-                            out.append((base, a.name))
+                if n.level and self.path:
+                    root = _rel_import_base(self.path, n.level)
+                    mod = (
+                        f"{root}.{n.module}" if root and n.module else root
+                    )
+                elif n.level:
+                    mod = None  # relative import, module path unknown
+                else:
+                    mod = n.module
+                if not (mod and mod.startswith(PKG)):
+                    continue
+                base = _mod_to_path(mod)
+                for a in n.names:
+                    if a.name == "*":
+                        if base:
+                            out.append((base, None))
+                        continue
+                    sub = _mod_to_path(f"{mod}.{a.name}")
+                    if sub:
+                        out.append((sub, None))  # module alias import
+                    elif base:
+                        out.append((base, a.name))
         return out
 
 
@@ -272,7 +309,9 @@ class _Tree:
     def idx(self, path: str) -> "_ModuleIndex | None":
         if path not in self._idx:
             src = self.src(path)
-            self._idx[path] = _ModuleIndex(src) if src is not None else None
+            self._idx[path] = (
+                _ModuleIndex(src, path) if src is not None else None
+            )
         return self._idx[path]
 
     def blobs(self) -> dict[str, str]:
@@ -351,7 +390,7 @@ class _Tree:
                     if (path, j) not in seen:
                         seen.add((path, j))
                         work.append((path, j))
-            for dep_path, dep_name in _ModuleIndex.pkg_imports(st):
+            for dep_path, dep_name in ix.pkg_imports(st):
                 if dep_name is None:
                     if dep_path not in whole:
                         whole.add(dep_path)
@@ -423,7 +462,13 @@ def _derived_recert_impl() -> "dict[str, list[str]]":
     rec_commit: dict[str, str] = {}
     for path in set(last_green.values()):
         rel = str(Path(path).relative_to(REPO))
-        rec_commit[path] = _git("log", "-1", "--format=%H", "--", rel).strip()
+        # An untracked/uncommitted recording (the driver writes the file
+        # AFTER the builder's last commit) was recorded against HEAD —
+        # an empty git-log answer must not break the sweep in exactly
+        # the round it matters most.
+        rec_commit[path] = (
+            _git("log", "-1", "--format=%H", "--", rel).strip() or "HEAD"
+        )
 
     wt = _tree(None)
     wt_blobs = _tree_blobs(None)

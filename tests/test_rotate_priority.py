@@ -524,3 +524,79 @@ def q_beta(spark, sf_dir):
         assert rp._tree(None).module_hash(
             "iceberg_rs_spark/plans/corpus.py"
         ) == rp._tree(commit).module_hash("iceberg_rs_spark/plans/corpus.py")
+
+    def test_relative_import_is_tracked(self, tmp_path, monkeypatch):
+        """A relative import must resolve against the module's own
+        package — escaping the sweep would be a silent false negative."""
+        rp, _ = self._repo(tmp_path, monkeypatch)
+        import subprocess
+
+        rel_builder = self.BUILDER.replace(
+            "from iceberg_rs_spark.plans.corpus import query",
+            "from .corpus import query",
+        ).replace(
+            "from iceberg_rs_spark.operators import op as OP",
+            "from ..operators import op as OP",
+        )
+        (tmp_path / "iceberg_rs_spark/plans/mini.py").write_text(rel_builder)
+        env_git = ["git", "-c", "user.email=t@t", "-c", "user.name=t"]
+        subprocess.run([*env_git, "add", "-A"], cwd=tmp_path, check=True)
+        subprocess.run(
+            [*env_git, "commit", "-q", "-m", "rel"], cwd=tmp_path, check=True
+        )
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=tmp_path, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        self._clear_caches()
+        # the relative-alias dep (..operators.op) must flag like the
+        # absolute one does
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/operators/op.py",
+            "LIMIT = 10",
+            "LIMIT = 11",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at
+
+    def test_star_import_is_a_whole_module_dep(self, tmp_path, monkeypatch):
+        rp, _ = self._repo(tmp_path, monkeypatch)
+        import subprocess
+
+        star_builder = self.BUILDER.replace(
+            "from iceberg_rs_spark.functions.hashing import h60_sql",
+            "from iceberg_rs_spark.functions.hashing import *",
+        )
+        (tmp_path / "iceberg_rs_spark/plans/mini.py").write_text(star_builder)
+        env_git = ["git", "-c", "user.email=t@t", "-c", "user.name=t"]
+        subprocess.run([*env_git, "add", "-A"], cwd=tmp_path, check=True)
+        subprocess.run(
+            [*env_git, "commit", "-q", "-m", "star"], cwd=tmp_path, check=True
+        )
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=tmp_path, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        self._clear_caches()
+        # ANY hashing.py change must now flag (we can't know which
+        # names a star import pulls)
+        p = tmp_path / "iceberg_rs_spark/functions/hashing.py"
+        p.write_text(p.read_text() + "\ndef other():\n    return 1\n")
+        self._clear_caches()
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at
+
+    def test_rel_import_base_resolution(self):
+        from scripts.rotate_priority import _rel_import_base
+
+        assert _rel_import_base("iceberg_rs_spark/plans/llm.py", 1) == (
+            "iceberg_rs_spark.plans"
+        )
+        assert _rel_import_base("iceberg_rs_spark/plans/llm.py", 2) == (
+            "iceberg_rs_spark"
+        )
+        assert _rel_import_base("iceberg_rs_spark/plans/__init__.py", 1) == (
+            "iceberg_rs_spark.plans"
+        )
+        assert _rel_import_base("iceberg_rs_spark/plans/llm.py", 3) is None
