@@ -46,9 +46,10 @@ CORPUS: dict[str, QuerySpec] = {}
 #: queries whose implementation changed since their last green row.
 PRIORITY: list[str] = [
     # Mechanically rotated by scripts/rotate_priority.py --write:
-    # RECERT queue + --lead first, then never-driver-certified
-    # (hash-certifiable) queries family-grouped; certified names
-    # follow in prior order; rows-only last.
+    # hand RECERT + --lead first, then the never-driver-certified
+    # backlog family-grouped, then git-derived re-cert candidates
+    # (implementation changed since their last green row; oldest
+    # row first), then everything else.
     "sim_ann_agreement_ivf",
     "sim_ann_agreement_pq",
     "sim_topk_lsh",
@@ -349,12 +350,16 @@ PRIORITY: list[str] = [
 #: Changed-implementation re-certification queue: names whose latest
 #: green driver row PREDATES a behavior-relevant change to their
 #: implementation. ``scripts/rotate_priority.py --write`` treats this
-#: list as an automatic ``--lead`` — these names are pinned at the very
-#: head of every mechanical rotation — so a rotation can never silently
-#: drop a changed-but-uncertified query out of the driver window (the
-#: r5 miss class, made structural instead of a flag someone must
-#: remember). Remove a name once a NEW green CORRECTNESS row postdating
-#: its change lands; the rotation report prints this queue every run.
+#: list as an automatic ``--lead`` — pinned at the very head of every
+#: mechanical rotation. Since r7 this hand list is for JUDGMENT CALLS
+#: only: rotate_priority.py additionally DERIVES re-cert candidates
+#: from git history (statement-level fingerprints of each certified
+#: query's transitive implementation vs its last green row's commit)
+#: and queues them right after the never-certified backlog, so a
+#: forgotten hand entry no longer ships a changed implementation
+#: uncertified (the r5/r6 miss class). Remove a name once a NEW green
+#: CORRECTNESS row postdating its change lands; the rotation report
+#: prints both queues every run.
 RECERT: list[str] = [
     "sim_ann_agreement_ivf",  # CHANGED r6: exact-cosine rerank in ivf_topk (ADVICE r5 #2)
     "sim_ann_agreement_pq",  # CHANGED r6: exact-cosine rerank in pq paths (ADVICE r5 #2)

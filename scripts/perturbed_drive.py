@@ -7,14 +7,16 @@ session shape: partition count (float fold order, pandas-UDF batch
 boundaries), the Arrow toPandas path, or shuffle sizing. This script
 re-runs corpus queries against their DuckDB oracles under a
 DELIBERATELY different session — fewer cores, 200 shuffle partitions,
-Arrow disabled, optionally a non-UTC session timezone (--timezone) —
-so any such sensitivity fails here, before a driver round burns a
+Arrow disabled, optionally a non-UTC session timezone (--timezone),
+whole-stage codegen off (--no-codegen), or AQE off (--no-aqe) — so any
+such sensitivity fails here, before a driver round burns a
 certification slot on it.
 
     python scripts/perturbed_drive.py            # the 50-query driver window
     python scripts/perturbed_drive.py --all      # every hash-checked query
     python scripts/perturbed_drive.py --names a,b,c
     python scripts/perturbed_drive.py --sf /root/testdata/sf0.01
+    python scripts/perturbed_drive.py --all --no-codegen --no-aqe
 
 Exit status is non-zero when any driven query mismatches, so the
 ritual (record -> rotate --write -> perturbed_drive -> commit) can
@@ -54,17 +56,33 @@ def main() -> None:
                          "not — a pass under a shifted tz proves every "
                          "oracle-checked result is tz-independent (NTZ "
                          "arithmetic end to end)")
+    ap.add_argument("--no-codegen", action="store_true",
+                    help="disable whole-stage codegen: expressions run "
+                         "through the interpreted path, so a pass proves no "
+                         "result depends on codegen-specific evaluation "
+                         "(fold order inside generated loops, overflow "
+                         "behavior of fused expressions)")
+    ap.add_argument("--no-aqe", action="store_true",
+                    help="disable adaptive query execution: static shuffle "
+                         "sizing and join strategies, so a pass proves no "
+                         "result depends on AQE's runtime re-planning "
+                         "(coalesced partition count, demoted broadcasts)")
     args = ap.parse_args()
 
     import duckdb
 
     from iceberg_rs_spark.session import get_spark
 
+    extra_conf = {"spark.sql.execution.arrow.pyspark.enabled": "false"}
+    if args.no_codegen:
+        extra_conf["spark.sql.codegen.wholeStage"] = "false"
+    if args.no_aqe:
+        extra_conf["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         app_name="perturbed_drive",
         cpus=args.cpus,
         shuffle_partitions=args.shuffle_partitions,
-        extra_conf={"spark.sql.execution.arrow.pyspark.enabled": "false"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     if args.timezone:
