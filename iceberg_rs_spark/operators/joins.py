@@ -12,6 +12,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Spine/scratch columns the union+window idiom appends — an input
+#: column with one of these names would be silently overwritten and
+#: corrupt the match, so asof_join refuses it up front.
+_RESERVED = ("_ts", "_side", "_payload", "_match")
+
+
+def _orderable(dt) -> bool:
+    """Whether Spark can ORDER BY a column of this type (maps cannot
+    be sort keys; arrays/structs are orderable iff their elements
+    are)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
 
 def asof_join(
     left: DataFrame,
@@ -38,8 +58,24 @@ def asof_join(
     come back unmatched instead of pairing up with NULL-keyed right
     rows that happen to share their window partition.
 
+    Ties are deterministic: when several right rows share an exact
+    (key, ts), the greatest payload tuple wins (the payload struct is
+    the final sort key whenever its type is orderable — maps are not
+    sort keys in Spark, so map-bearing payloads keep the engine's
+    arbitrary tie pick). Without this, the winner depended on shuffle
+    arrival order — run-to-run nondeterminism the rest of the engine's
+    determinism contract forbids.
+
     Scale: one shuffle (window partition on the key); no join at all.
     """
+    clash = sorted(
+        {c for c in (*left.columns, *right.columns) if c in _RESERVED}
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {list(_RESERVED)}; "
+            f"rename input columns {clash}"
+        )
     usable = F.col(right_ts).isNotNull()
     for k in on:
         usable = usable & F.col(k).isNotNull()
@@ -67,9 +103,16 @@ def asof_join(
     )
     unioned = l_aligned.unionByName(r_aligned)
 
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if _orderable(right.select(payload).schema[0].dataType):
+        # exact-(key, ts) ties among right rows resolve to the greatest
+        # payload tuple instead of shuffle arrival order; left rows tie
+        # only with each other (NULL payloads, mutually invisible to
+        # last-ignorenulls), so their relative order is immaterial
+        order.append(F.col("_payload").asc())
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))

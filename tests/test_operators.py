@@ -1087,3 +1087,45 @@ class TestDedupGeometryGuards:
         assert set(agg_fp) == {1, 2}            # NULL-text row dropped
         assert agg_fp[1] == col_fp[1]           # bit-identical
         assert agg_fp[2] == col_fp[2]           # blank text agrees too
+
+
+class TestAsofJoinDeterminism:
+    """Exact-(key, ts) ties among right rows must resolve the same way
+    on every run and every partition layout — the union+window idiom
+    otherwise picks whichever duplicate arrived last in the shuffle."""
+
+    def test_duplicate_right_ts_resolves_to_greatest_payload(self, spark):
+        from iceberg_rs_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 10, "l")], "k int, ts int, lv string")
+        right = spark.createDataFrame(
+            [(1, 5, "a"), (1, 5, "z"), (1, 5, "m")],
+            "k int, ts int, rv string",
+        ).repartition(3)
+        for _ in range(3):  # stable across repeated shuffles
+            out = asof_join(left, right, ["k"], "ts", "ts").collect()
+            assert [r["rv_right"] for r in out] == ["z"]
+
+    def test_map_payload_still_works_without_tiebreak(self, spark):
+        # maps are not orderable sort keys: the tie-break must be
+        # skipped, not crash the plan
+        from pyspark.sql import functions as F
+
+        from iceberg_rs_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 10, "l")], "k int, ts int, lv string")
+        right = spark.createDataFrame(
+            [(1, 5, "x")], "k int, ts int, tag string"
+        ).select("k", "ts", F.create_map(F.lit("t"), F.col("tag")).alias("m"))
+        out = asof_join(left, right, ["k"], "ts", "ts").collect()
+        assert out[0]["m_right"] == {"t": "x"}
+
+    def test_reserved_column_names_rejected(self, spark):
+        import pytest
+
+        from iceberg_rs_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 10, 0)], "k int, ts int, _side int")
+        right = spark.createDataFrame([(1, 5, "r")], "k int, ts int, rv string")
+        with pytest.raises(ValueError, match="_side"):
+            asof_join(left, right, ["k"], "ts", "ts")
