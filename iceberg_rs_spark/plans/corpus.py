@@ -218,6 +218,7 @@ PRIORITY: list[str] = [
     "table_incremental_rollup_maintenance",
     "table_merge_upsert_mor",
     "win_skyline_pareto_frontier",
+    "join_asof_tolerance_left",
     "table_incremental_scan_compacted",
     "text_vocab_growth_heaps",
     "fn_variant_semistructured",
@@ -265,7 +266,6 @@ PRIORITY: list[str] = [
     "join_bucketed_colocate",
     "join_dynamic_partition_pruning",
     "join_null_safe_keys",
-    "join_asof_tolerance_left",
     "join_interval_coalesce_union",
     "table_branch_diff_audit",
     "stream_windowed_distinct_users",
