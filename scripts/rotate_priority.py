@@ -576,9 +576,10 @@ def write_priority(names: list[str], path: "str | None" = None) -> None:
     end = sum(len(l) for l in lines_src[: node.end_lineno])
     lines = ["PRIORITY: list[str] = ["]
     lines.append("    # Mechanically rotated by scripts/rotate_priority.py --write:")
-    lines.append("    # RECERT queue + --lead first, then never-driver-certified")
-    lines.append("    # (hash-certifiable) queries family-grouped; certified names")
-    lines.append("    # follow in prior order; rows-only last.")
+    lines.append("    # hand RECERT + --lead first, then the never-driver-certified")
+    lines.append("    # backlog family-grouped, then git-derived re-cert candidates")
+    lines.append("    # (implementation changed since their last green row; oldest")
+    lines.append("    # row first), then everything else.")
     for n in names:
         lines.append(f'    "{n}",')
     lines.append("]")
