@@ -1129,3 +1129,55 @@ class TestAsofJoinDeterminism:
         right = spark.createDataFrame([(1, 5, "r")], "k int, ts int, rv string")
         with pytest.raises(ValueError, match="_side"):
             asof_join(left, right, ["k"], "ts", "ts")
+
+
+class TestAsofJoinRandomizedDifferential:
+    """Fixed-seed randomized cross-check of asof_join against an
+    independent python reference on adversarial frames — duplicate
+    (key, ts) right rows, exact left/right ts ties, NULL keys and
+    timestamps, keys present on only one side — under a shuffled
+    partition layout. The reference implements the declared contract
+    directly: most recent right_ts <= left_ts per key, exact ties
+    matching, duplicate-(key, ts) ties resolving to the GREATEST
+    payload tuple."""
+
+    def _reference(self, left_rows, right_rows):
+        out = {}
+        for lk, lts, lv in left_rows:
+            best = None
+            if lk is not None and lts is not None:
+                for rk, rts, rv in right_rows:
+                    if rk is None or rts is None or rk != lk or rts > lts:
+                        continue
+                    key = (rts, rv)
+                    if best is None or key > best:
+                        best = key
+            out[lv] = best[1] if best else None
+        return out
+
+    def test_matches_reference_on_random_frames(self, spark):
+        import random
+
+        from iceberg_rs_spark.operators.joins import asof_join
+
+        for seed in (7, 23, 101):
+            rng = random.Random(seed)
+            keys = [None, 1, 2, 3]
+            left_rows = [
+                (rng.choice(keys), rng.choice([None] + list(range(0, 20, 2))), f"l{i}")
+                for i in range(30)
+            ]
+            right_rows = [
+                (rng.choice(keys), rng.choice([None] + list(range(0, 20, 2))), f"r{i % 7}")
+                for i in range(25)
+            ]
+            left = spark.createDataFrame(left_rows, "k int, ts int, lv string")
+            right = spark.createDataFrame(
+                right_rows, "k int, ts int, rv string"
+            ).repartition(5)
+            got = {
+                r["lv"]: r["rv_right"]
+                for r in asof_join(left, right, ["k"], "ts", "ts").collect()
+            }
+            want = self._reference(left_rows, right_rows)
+            assert got == want, f"seed={seed}"
