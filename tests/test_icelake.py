@@ -1579,6 +1579,35 @@ class TestOrphanFiles:
         assert all(os.path.exists(f) for f in second_files)
 
 
+    def test_live_mor_delete_files_survive_orphan_removal(
+        self, catalog, events_df
+    ):
+        """The catastrophic class: position-delete files live under
+        data/ like data files; the orphan walk must treat them as
+        referenced (they ride the same manifests with
+        content='position-deletes'), or removal would silently
+        resurrect MoR-deleted rows."""
+        import os
+
+        base = events_df.limit(120)
+        t = catalog.create_table("db.orphmor", base.schema)
+        t.append(base)
+        n_del = t.delete("event_type = 'click'", mode="merge-on-read")
+        assert n_del > 0
+        survivors = t.to_df().count()
+        del_paths = [
+            r.file_path
+            for r in t.files().where("content = 'position-deletes'").collect()
+        ]
+        assert del_paths and all(os.path.exists(p) for p in del_paths)
+        removed = t.remove_orphan_files()
+        assert removed == []  # nothing live may be touched
+        assert all(os.path.exists(p) for p in del_paths)
+        # and the deletes still apply on read
+        assert t.to_df().count() == survivors
+        assert t.to_df().where("event_type = 'click'").count() == 0
+
+
 class TestClusterByPartitionedGuard:
     def test_partitioned_cluster_by_rejected(self, catalog, events_df):
         import pytest as _pytest
