@@ -161,6 +161,30 @@ class TestLifecycle:
         assert t.to_df().count() == 40  # head intact
         assert len(t.metadata.snapshots) == 1
 
+    def test_expire_keeps_files_shared_with_kept_snapshots(
+        self, catalog, events_df
+    ):
+        """An append chain's snapshots SHARE data files (each manifest
+        lists the full entry set); expiring an old append must delete
+        only files no kept snapshot references — dropping a shared file
+        would hollow out the live head."""
+        import os
+
+        t = catalog.create_table("db.expshare", events_df.schema)
+        t.append(events_df.limit(10))
+        first_files = {
+            r.file_path
+            for r in t.files().where("content = 'data'").collect()
+        }
+        t.append(events_df.limit(30).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 30
+        removed = t.expire_snapshots(retain_last=1)
+        assert len(removed) == 1
+        # the first append's files ride in the kept head's manifest —
+        # they must survive both on disk and in the read path
+        assert all(os.path.exists(p) for p in first_files)
+        assert t.to_df().count() == 30
+
     def test_commit_retry_property(self, catalog, events_df, monkeypatch):
         t = catalog.create_table(
             "db.retry", events_df.schema, properties={"commit.retry.num-retries": "0"}
