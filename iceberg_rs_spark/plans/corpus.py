@@ -50,56 +50,6 @@ PRIORITY: list[str] = [
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
     # row first), then everything else.
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_pq_topk",
-    "table_vacuum_lifecycle_audit",
-    "table_snapshot_ancestry",
-    "table_partition_evolution_reads",
-    "sub_in_exists_family",
-    "sub_quantified_all_any",
-    "dedup_lsh_quality_eval",
-    "dedup_component_size_profile",
-    "ingest_orc_roundtrip",
-    "ts_cross_correlation_leadlag",
-    "agg_collect_sorted",
-    "agg_cube_orders",
-    "agg_decimal_exact",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_multi_distinct",
-    "agg_pivot_status_by_priority",
-    "agg_rollup_revenue",
-    "agg_stats_by_nation",
-    "fn_cast_matrix",
-    "fn_conditional_null",
-    "fn_datetime_family",
-    "fn_epoch_transforms",
-    "fn_map_ops",
-    "fn_map_struct_json",
-    "fn_regex_family",
-    "fn_string_family",
-    "join_anti_inactive_1995",
-    "join_asof_purchase_after_signup",
-    "join_cross_region_nation",
-    "join_full_outer_daily_activity",
-    "join_inner_customer_totals",
-    "join_interval_overlap_orders",
-    "join_left_missing_side",
-    "join_range_size_buckets",
-    "join_semi_big_spenders",
-    "join_theta_late_shipments",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "setop_drop_duplicates",
-    "setop_except_all",
-    "setop_except_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
     "setop_union_all_counts",
     "setop_union_distinct",
     "sort_four_null_orderings",
@@ -219,6 +169,57 @@ PRIORITY: list[str] = [
     "table_merge_upsert_mor",
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
+    "sim_silhouette_by_label",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "sim_pq_topk",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "table_vacuum_lifecycle_audit",
+    "table_snapshot_ancestry",
+    "table_partition_evolution_reads",
+    "sub_in_exists_family",
+    "sub_quantified_all_any",
+    "dedup_lsh_quality_eval",
+    "dedup_component_size_profile",
+    "ingest_orc_roundtrip",
+    "ts_cross_correlation_leadlag",
+    "agg_collect_sorted",
+    "agg_cube_orders",
+    "agg_decimal_exact",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_revenue",
+    "agg_stats_by_nation",
+    "fn_cast_matrix",
+    "fn_conditional_null",
+    "fn_datetime_family",
+    "fn_epoch_transforms",
+    "fn_map_ops",
+    "fn_map_struct_json",
+    "fn_regex_family",
+    "fn_string_family",
+    "join_anti_inactive_1995",
+    "join_asof_purchase_after_signup",
+    "join_cross_region_nation",
+    "join_full_outer_daily_activity",
+    "join_inner_customer_totals",
+    "join_interval_overlap_orders",
+    "join_left_missing_side",
+    "join_range_size_buckets",
+    "join_semi_big_spenders",
+    "join_theta_late_shipments",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "setop_drop_duplicates",
+    "setop_except_all",
+    "setop_except_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
     "table_incremental_scan_compacted",
     "text_vocab_growth_heaps",
     "fn_variant_semistructured",
@@ -240,7 +241,6 @@ PRIORITY: list[str] = [
     "sim_ranking_metrics_ndcg",
     "sim_threshold_sweep",
     "sim_rank_correlation_kendall",
-    "sim_silhouette_by_label",
     "sim_vector_stats_profile",
     "text_code_detection",
     "text_containment_pairs",
@@ -361,8 +361,9 @@ PRIORITY: list[str] = [
 #: CORRECTNESS row postdating its change lands; the rotation report
 #: prints both queues every run.
 RECERT: list[str] = [
-    "sim_ann_agreement_ivf",  # CHANGED r6: exact-cosine rerank in ivf_topk (ADVICE r5 #2)
-    "sim_ann_agreement_pq",  # CHANGED r6: exact-cosine rerank in pq paths (ADVICE r5 #2)
+    # (empty — sim_ann_agreement_ivf/_pq re-certified green in r07;
+    # removed per VERDICT r7 ask #1. Entries here are judgment calls
+    # only; the git-derived sweep catches changed implementations.)
 ]
 
 

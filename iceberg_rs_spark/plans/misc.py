@@ -46,7 +46,11 @@ def fn_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_approx_sketches",
     oracle=None,  # sketches differ across engines by design (FIXTURES.md rule)
-    tags=("agg", "approx", "sketch"),
+    # TERMINAL rows-only (VERDICT r7 ask #5): this can never be upgraded
+    # to hash-checking — HLL++/GK-sketch internals are engine-specific by
+    # the declared no-sketch-hash rule. The exact hash-certified
+    # counterparts are agg_multi_distinct and agg_stats_by_nation.
+    tags=("agg", "approx", "sketch", "terminal-rows-only"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) and approx_percentile —

@@ -312,7 +312,11 @@ def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_hash_engine_specific",
     oracle=None,  # crc32/xxhash64/monotonically_increasing_id differ by engine
-    tags=("scalar", "hash", "engine-specific"),
+    # TERMINAL rows-only (VERDICT r7 ask #5): Spark's crc32/xxhash64 seeds
+    # and monotonically_increasing_id have no cross-engine ground truth,
+    # so hash-checking is impossible by the declared rule. The portable
+    # hash counterpart (md5/sha2) is hash-certified in fn_hash_portable.
+    tags=("scalar", "hash", "engine-specific", "terminal-rows-only"),
 )
 def fn_hash_engine_specific(spark: SparkSession, sf_dir: str) -> DataFrame:
     """crc32, xxhash64, monotonically_increasing_id — provided but

@@ -109,7 +109,9 @@ def certified_names(paths: "list[str] | None" = None) -> set[str]:
 # from the @query builder (decorator + oracle f-string included) inside
 # its defining module, recursing across iceberg_rs_spark modules —
 # name-level for ``from m import names``, whole-file for module-alias
-# imports (``from pkg import module as M``). Fingerprints normalize via
+# imports (``from pkg import module as M``) CLOSED over the aliased
+# module's own package imports (fixed point — ADVICE r7 #1: a change
+# two hops behind an alias import must flag). Fingerprints normalize via
 # ast.dump with docstrings stripped, so comment/docstring-only edits and
 # PRIORITY rotations never flag, while an oracle-string or constant
 # change always does. False positives cost one wasted driver slot;
@@ -293,6 +295,7 @@ class _Tree:
         self.commit = commit
         self._src: dict[str, "str | None"] = {}
         self._idx: dict[str, "_ModuleIndex | None"] = {}
+        self._mod_hash: dict[str, str] = {}
 
     def src(self, path: str) -> "str | None":
         if path not in self._src:
@@ -333,8 +336,11 @@ class _Tree:
         """Whole-module normalized hash (module-alias deps). corpus.py's
         PRIORITY/RECERT blocks are certification metadata BY DESIGN —
         excluded so rotations and queue edits never flag anything."""
+        if path in self._mod_hash:
+            return self._mod_hash[path]
         src = self.src(path)
         if src is None:
+            self._mod_hash[path] = "<absent>"
             return "<absent>"
         tree = ast.parse(src)
         if path.endswith("plans/corpus.py"):
@@ -343,7 +349,9 @@ class _Tree:
                 for st in tree.body
                 if not (_defined_names(st) & {"PRIORITY", "RECERT"})
             ]
-        return hashlib.sha256(_norm(tree).encode()).hexdigest()
+        out = hashlib.sha256(_norm(tree).encode()).hexdigest()
+        self._mod_hash[path] = out
+        return out
 
     def fingerprint(self, entry_path: str, qname: str) -> "tuple[str, set[str]]":
         """(fingerprint, touched file set) of one query's transitive
@@ -357,6 +365,30 @@ class _Tree:
         seen: set[tuple[str, int]] = set()
         wild_done: set[str] = set()
         work: list[tuple[str, int]] = []
+
+        def add_whole(path: str) -> None:
+            """Whole-module dep, closed over ITS package imports (ADVICE
+            r7 #1): a module pulled in by alias/star import is hashed as
+            one file, so its own `from pkg import m`/`import pkg.m`
+            edges would otherwise never be traversed and a behavior
+            change two hops away (e.g. round4e -> `similarity as S` ->
+            dedup.barrier) would ship uncertified. Fixed point over the
+            module set; every reached module is also hashed whole (a
+            name-level import inside a whole-module dep still executes
+            that target module at import time)."""
+            stack = [path]
+            while stack:
+                p = stack.pop()
+                if p in whole:
+                    continue
+                whole.add(p)
+                files.add(p)
+                ixw = self.idx(p)
+                if ixw is None:
+                    continue
+                for st in ixw.stmts:
+                    for dep_path, _dep_name in ixw.pkg_imports(st):
+                        stack.append(dep_path)
 
         def enter_module(path: str) -> "_ModuleIndex | None":
             ix = self.idx(path)
@@ -392,9 +424,7 @@ class _Tree:
                         work.append((path, j))
             for dep_path, dep_name in ix.pkg_imports(st):
                 if dep_name is None:
-                    if dep_path not in whole:
-                        whole.add(dep_path)
-                        files.add(dep_path)
+                    add_whole(dep_path)
                     continue
                 dep_ix = enter_module(dep_path)
                 if dep_ix is None:
@@ -613,16 +643,26 @@ def main() -> None:
     except Exception as exc:
         print(f"WARNING derived_recert unavailable ({exc!r})", file=sys.stderr)
         derived, greens = {}, {}
+    def _terminal(n: str) -> str:
+        # VERDICT r7 ask #5: the declared-rule ceiling is machine-readable
+        # — a terminal rows-only query can only ever receive the weaker
+        # rows-only driver check, never a hash upgrade.
+        spec = corpus.CORPUS.get(n)
+        if spec is not None and "terminal-rows-only" in spec.tags:
+            return "  [TERMINAL rows-only by declared rule]"
+        return ""
+
     if hand or derived:
         print(f"\nrecert queue (hand={len(hand)} git-derived={len(derived)};"
               " hand leads, derived fills the window after the backlog):")
         for n in hand:
             tag = "; git: " + ", ".join(derived[n]) if n in derived else ""
-            print(f"  {n}  [hand{tag}]")
+            print(f"  {n}  [hand{tag}]{_terminal(n)}")
         for n in sorted(derived, key=lambda n: (greens.get(n, ""), n)):
             if n not in hand:
                 rnd = Path(greens.get(n, "?")).name
-                print(f"  {n}  [git since {rnd}: {', '.join(derived[n])}]")
+                print(f"  {n}  [git since {rnd}: "
+                      f"{', '.join(derived[n])}]{_terminal(n)}")
     stale_hand = [n for n in hand if n not in derived]
     if stale_hand:
         print(
@@ -634,7 +674,7 @@ def main() -> None:
     order = {n: i for i, n in enumerate(corpus.PRIORITY)}
     for n in sorted(backlog, key=lambda n: order.get(n, 10**6)):
         tag = "" if corpus.CORPUS[n].oracle else "  [rows-only: no oracle]"
-        print(f"  {n}{tag}")
+        print(f"  {n}{tag}{_terminal(n)}")
     if stale:
         print("\n-- certified names inside the 50-window (rotate out unless "
               "kept for re-verification of a change) --")

@@ -122,6 +122,42 @@ class TestRotation:
             "--write and commit"
         )
 
+    def test_head_ignoring_derived_recert_queue_fails_ci(self):
+        """VERDICT r7 ask #3: with the never-certified backlog
+        permanently at zero, the only way the r5/r6 stale-head miss
+        class can recur is a committed PRIORITY head containing ZERO
+        git-derived re-cert candidates while the derived queue is
+        non-empty — a driver round would then re-certify 50 unchanged
+        already-green queries and drain nothing. Such a head must FAIL
+        pytest (it was CI-silent before this gate). Mid-round edits
+        that add a few NEW derived candidates do not trip it: only a
+        head with an EMPTY intersection fails. Fix: run
+        scripts/rotate_priority.py --write and commit."""
+        import pytest
+
+        from scripts.rotate_priority import derived_recert
+
+        corpus = _load_corpus_module()
+        derived = {n for n in derived_recert() if n in corpus.CORPUS}
+        if not derived:
+            pytest.skip("derived re-cert queue empty at HEAD")
+        cert = certified_names()
+        hand = [n for n in getattr(corpus, "RECERT", []) if n in corpus.CORPUS]
+        backlog = [
+            n
+            for n in corpus.CORPUS
+            if n not in cert and corpus.CORPUS[n].oracle is not None
+        ]
+        if len(hand) + len(backlog) >= 50:
+            pytest.skip("window fully consumed by hand RECERT + backlog")
+        head50 = [n for n in corpus.PRIORITY if n in corpus.CORPUS][:50]
+        assert derived & set(head50), (
+            "PRIORITY head is STALE vs the git-derived re-cert queue: "
+            f"{len(derived)} changed-implementation candidates queued but "
+            "none inside the 50-query driver window; run "
+            "scripts/rotate_priority.py --write and commit"
+        )
+
     def test_recert_queue_auto_leads(self):
         """corpus.RECERT (changed implementations awaiting a fresh
         driver row) must head EVERY mechanical rotation without any
@@ -484,6 +520,99 @@ def q_beta(spark, sf_dir):
         # ...but q_beta never touches operators.op
         wt_b, at_b = self._fp_pair(rp, commit, "q_beta")
         assert wt_b == at_b
+
+    def test_alias_dep_transitive_import_flags(self, tmp_path, monkeypatch):
+        """ADVICE r7 #1: a whole-module (alias) dep is hashed as one
+        file, so its OWN package imports must be traversed to a fixed
+        point — a behavior change two hops behind the alias
+        (mini -> `op as OP` -> deep.barrier) previously shipped
+        uncertified, exactly the false-negative class the sweep exists
+        to kill."""
+        import subprocess
+
+        rp, _ = self._repo(tmp_path, monkeypatch)
+        (tmp_path / "iceberg_rs_spark/operators/deep.py").write_text(
+            "BARRIER = 1\n\ndef barrier():\n    return BARRIER\n"
+        )
+        (tmp_path / "iceberg_rs_spark/operators/op.py").write_text(
+            "from iceberg_rs_spark.operators.deep import barrier\n"
+            "LIMIT = 10\n"
+            "def run(spark):\n"
+            "    return LIMIT + barrier()\n"
+        )
+        env_git = ["git", "-c", "user.email=t@t", "-c", "user.name=t"]
+        subprocess.run([*env_git, "add", "-A"], cwd=tmp_path, check=True)
+        subprocess.run(
+            [*env_git, "commit", "-q", "-m", "deep"], cwd=tmp_path, check=True
+        )
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=tmp_path, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        self._clear_caches()
+        # the two-hop module is in q_alpha's touched-file set...
+        _, files = rp._tree(None).fingerprint(
+            "iceberg_rs_spark/plans/mini.py", "q_alpha"
+        )
+        assert "iceberg_rs_spark/operators/deep.py" in files
+        # ...but a comment-only edit there never flags
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/operators/deep.py",
+            "BARRIER = 1",
+            "BARRIER = 1  # comment only",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt == at
+        # a behavior edit two hops behind the alias import MUST flag
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/operators/deep.py",
+            "BARRIER = 1",
+            "BARRIER = 2",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at
+        # q_beta never touches operators at all
+        wt_b, at_b = self._fp_pair(rp, commit, "q_beta")
+        assert wt_b == at_b
+
+    def test_alias_dep_import_cycle_terminates(self, tmp_path, monkeypatch):
+        """The whole-module closure is a fixed point over the module
+        set — two modules importing each other must terminate, and an
+        edit anywhere in the cycle must flag."""
+        import subprocess
+
+        rp, _ = self._repo(tmp_path, monkeypatch)
+        (tmp_path / "iceberg_rs_spark/operators/deep.py").write_text(
+            "import iceberg_rs_spark.operators.op\n"
+            "BARRIER = 1\n"
+            "def barrier():\n    return BARRIER\n"
+        )
+        (tmp_path / "iceberg_rs_spark/operators/op.py").write_text(
+            "from iceberg_rs_spark.operators.deep import barrier\n"
+            "LIMIT = 10\n"
+            "def run(spark):\n"
+            "    return LIMIT + barrier()\n"
+        )
+        env_git = ["git", "-c", "user.email=t@t", "-c", "user.name=t"]
+        subprocess.run([*env_git, "add", "-A"], cwd=tmp_path, check=True)
+        subprocess.run(
+            [*env_git, "commit", "-q", "-m", "cycle"], cwd=tmp_path, check=True
+        )
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=tmp_path, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        self._clear_caches()
+        self._edit(
+            tmp_path,
+            "iceberg_rs_spark/operators/deep.py",
+            "BARRIER = 1",
+            "BARRIER = 2",
+        )
+        wt, at = self._fp_pair(rp, commit, "q_alpha")
+        assert wt != at
 
     def test_name_level_import_tracks_only_the_imported_name(
         self, tmp_path, monkeypatch
