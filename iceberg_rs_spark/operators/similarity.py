@@ -180,7 +180,11 @@ def brute_force_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(F.col("cos"), 4).alias("cos"),
+            # UNROUNDED: display rounding is the caller's policy, applied
+            # exactly once (ADVICE r7 #2 — rounding here and again in the
+            # plan composed Spark HALF_UP under the portable rhalf, a
+            # latent near-half hash flake vs the rhalf-on-raw oracle).
+            F.col("cos"),
             F.col("_rn").alias("rank"),
         )
     )
@@ -311,7 +315,8 @@ def lsh_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
-        .select(query_id_col, id_col, F.round(F.col("cos"), 4).alias("cos"), F.col("_rn").alias("rank"))
+        # unrounded cos — callers round once (ADVICE r7 #2)
+        .select(query_id_col, id_col, F.col("cos"), F.col("_rn").alias("rank"))
     )
 
 
@@ -455,10 +460,11 @@ def ivf_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
+        # unrounded cos — callers round once (ADVICE r7 #2)
         .select(
             query_id_col,
             id_col,
-            F.round(F.col("cos"), 4).alias("cos"),
+            F.col("cos"),
             F.col("_rn").alias("rank"),
         )
     )
@@ -536,7 +542,9 @@ def embedding_near_dup_pairs(
             cosine_arrow(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+        # unrounded cos — callers round once (ADVICE r7 #2); the
+        # threshold above already cut on the raw value.
+        .select("id_a", "id_b", F.col("cos"))
     )
 
 
@@ -831,10 +839,11 @@ def pq_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
+        # unrounded ADC distance — callers round once (ADVICE r7 #2)
         .select(
             query_id_col,
             id_col,
-            F.round(F.col("_adc"), 4).alias("adc_dist"),
+            F.col("_adc").alias("adc_dist"),
             F.col("_rn").alias("rank"),
         )
     )

@@ -7,6 +7,13 @@ instead computes ``floor(x * 10^n + 0.5) / 10^n`` — pure double
 arithmetic, bit-identical in both engines. Use it for any output that
 divides (avg, ratios); plain ROUND is fine for sums of 2-decimal data
 (no third decimal to be half-way on) and for irrational-ish stats.
+
+Apply ``rhalf`` exactly ONCE, to the RAW value. Composing it on top of
+a prior ``F.round(x, n)`` silently substitutes Spark's BigDecimal
+HALF_UP for the portable floor wherever the raw value sits near a
+half at the (n+1)th decimal — a latent hash flake vs an oracle that
+rhalfs the raw (ADVICE r7 #2; operators therefore return unrounded
+scores and the plan layer owns display rounding).
 """
 
 from __future__ import annotations
