@@ -294,6 +294,7 @@ def main() -> None:
         # falls back to its previous recording (it self-pins at the end
         # of this run anyway)
         floor = pinned.get(name, ref.get(name))
+        floor_src = "pin" if name in pinned else "prev recording"
         if floor is None:
             continue
         hit_pin = name in pinned and breaches_pin(t, pinned[name])
@@ -331,9 +332,12 @@ def main() -> None:
         }
         timings[name] = recorded
         if not accepted:
+            # label the floor's true source (ADVICE r7 #3): a not-yet-
+            # pinned query's floor fell back to its previous recording,
+            # and calling that "pin" mislabels the audit denominator.
             print(
                 f"BENCH RETIME-WARM {name}: retry {t2}s < "
-                f"{RETIME_WARM_FRACTION:.0%} of pin {floor}s "
+                f"{RETIME_WARM_FRACTION:.0%} of {floor_src} {floor}s "
                 "(fixture-cache warm) — keeping the first sample",
                 file=sys.stderr,
             )
