@@ -1,0 +1,148 @@
+"""Informational sf0.1 -> sf1.0 scaling probe (VERDICT r7 ask #8).
+
+Times the five heaviest LLM-pipeline queries at sf0.1 and at a
+synthesized 10x scale, and reports the per-query scaling exponent
+alpha = log(t_10x / t_1x) / log(10) — empirical evidence for the
+100 TB posture claims (alpha ~= 1.0 means linear scale-out work,
+the shape a 1000-executor cluster can absorb; alpha >> 1 means a
+super-linear stage hides in the plan).
+
+The 10x inputs are DERIVED from the driver's own sf0.1 fixtures, not
+invented: each replica r in 1..9 re-keys ids (id + r*stride) and
+perturbs content deterministically —
+
+- documents.text gets a per-replica suffix token, so exact/near-dup
+  GROUP sIZES stay organic (verbatim copies would inflate minhash
+  pair counts quadratically and measure the wrong thing);
+- embeddings get a small deterministic per-replica rotation of two
+  coordinates, preserving norm scale and cluster geometry.
+
+This is a PROBE, not a gate: one timing each, nothing re-pinned
+(first-recording rule untouched). Usage:
+
+    python scripts/scale_probe.py            # writes /tmp/scale_probe/sf1.0 on first run
+    python scripts/scale_probe.py --runs 2   # best-of-2 per point
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SRC = Path("/root/testdata/sf0.1")
+DST = Path("/tmp/scale_probe/sf1.0")
+REPLICAS = 10  # 1 original + 9 derived
+
+#: the five heaviest LLM ops per VERDICT r7 ask #8 (sim_topk_ivf's
+#: timing includes its index build — seeds + assignment + probe).
+QUERIES = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",
+    "pipeline_sequence_packing",
+    "sim_topk_ivf",
+    "pipeline_training_data",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_sf10() -> None:
+    """Materialize the 10x probe inputs (idempotent)."""
+    import duckdb
+
+    if (DST / "_READY").exists():
+        return
+    DST.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            shutil.copy(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+    con = duckdb.connect()
+    n_doc = con.sql(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    n_vec = con.sql(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+            SELECT d.doc_id + r.r * {n_doc} AS doc_id,
+                   CASE WHEN r.r = 0 THEN d.text
+                        ELSE d.text || ' #v' || CAST(r.r AS VARCHAR) END AS text,
+                   d.lang, d.source,
+                   CASE WHEN r.r = 0 THEN d.n_chars
+                        ELSE d.n_chars + 4 END AS n_chars
+            FROM read_parquet('{SRC}/documents.parquet') d
+            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+    # Two-coordinate perturbation: coordinates (r-1) and r of replica r
+    # get +/- 0.01*r — norm drift is O(1e-2), cluster geometry intact.
+    con.execute(f"""
+        COPY (
+            SELECT e.vec_id + r.r * {n_vec} AS vec_id,
+                   CASE WHEN r.r = 0 THEN e.embedding
+                        ELSE list_transform(
+                            e.embedding,
+                            (x, i) -> CAST(
+                                x + CASE WHEN i = r.r THEN 0.01 * r.r
+                                         WHEN i = r.r + 1 THEN -0.01 * r.r
+                                         ELSE 0 END AS FLOAT)
+                        ) END AS embedding,
+                   e.label
+            FROM read_parquet('{SRC}/embeddings.parquet') e
+            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    (DST / "_READY").touch()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=1, help="best-of-N per point")
+    args = ap.parse_args()
+
+    build_sf10()
+
+    import iceberg_rs_spark.plans  # noqa: F401
+    from iceberg_rs_spark.operators import packing
+    from iceberg_rs_spark.plans.corpus import CORPUS
+    from iceberg_rs_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # JIT warmup outside the timed region
+    CORPUS["dedup_minhash_lsh_pairs"].builder(spark, str(SRC)).collect()
+
+    def run(name: str, sf_dir: str) -> float:
+        best = math.inf
+        for _ in range(args.runs):
+            packing.release_caches()
+            t0 = time.perf_counter()
+            CORPUS[name].builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    rows = []
+    for name in QUERIES:
+        t1 = run(name, str(SRC))
+        t10 = run(name, str(DST))
+        alpha = round(math.log(t10 / t1) / math.log(REPLICAS), 2)
+        rows.append({"query": name, "sf0.1_s": t1, "sf1.0_s": t10, "alpha": alpha})
+        print(f"{name:32s} {t1:8.3f}s -> {t10:8.3f}s   alpha={alpha}")
+    print(json.dumps({"probe": "sf0.1->sf1.0", "replicas": REPLICAS, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
