@@ -184,6 +184,35 @@ def main() -> None:
     finally:
         shutil.rmtree(orc_dir, ignore_errors=True)
 
+    # Each Python/pandas eval type spins its OWN worker machinery on
+    # first use (0.5-1.5s: worker fork + Arrow setup + numpy import) —
+    # the scalar pandas_udf warm above does not cover them. Bill each
+    # to warmup, not to the alphabetically-first query of its family
+    # (observed: multimodal_audio_features is the first mapInPandas
+    # user and recorded its family's spin-up in every full run; see
+    # BASELINE.md round-8 watch-list diagnosis).
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    def _warm_map_iter(batches):
+        import numpy  # noqa: F401 — multimodal workers import it on first use
+
+        yield from batches
+
+    # explicit functionType: hint-based inference cannot resolve local
+    # aliases, and this stays a one-line warm stub
+    _warm_gagg = _pandas_udf(
+        lambda v: float(v.mean()), "double", PandasUDFType.GROUPED_AGG
+    )
+
+    tiny = spark.range(8).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    tiny.mapInPandas(_warm_map_iter, schema="id long, g long").count()
+    tiny.groupBy("g").applyInPandas(
+        lambda pdf: pdf, schema="id long, g long"
+    ).count()
+    tiny.groupBy("g").agg(_warm_gagg(F.col("id"))).count()
+    tiny.select(F.udf(lambda x: x + 1, "bigint")(F.col("id"))).count()
+
     # Stateful-operator machinery warms separately from plain streaming
     # aggregation: session-window codegen and the applyInPandasWithState
     # Python state workers each cost ~2s on first use, billed to
