@@ -198,6 +198,36 @@ class TestSimilarity:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
 
+    def test_topk_scores_are_unrounded(self, emb):
+        """Operator contract since r8 (ADVICE r7 #2): top-k operators
+        return the RAW cos/adc score — display rounding is the plan
+        layer's job, applied exactly once (rhalf on raw, matching the
+        oracles). An operator-side F.round would silently compose
+        Spark's HALF_UP under the portable floor and reintroduce the
+        near-half hash flake this contract removed."""
+        q = self._queries(emb, n=3)
+        frames = {
+            "brute": S.brute_force_topk(emb, q, k=3),
+            "lsh": S.lsh_topk(emb, q, k=3, num_planes=2),
+            "ivf": S.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8),
+        }
+        for name, df in frames.items():
+            vals = [r.cos for r in df.collect()]
+            assert vals, name
+            # a genuinely raw float64 cosine over 64-dim float vectors
+            # is 4-decimal-quantized with probability ~0; if EVERY
+            # value survives quantization intact, a round snuck back in
+            assert any(
+                abs(v * 1e4 - round(v * 1e4)) > 1e-6 for v in vals
+            ), f"{name}: all scores 4-decimal-quantized — operator re-rounds"
+        adc = [
+            r.adc_dist
+            for r in S.pq_topk(emb, q, k=3, m=16, ksub=16).collect()
+        ]
+        assert any(abs(v * 1e4 - round(v * 1e4)) > 1e-6 for v in adc), (
+            "pq: all ADC distances 4-decimal-quantized — operator re-rounds"
+        )
+
     def test_lsh_recall_vs_brute_force(self, emb):
         """SURVEY.md §7 risk 5: LSH recall over a fixed seed must stay
         above threshold against the exact baseline."""
