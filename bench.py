@@ -147,16 +147,20 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="iceberg_rs_spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def warmup(spark, sf_dir: str) -> None:
+    """Pay every session-wide one-time cost OUTSIDE the timed sweep.
 
-    # Warmup: JVM classloading + parquet footer caches, plus the
-    # Python-worker / Arrow / streaming-state machinery (first
-    # initialization costs ~15s and would otherwise be billed to
-    # whichever streaming or pandas-UDF query runs first).
+    A bug here kills the whole recording (bench exits non-zero before
+    timing anything — observed once with an uninferrable pandas-UDF
+    signature), so the block is a function with its own smoke test
+    (tests/test_bench_policy.py) instead of inline main() code.
+
+    Covers: JVM classloading + parquet footer caches, every Python
+    eval type's worker machinery, ORC codec classloading, streaming
+    (incl. stateful) state stores, and the tiering-prone plans'
+    generated code — each otherwise billed to whichever query touches
+    it first in the alphabetical sweep.
+    """
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     from pyspark.sql import functions as F
 
@@ -235,6 +239,14 @@ def main() -> None:
                 CORPUS[warm_q].builder(spark, warm_sf).collect()
             except Exception:
                 pass
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="iceberg_rs_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark, sf_dir)
 
     # Reference timings from the last recorded full run (committed
     # BENCH_FULL.json): used to flag per-query regressions BEFORE the

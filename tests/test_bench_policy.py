@@ -1,7 +1,8 @@
 """bench.py timing policy — the pinned-gate band and the outlier
 re-time rule are the honesty contract of every recorded
 BENCH_FULL.json, so the decision functions are pinned here (pure
-logic, no Spark).
+logic, no Spark — except TestWarmup, which smokes the warmup path
+that gates the entire recording).
 """
 
 from __future__ import annotations
@@ -105,3 +106,13 @@ class TestRetimeDecision:
             accepted, recorded = bench.retime_decision(first, retry, pin)
             if accepted:
                 assert recorded >= min(first, pin)
+
+
+class TestWarmup:
+    def test_warmup_runs_end_to_end(self, spark):
+        """bench.warmup is the recording's single point of failure: an
+        exception there exits bench non-zero BEFORE any query is timed
+        (observed once — an uninferrable pandas-UDF signature), which
+        would cost the round its BENCH recording. Smoke it on the tiny
+        fixture with the session the suite already has."""
+        bench.warmup(spark, "/root/testdata/sf0.001")
