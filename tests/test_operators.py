@@ -515,6 +515,65 @@ class TestTextOps:
         assert row.n1 == row.n2
 
 
+    def test_text_stats_profile_matches_raw_scalars(self, spark, sf_dir):
+        """text_stats is the library's convenience profile over the same
+        scalar functions the certified plans call directly — pin the
+        composition so the two surfaces cannot drift apart."""
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        prof = {r.doc_id: r for r in T.text_stats(docs).collect()}
+        c = F.col("text")
+        raw = {
+            r.doc_id: r
+            for r in docs.select(
+                "doc_id",
+                T.token_count(c).alias("n_tokens"),
+                F.round(T.avg_word_len(c), 4).alias("avg_word_len"),
+                F.round(T.quality_score(c), 4).alias("quality"),
+                T.fingerprint(c).alias("fingerprint"),
+            ).collect()
+        }
+        assert prof.keys() == raw.keys()
+        for k in raw:
+            assert prof[k].n_tokens == raw[k].n_tokens
+            assert prof[k].avg_word_len == raw[k].avg_word_len
+            assert prof[k].quality == raw[k].quality
+            assert prof[k].fingerprint == raw[k].fingerprint
+
+    def test_min_shingle_fingerprint_semantics(self, spark):
+        """MinHash-1 fingerprint: the min over seeded shingle hashes —
+        NULL on shingle-less input, unchanged by an edit whose shingles
+        don't displace the minimum (the robust-to-local-edits claim),
+        changed when the minimum's own region is edited."""
+        text1 = "one two three four five six"
+        df = _docs(spark, [(1, text1), (2, ""), (3, "only two")])
+        out = {
+            r.doc_id: r.fp
+            for r in df.select(
+                "doc_id", T.min_shingle_fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert out[2] is None  # empty: no shingles
+        assert out[3] is None  # two tokens < k=3 words: no shingles
+        assert out[1] is not None
+        # manual min over the same seeded shingle hashes
+        manual = (
+            _docs(spark, [(1, text1)])
+            .select(
+                F.array_min(
+                    F.transform(
+                        T.shingles(F.col("text"), 3),
+                        lambda s: T.h60_seeded(0, s),
+                    )
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+        assert out[1] == manual
+
+
 class TestMultimodal:
     def test_unknown_format_rejected(self):
         with pytest.raises(ValueError, match="unsupported image format"):
@@ -675,6 +734,35 @@ class TestMultimodalAudio:
             _decode_wav(bytes(raw))
 
 
+class TestFrameSamplePlan:
+    def test_explode_fanout_arithmetic(self, spark):
+        """frame_sample_plan is the metadata-only fan-out shape (one
+        row per sampled frame index from content_length, no decode) —
+        pin its arithmetic: indices are 0, n, 2n, ... strictly below
+        ceil(content_length/100)+1 frames."""
+        from pyspark.sql import Row
+
+        from iceberg_rs_spark.operators.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, media_meta=Row(content_length=950)),
+                Row(doc_id=2, media_meta=Row(content_length=100)),
+                Row(doc_id=3, media_meta=Row(content_length=0)),
+            ]
+        )
+        out = frame_sample_plan(df, every_nth=4)
+        got = {
+            d: sorted(r.frame_idx for r in rows)
+            for d, rows in __import__("itertools").groupby(
+                sorted(out.collect(), key=lambda r: r.doc_id),
+                key=lambda r: r.doc_id,
+            )
+        }
+        # n_frames = content_length//100 + 1 -> 10, 2, 1 frames
+        assert got == {1: [0, 4, 8], 2: [0], 3: [0]}
+
+
 class TestMultimodalVideo:
     def test_container_roundtrip(self):
         from iceberg_rs_spark.operators.multimodal import (
@@ -753,6 +841,49 @@ class TestQuantization:
 
 
 class TestWinnowing:
+    def test_staged_matches_unstaged_reference(self, spark, sf_dir):
+        """winnowing_fingerprints_staged exists purely as the O(n)
+        evaluation of winnowing_fingerprints (which re-derives the
+        k-gram array per window position under interpreted HOF
+        lambdas). Differential-pin the two on fixture documents plus
+        the short-document edge cases (empty / below k / below k+w-1),
+        so a change to the staging can never silently change the
+        sketch."""
+        from pyspark.sql import Row
+
+        from iceberg_rs_spark.operators.text import (
+            winnowing_fingerprints,
+            winnowing_fingerprints_staged,
+        )
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(40).select(
+            "doc_id", "text"
+        )
+        edge = spark.createDataFrame(
+            [
+                Row(doc_id=10_001, text=""),
+                Row(doc_id=10_002, text="abc"),        # < k
+                Row(doc_id=10_003, text="abcdefgh"),   # == k, < k+w-1
+                Row(doc_id=10_004, text="a b c d e f g h i j"),
+            ]
+        )
+        both = docs.unionByName(edge)
+        staged = {
+            r.doc_id: r.fingerprints
+            for r in winnowing_fingerprints_staged(
+                both, "text", k=8, window=6
+            ).collect()
+        }
+        unstaged = {
+            r.doc_id: r.fp
+            for r in both.select(
+                "doc_id",
+                winnowing_fingerprints(F.col("text"), k=8, window=6).alias("fp"),
+            ).collect()
+        }
+        assert staged == unstaged
+
     def _sketches(self, spark, texts):
         from pyspark.sql import Row
 
