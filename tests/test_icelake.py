@@ -2074,3 +2074,123 @@ class TestDropColumnGuards:
         t.drop_column("v")
         t.append(spark.createDataFrame([(2,)], "id long"))
         assert t.scan().count() == 2
+
+
+class TestRandomizedLifecycleDifferential:
+    """Random interleavings of the write surface, differentially checked
+    against a plain python dict oracle after EVERY commit, then time
+    travel back to every recorded snapshot (SURVEY.md §5.4 made
+    adversarial: the 98 example-based lifecycle tests each pin one
+    interaction; this sweeps the interaction SPACE — CoW and MoR
+    deletes over earlier MoR merges, partition overwrites over
+    position-deleted files, compaction mid-history — where table
+    formats actually break).
+
+    Keys are unique by construction (merge on a duplicate key is the
+    one place CoW and MoR semantics legitimately diverge — CoW join
+    fan-out vs equality-delete collapse — and Iceberg's
+    identifier-field contract assumes uniqueness anyway)."""
+
+    SCHEMA = "id long, grp long, val long"
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    @staticmethod
+    def _read(t, **kw):
+        return sorted((r.id, r.grp, r.val) for r in t.scan(**kw).collect())
+
+    @staticmethod
+    def _expect(state):
+        return sorted((i, g, v) for i, (g, v) in state.items())
+
+    def test_random_op_sequences_match_dict_oracle(self, catalog, spark):
+        import random
+
+        for seed in (11, 23, 37):
+            rnd = random.Random(seed)
+            t = catalog.create_table(
+                f"db.rand_lifecycle_{seed}",
+                self._df(spark, [(0, 0, 0)]).schema,
+                partition_by=[("grp", "identity")],
+            )
+            state: dict[int, tuple[int, int]] = {}
+            next_id = 0
+            states: list[tuple[int, dict]] = []
+
+            def fresh(n, rng):
+                nonlocal next_id
+                rows = [
+                    (next_id + i, rng.randrange(5), rng.randrange(100))
+                    for i in range(n)
+                ]
+                next_id += n
+                return rows
+
+            # seed data so early deletes/merges have something to hit
+            rows = fresh(8, rnd)
+            t.append(self._df(spark, rows))
+            state.update({i: (g, v) for i, g, v in rows})
+            states.append((t.metadata.current_snapshot_id, dict(state)))
+
+            for _ in range(12):
+                op = rnd.choice(
+                    ["append", "delete", "merge", "overwrite_parts", "compact"]
+                )
+                if op == "append":
+                    rows = fresh(rnd.randint(1, 6), rnd)
+                    t.append(self._df(spark, rows))
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "delete":
+                    mode = rnd.choice(["copy-on-write", "merge-on-read"])
+                    if rnd.random() < 0.5:
+                        g = rnd.randrange(5)
+                        where = f"grp = {g}"
+                        hit = [i for i, (gg, _) in state.items() if gg == g]
+                    else:
+                        x = rnd.randrange(100)
+                        where = f"val > {x}"
+                        hit = [i for i, (_, v) in state.items() if v > x]
+                    t.delete(where, mode=mode)
+                    for i in hit:
+                        del state[i]
+                elif op == "merge":
+                    mode = rnd.choice(["copy-on-write", "merge-on-read"])
+                    upd = rnd.sample(
+                        sorted(state), min(len(state), rnd.randint(0, 4))
+                    )
+                    rows = [
+                        (i, rnd.randrange(5), rnd.randrange(100)) for i in upd
+                    ] + fresh(rnd.randint(0, 3), rnd)
+                    if not rows:
+                        continue
+                    t.merge(self._df(spark, rows), on=["id"], mode=mode)
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "overwrite_parts":
+                    grps = {rnd.randrange(5) for _ in range(rnd.randint(1, 2))}
+                    rows = [
+                        (i, rnd.choice(sorted(grps)), v)
+                        for i, _, v in fresh(rnd.randint(1, 4), rnd)
+                    ]
+                    t.overwrite_partitions(self._df(spark, rows))
+                    # replaces exactly the partitions PRESENT in the df
+                    # (a sampled grp that no generated row landed in is
+                    # untouched)
+                    present = {g for _, g, _ in rows}
+                    for i in [
+                        i for i, (g, _) in state.items() if g in present
+                    ]:
+                        del state[i]
+                    state.update({i: (g, v) for i, g, v in rows})
+                else:
+                    t.compact()
+                assert self._read(t) == self._expect(state), (
+                    f"seed {seed}: divergence after {op}"
+                )
+                states.append((t.metadata.current_snapshot_id, dict(state)))
+
+            # every recorded snapshot must still reproduce its state
+            for snap_id, snap_state in states:
+                assert self._read(t, snapshot_id=snap_id) == self._expect(
+                    snap_state
+                ), f"seed {seed}: time travel to {snap_id} diverged"
