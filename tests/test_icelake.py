@@ -2194,3 +2194,30 @@ class TestRandomizedLifecycleDifferential:
                 assert self._read(t, snapshot_id=snap_id) == self._expect(
                     snap_state
                 ), f"seed {seed}: time travel to {snap_id} diverged"
+
+            # and the changelog between every consecutive snapshot pair
+            # must reconcile exactly to the dict-state diff (inserts =
+            # rows gained, deletes = rows lost; an update is one of
+            # each; a compact/replace or no-op pair yields nothing)
+            for (s0, d0), (s1, d1) in zip(states, states[1:]):
+                cl = t.changelog_scan(
+                    start_snapshot_id=s0, end_snapshot_id=s1
+                ).collect()
+                got_ins = sorted(
+                    (r.id, r.grp, r.val)
+                    for r in cl
+                    if r["_change_type"] == "insert"
+                )
+                got_del = sorted(
+                    (r.id, r.grp, r.val)
+                    for r in cl
+                    if r["_change_type"] == "delete"
+                )
+                rows0 = set(self._expect(d0))
+                rows1 = set(self._expect(d1))
+                assert got_ins == sorted(rows1 - rows0), (
+                    f"seed {seed}: changelog inserts {s0}->{s1} diverged"
+                )
+                assert got_del == sorted(rows0 - rows1), (
+                    f"seed {seed}: changelog deletes {s0}->{s1} diverged"
+                )
