@@ -2221,3 +2221,91 @@ class TestRandomizedLifecycleDifferential:
                 assert got_del == sorted(rows0 - rows1), (
                     f"seed {seed}: changelog deletes {s0}->{s1} diverged"
                 )
+
+    def test_random_branch_ops_isolated_then_fast_forwarded(
+        self, catalog, spark
+    ):
+        """Branch dimension of the same sweep: random writes land on
+        main and dev alternately, each branch tracked by its own dict
+        oracle, with BOTH branches re-read after every commit — one
+        branch's CoW/MoR writes must never leak into the other (they
+        share data files until divergence). Then the WAP shape: a
+        branch written in isolation fast-forwards into main exactly."""
+        import random
+
+        rnd = random.Random(101)
+        t = catalog.create_table(
+            "db.rand_branches",
+            self._df(spark, [(0, 0, 0)]).schema,
+            partition_by=[("grp", "identity")],
+        )
+        next_id = 0
+
+        def fresh(n):
+            nonlocal next_id
+            rows = [
+                (next_id + i, rnd.randrange(4), rnd.randrange(100))
+                for i in range(n)
+            ]
+            next_id += n
+            return rows
+
+        seed_rows = fresh(6)
+        t.append(self._df(spark, seed_rows))
+        base = {i: (g, v) for i, g, v in seed_rows}
+        t.create_branch("dev")
+        state = {"main": dict(base), "dev": dict(base)}
+
+        for _ in range(10):
+            br = rnd.choice(["main", "dev"])
+            st = state[br]
+            op = rnd.choice(["append", "delete", "merge"])
+            if op == "append":
+                rows = fresh(rnd.randint(1, 4))
+                t.append(self._df(spark, rows), branch=br)
+                st.update({i: (g, v) for i, g, v in rows})
+            elif op == "delete":
+                g = rnd.randrange(4)
+                t.delete(
+                    f"grp = {g}",
+                    branch=br,
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                )
+                for i in [i for i, (gg, _) in st.items() if gg == g]:
+                    del st[i]
+            else:
+                upd = rnd.sample(sorted(st), min(len(st), 2))
+                rows = [
+                    (i, rnd.randrange(4), rnd.randrange(100)) for i in upd
+                ] + fresh(1)
+                t.merge(
+                    self._df(spark, rows),
+                    on=["id"],
+                    branch=br,
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                )
+                st.update({i: (g, v) for i, g, v in rows})
+            # isolation: BOTH branches match their own oracle
+            for b in ("main", "dev"):
+                got = self._read(t, branch=b) if b != "main" else self._read(t)
+                assert got == self._expect(state[b]), (
+                    f"branch {b} diverged after {op} on {br}"
+                )
+
+        # WAP: stage commits on an isolated branch, then publish
+        t.create_branch("wap")
+        wap = dict(state["main"])
+        rows = fresh(3)
+        t.append(self._df(spark, rows), branch="wap")
+        wap.update({i: (g, v) for i, g, v in rows})
+        g = rnd.randrange(4)
+        t.delete(f"grp = {g}", branch="wap", mode="merge-on-read")
+        for i in [i for i, (gg, _) in wap.items() if gg == g]:
+            del wap[i]
+        assert self._read(t) == self._expect(state["main"]), (
+            "WAP staging leaked into main"
+        )
+        t.fast_forward("main", "wap")
+        assert self._read(t) == self._expect(wap), (
+            "fast-forward did not publish the WAP branch exactly"
+        )
