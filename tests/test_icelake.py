@@ -2116,7 +2116,7 @@ class TestRandomizedLifecycleDifferential:
             )
             state: dict[int, tuple[int, int]] = {}
             next_id = 0
-            states: list[tuple[int, dict]] = []
+            states: list[tuple[int, dict, str]] = []
 
             def fresh(n, rng):
                 nonlocal next_id
@@ -2131,7 +2131,7 @@ class TestRandomizedLifecycleDifferential:
             rows = fresh(8, rnd)
             t.append(self._df(spark, rows))
             state.update({i: (g, v) for i, g, v in rows})
-            states.append((t.metadata.current_snapshot_id, dict(state)))
+            states.append((t.metadata.current_snapshot_id, dict(state), "append"))
 
             for _ in range(12):
                 op = rnd.choice(
@@ -2187,10 +2187,12 @@ class TestRandomizedLifecycleDifferential:
                 assert self._read(t) == self._expect(state), (
                     f"seed {seed}: divergence after {op}"
                 )
-                states.append((t.metadata.current_snapshot_id, dict(state)))
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), op)
+                )
 
             # every recorded snapshot must still reproduce its state
-            for snap_id, snap_state in states:
+            for snap_id, snap_state, _op in states:
                 assert self._read(t, snapshot_id=snap_id) == self._expect(
                     snap_state
                 ), f"seed {seed}: time travel to {snap_id} diverged"
@@ -2199,7 +2201,11 @@ class TestRandomizedLifecycleDifferential:
             # must reconcile exactly to the dict-state diff (inserts =
             # rows gained, deletes = rows lost; an update is one of
             # each; a compact/replace or no-op pair yields nothing)
-            for (s0, d0), (s1, d1) in zip(states, states[1:]):
+            for (s0, d0, _), (s1, d1, op1) in zip(states, states[1:]):
+                if s0 == s1:
+                    # the op matched nothing and committed no snapshot
+                    assert d0 == d1
+                    continue
                 cl = t.changelog_scan(
                     start_snapshot_id=s0, end_snapshot_id=s1
                 ).collect()
@@ -2221,6 +2227,34 @@ class TestRandomizedLifecycleDifferential:
                 assert got_del == sorted(rows0 - rows1), (
                     f"seed {seed}: changelog deletes {s0}->{s1} diverged"
                 )
+
+                # incremental (append-only) scan over the same pair:
+                # appends deliver exactly the gained rows, compaction
+                # ranges deliver nothing (replace skipped), and every
+                # other operation must REFUSE — silently re-delivering
+                # rewritten files would duplicate rows downstream
+                if op1 == "append":
+                    inc = sorted(
+                        (r.id, r.grp, r.val)
+                        for r in t.incremental_scan(
+                            start_snapshot_id=s0, end_snapshot_id=s1
+                        ).collect()
+                    )
+                    assert inc == sorted(rows1 - rows0), (
+                        f"seed {seed}: incremental scan {s0}->{s1} diverged"
+                    )
+                elif op1 == "compact":
+                    assert (
+                        t.incremental_scan(
+                            start_snapshot_id=s0, end_snapshot_id=s1
+                        ).count()
+                        == 0
+                    )
+                else:
+                    with pytest.raises(ValueError, match="incremental"):
+                        t.incremental_scan(
+                            start_snapshot_id=s0, end_snapshot_id=s1
+                        )
 
     def test_random_branch_ops_isolated_then_fast_forwarded(
         self, catalog, spark
