@@ -2343,3 +2343,152 @@ class TestRandomizedLifecycleDifferential:
         assert self._read(t) == self._expect(wap), (
             "fast-forward did not publish the WAP branch exactly"
         )
+
+    def test_random_schema_evolution_interleaved_with_writes(
+        self, catalog, spark
+    ):
+        """Schema-evolution dimension of the sweep: random add / rename
+        / drop of extra columns interleaved with CoW/MoR writes, the
+        oracle tracking rows as per-column dicts. Current reads must
+        show the live column set (null-backfilled across file
+        generations); time-travel reads must reproduce each snapshot's
+        OWN column set and values ("what the data meant then").
+        Evolution is applied immediately before a write so each
+        snapshot's stamped schema matches the recorded live set
+        (evolution itself commits no snapshot)."""
+        import random
+
+        rnd = random.Random(53)
+        t = catalog.create_table(
+            "db.rand_evolve",
+            self._df(spark, [(0, 0, 0)]).schema,
+            partition_by=[("grp", "identity")],
+        )
+        extras: list[str] = []
+        n_cols = 0
+        state: dict[int, dict] = {}
+        next_id = 0
+        history: list[tuple[int, dict, tuple]] = []
+
+        def fresh(n):
+            nonlocal next_id
+            out = []
+            for _ in range(n):
+                row = {"id": next_id, "grp": rnd.randrange(4),
+                       "val": rnd.randrange(100)}
+                for c in extras:
+                    row[c] = rnd.randrange(1000) if rnd.random() < 0.8 else None
+                out.append(row)
+                next_id += 1
+            return out
+
+        def make_df(rows):
+            cols = ["id", "grp", "val"] + extras
+            schema = ", ".join(f"{c} long" for c in cols)
+            return spark.createDataFrame(
+                [tuple(r[c] for c in cols) for r in rows], schema
+            )
+
+        def read_current():
+            cols = ["id", "grp", "val"] + extras
+            return sorted(
+                tuple(r[c] for c in cols) for r in t.scan().collect()
+            )
+
+        def expect(st, cols):
+            return sorted(tuple(r.get(c) for c in cols) for r in st.values())
+
+        rows = fresh(6)
+        t.append(make_df(rows))
+        state.update({r["id"]: dict(r) for r in rows})
+        history.append(
+            (t.metadata.current_snapshot_id, {k: dict(v) for k, v in state.items()},
+             tuple(extras))
+        )
+
+        evolved = {"add": 0, "rename": 0, "drop": 0}
+        for _ in range(14):
+            # maybe evolve (immediately before the write that commits it)
+            evo = rnd.random()
+            if evo < 0.3:
+                n_cols += 1
+                c = f"c{n_cols}"
+                t.add_column(c, "long")
+                extras.append(c)
+                for r in state.values():
+                    r[c] = None
+                evolved["add"] += 1
+            elif evo < 0.45 and extras:
+                old = rnd.choice(extras)
+                n_cols += 1
+                new = f"r{n_cols}"
+                t.rename_column(old, new)
+                extras[extras.index(old)] = new
+                for r in state.values():
+                    r[new] = r.pop(old)
+                evolved["rename"] += 1
+            elif evo < 0.6 and extras:
+                c = extras.pop(rnd.randrange(len(extras)))
+                t.drop_column(c)
+                for r in state.values():
+                    r.pop(c, None)
+                evolved["drop"] += 1
+
+            op = rnd.choice(["append", "merge", "delete"])
+            if op == "append":
+                rows = fresh(rnd.randint(1, 4))
+                t.append(make_df(rows))
+                state.update({r["id"]: dict(r) for r in rows})
+            elif op == "merge":
+                upd = rnd.sample(sorted(state), min(len(state), 2))
+                rows = []
+                for i in upd:
+                    r = {"id": i, "grp": rnd.randrange(4),
+                         "val": rnd.randrange(100)}
+                    for c in extras:
+                        r[c] = rnd.randrange(1000) if rnd.random() < 0.8 else None
+                    rows.append(r)
+                rows += fresh(1)
+                t.merge(
+                    make_df(rows), on=["id"],
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                )
+                state.update({r["id"]: dict(r) for r in rows})
+            else:
+                g = rnd.randrange(4)
+                t.delete(
+                    f"grp = {g}",
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                )
+                for i in [i for i, r in state.items() if r["grp"] == g]:
+                    del state[i]
+
+            cols = ["id", "grp", "val"] + extras
+            assert read_current() == expect(state, cols), (
+                f"divergence after {op} with columns {cols}"
+            )
+            # an op that matched nothing commits no snapshot — a
+            # preceding evolution then lives only in current metadata,
+            # so the OLD snapshot must keep its old column set; don't
+            # record the new columns against it
+            if t.metadata.current_snapshot_id != history[-1][0]:
+                history.append(
+                    (t.metadata.current_snapshot_id,
+                     {k: dict(v) for k, v in state.items()}, tuple(extras))
+                )
+
+        # vacuity guard: the sequence must actually exercise all three
+        # evolution kinds (a seed change that stops producing them
+        # would silently hollow the sweep out)
+        assert all(evolved.values()), evolved
+
+        # time travel: each snapshot reads back with ITS schema + values
+        for snap_id, st, ext in history:
+            cols = ["id", "grp", "val"] + list(ext)
+            got = sorted(
+                tuple(r[c] for c in cols)
+                for r in t.scan(snapshot_id=snap_id).collect()
+            )
+            assert got == expect(st, cols), (
+                f"time travel to {snap_id} diverged (columns {cols})"
+            )
