@@ -2256,6 +2256,30 @@ class TestRandomizedLifecycleDifferential:
                             start_snapshot_id=s0, end_snapshot_id=s1
                         )
 
+            # maintenance over the random history, LAST (it destroys
+            # the older snapshots the loops above read): expiring all
+            # but the last 3 snapshots and sweeping orphans must leave
+            # the current state and every KEPT snapshot readable — the
+            # classic failure is expire deleting a data/delete file an
+            # older kept snapshot (or a live MoR scan) still references
+            kept = {s for s, _, _ in states[-3:]}
+            removed = set(t.expire_snapshots(retain_last=3))
+            assert kept.isdisjoint(removed), (
+                f"seed {seed}: kept snapshot expired"
+            )
+            t.remove_orphan_files()
+            assert self._read(t) == self._expect(state), (
+                f"seed {seed}: current read broken after expire+orphan sweep"
+            )
+            for snap_id, snap_state, _op in states:
+                if snap_id in kept:
+                    assert self._read(t, snapshot_id=snap_id) == self._expect(
+                        snap_state
+                    ), (
+                        f"seed {seed}: kept snapshot {snap_id} broken "
+                        "after maintenance"
+                    )
+
     def test_random_branch_ops_isolated_then_fast_forwarded(
         self, catalog, spark
     ):
