@@ -2106,7 +2106,9 @@ class TestRandomizedLifecycleDifferential:
 
     def test_random_op_sequences_match_dict_oracle(self, catalog, spark):
         import random
+        from collections import Counter
 
+        ops_seen: Counter = Counter()
         for seed in (11, 23, 37):
             rnd = random.Random(seed)
             t = catalog.create_table(
@@ -2133,10 +2135,16 @@ class TestRandomizedLifecycleDifferential:
             state.update({i: (g, v) for i, g, v in rows})
             states.append((t.metadata.current_snapshot_id, dict(state), "append"))
 
-            for _ in range(12):
-                op = rnd.choice(
-                    ["append", "delete", "merge", "overwrite_parts", "compact"]
-                )
+            for step in range(12):
+                ops = ["append", "delete", "merge", "overwrite_parts", "compact"]
+                if step < 7:
+                    # rollback forks the history (it re-points main at an
+                    # old snapshot without committing a new one); keep it
+                    # early so the maintenance phase's kept-last-3 set is
+                    # unambiguously on the live chain
+                    ops.append("rollback")
+                op = rnd.choice(ops)
+                ops_seen[op] += 1
                 if op == "append":
                     rows = fresh(rnd.randint(1, 6), rnd)
                     t.append(self._df(spark, rows))
@@ -2182,7 +2190,14 @@ class TestRandomizedLifecycleDifferential:
                     ]:
                         del state[i]
                     state.update({i: (g, v) for i, g, v in rows})
+                elif op == "rollback":
+                    target_snap, target_state, _ = rnd.choice(states)
+                    t.rollback_to_snapshot(target_snap)
+                    state = dict(target_state)
                 else:
+                    # bin-pack only: cluster-by rewrite refuses
+                    # partitioned tables by design (one file per
+                    # partition per write leaves nothing to lay out)
                     t.compact()
                 assert self._read(t) == self._expect(state), (
                     f"seed {seed}: divergence after {op}"
@@ -2204,7 +2219,16 @@ class TestRandomizedLifecycleDifferential:
             for (s0, d0, _), (s1, d1, op1) in zip(states, states[1:]):
                 if s0 == s1:
                     # the op matched nothing and committed no snapshot
+                    # (or rolled back to the immediately prior snapshot)
                     assert d0 == d1
+                    continue
+                if op1 == "rollback":
+                    # the pair spans a history fork: s0 is a DESCENDANT
+                    # of the rollback target, not an ancestor — both
+                    # consumers must refuse rather than fabricate a diff
+                    for fn in (t.changelog_scan, t.incremental_scan):
+                        with pytest.raises(KeyError, match="ancestor"):
+                            fn(start_snapshot_id=s0, end_snapshot_id=s1)
                     continue
                 cl = t.changelog_scan(
                     start_snapshot_id=s0, end_snapshot_id=s1
@@ -2279,6 +2303,13 @@ class TestRandomizedLifecycleDifferential:
                         f"seed {seed}: kept snapshot {snap_id} broken "
                         "after maintenance"
                     )
+
+        # vacuity guard across seeds: every op kind (incl. rollback)
+        # must actually have fired, or a seed change hollows the sweep
+        assert set(ops_seen) == {
+            "append", "delete", "merge", "overwrite_parts", "compact",
+            "rollback",
+        }, dict(ops_seen)
 
     def test_random_branch_ops_isolated_then_fast_forwarded(
         self, catalog, spark
