@@ -2547,3 +2547,82 @@ class TestRandomizedLifecycleDifferential:
             assert got == expect(st, cols), (
                 f"time travel to {snap_id} diverged (columns {cols})"
             )
+
+    def test_random_ops_with_clustered_compaction_unpartitioned(
+        self, catalog, spark
+    ):
+        """Clustered-rewrite dimension: on an UNPARTITIONED table (the
+        layout cluster-by compaction exists for), random writes are
+        interleaved with bin-pack / sort / z-order rewrites under a
+        dict oracle — a rewrite strategy that loses, duplicates, or
+        double-applies MoR delete files changes the content; all three
+        must be pure layout changes."""
+        import random
+
+        rnd = random.Random(71)
+        t = catalog.create_table(
+            "db.rand_cluster", self._df(spark, [(0, 0, 0)]).schema
+        )
+        state: dict[int, tuple[int, int]] = {}
+        next_id = 0
+
+        def fresh(n):
+            nonlocal next_id
+            rows = [
+                (next_id + i, rnd.randrange(4), rnd.randrange(100))
+                for i in range(n)
+            ]
+            next_id += n
+            return rows
+
+        rows = fresh(8)
+        t.append(self._df(spark, rows))
+        state.update({i: (g, v) for i, g, v in rows})
+
+        strategies_run = set()
+        for step in range(10):
+            op = rnd.choice(["append", "delete", "merge", "compact"])
+            if op == "append":
+                rows = fresh(rnd.randint(1, 4))
+                t.append(self._df(spark, rows))
+                state.update({i: (g, v) for i, g, v in rows})
+            elif op == "delete":
+                x = rnd.randrange(100)
+                t.delete(
+                    f"val > {x}",
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                )
+                for i in [i for i, (_, v) in state.items() if v > x]:
+                    del state[i]
+            elif op == "merge":
+                upd = rnd.sample(sorted(state), min(len(state), 2))
+                rows = [
+                    (i, rnd.randrange(4), rnd.randrange(100)) for i in upd
+                ] + fresh(1)
+                t.merge(
+                    self._df(spark, rows),
+                    on=["id"],
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                )
+                state.update({i: (g, v) for i, g, v in rows})
+            else:
+                strat = rnd.choice(["bin-pack", "sort", "zorder"])
+                t.compact(
+                    strategy=strat,
+                    cluster_by=None if strat == "bin-pack" else ["grp", "val"],
+                    target_file_size_bytes=4096,  # force multi-file layouts
+                )
+                strategies_run.add(strat)
+            got = sorted((r.id, r.grp, r.val) for r in t.scan().collect())
+            assert got == self._expect(state), (
+                f"divergence after {op} at step {step}"
+            )
+        # force the strategies the random walk missed, on the final state
+        for strat in {"sort", "zorder"} - strategies_run:
+            t.compact(
+                strategy=strat,
+                cluster_by=["grp", "val"],
+                target_file_size_bytes=4096,
+            )
+            got = sorted((r.id, r.grp, r.val) for r in t.scan().collect())
+            assert got == self._expect(state), f"divergence after {strat}"
