@@ -81,7 +81,7 @@ _SESSIONIZE_SQL = f"""
     {EVENTS_ORACLE_CTE}, o AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                         OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                     THEN 1 ELSE 0 END AS new_s
         FROM evt
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -109,8 +109,14 @@ _SESSIONIZE_SQL = f"""
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (2h) per user. The oracle is the
-    classic gaps-and-islands rewrite with the same half-open boundary
-    (a gap of exactly 2h starts a new session)."""
+    classic gaps-and-islands rewrite with Spark session_window's TRUE
+    boundary: an event at EXACTLY gap after the previous one still
+    MERGES (the window [start, last+gap] is closed at the merge end);
+    only a strictly greater gap starts a new session. Pinned
+    empirically in tests/test_streaming.py::TestSessionGapBoundary —
+    the previous `>=` oracle was green only because the fixture's
+    subsecond timestamps never land on the exact boundary (the r8
+    randomized streaming differential caught it)."""
     ev = events_stream(spark, sf_dir)
     out = replay_to_memory(session_agg(ev, "2 hours"), "sessions", "complete")
     return out.orderBy("user_id", "session_start")
@@ -216,14 +222,17 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     """Arbitrary stateful processing (applyInPandasWithState): per-user
     sessionization with a 2h gap, counting sessions and events. The
     custom state function reproduces exactly the gaps-and-islands SQL,
-    so even the arbitrary-state path is hash-checked."""
+    so even the arbitrary-state path is hash-checked. Boundary matches
+    Spark's built-in session_window (strictly-greater gap starts a new
+    session; an exact-gap event merges), so this operator and
+    session_agg are interchangeable at the boundary."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def sessionize(key, pdf_iter, state: GroupState):
         pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
         gaps = pdf["ts"].diff()
-        new_s = gaps.isna() | (gaps >= pd.Timedelta(hours=2))
+        new_s = gaps.isna() | (gaps > pd.Timedelta(hours=2))
         n_sessions = int(new_s.sum())
         n_events = len(pdf)
         if state.exists:

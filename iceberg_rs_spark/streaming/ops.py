@@ -209,9 +209,11 @@ def sliding_window_agg(
 
 
 def session_agg(events: DataFrame, gap: str = "2 hours") -> DataFrame:
-    """Per-user session windows (gap-based). A session is half-open:
-    an event landing exactly `gap` after the previous one starts a new
-    session."""
+    """Per-user session windows (gap-based). Boundary (pinned in
+    tests/test_streaming.py::TestSessionGapBoundary): an event landing
+    EXACTLY `gap` after the previous one MERGES into the session —
+    session_window's interval is closed at the merge end — and only a
+    strictly greater gap starts a new session."""
     return (
         events.groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))

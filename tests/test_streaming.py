@@ -241,3 +241,196 @@ class TestCdcUpsertSink:
         t.compact(target_file_size_bytes=1)
         assert t.files().where("content != 'data'").count() == 0
         assert {r.event_id: r.value for r in t.to_df().collect()} == got
+
+
+class TestSessionGapBoundary:
+    def test_exact_gap_merges_strictly_greater_splits(self, spark):
+        """Spark session_window's TRUE gap boundary, pinned empirically
+        (found by the r8 randomized streaming differential): an event
+        at EXACTLY start+gap merges into the session, one second past
+        it starts a new session. Every sessionization oracle in the
+        corpus uses the strictly-greater convention to match."""
+        import datetime as dtm
+
+        from pyspark.sql import functions as F
+
+        base = dtm.datetime(2024, 3, 1, 0, 0, 0)
+        rows = [
+            (1, 1, base, 1.0),
+            (2, 1, base + dtm.timedelta(seconds=7200), 1.0),   # exact gap
+            (3, 2, base, 1.0),
+            (4, 2, base + dtm.timedelta(seconds=7201), 1.0),   # gap + 1s
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        out = (
+            df.groupBy(F.session_window("ts", "2 hours"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"))
+        )
+        got = {r.user_id: r.n_sessions for r in out.collect()}
+        assert got == {1: 1, 2: 2}
+
+
+class TestRandomizedStreamingDifferential:
+    """Randomized multi-micro-batch differential for the streaming
+    ops: random events split across files (maxFilesPerTrigger=1 forces
+    one micro-batch per file, so state genuinely carries across
+    batches) replayed to completion and compared against plain python
+    oracles. Values are multiples of 0.25 so float sums are exact in
+    both engines regardless of summation order."""
+
+    GAP_S = 2 * 3600  # session gap, matches session_agg's "2 hours"
+
+    def _write_batches(self, spark, tmp_path, rows, n_files=4):
+        import math
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        per = math.ceil(len(rows) / n_files)
+        schema = "event_id long, user_id long, ts timestamp, value double"
+        for b in range(n_files):
+            chunk = rows[b * per : (b + 1) * per]
+            if chunk:
+                spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(str(src / f"batch_{b}.parquet"))
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/batch_*")
+        )
+        return raw
+
+    @staticmethod
+    def _gen(seed):
+        import datetime as dtm
+        import random
+
+        rnd = random.Random(seed)
+        base = dtm.datetime(2024, 3, 1, 0, 0, 0)
+        rows = []
+        eid = 0
+        for user in range(5):
+            t = base + dtm.timedelta(minutes=rnd.randrange(0, 180))
+            for _ in range(rnd.randint(3, 12)):
+                # mixture of in-session gaps and > gap jumps, including
+                # the exact half-open boundary (a jump of exactly GAP_S
+                # must start a NEW session)
+                jump = rnd.choice([60, 600, 1800, 7200, 7200, 9000, 20000])
+                t = t + dtm.timedelta(seconds=jump)
+                rows.append((eid, user, t, rnd.randrange(0, 40) * 0.25))
+                eid += 1
+        rnd.shuffle(rows)  # arrival order decoupled from event time
+        return rows
+
+    def _session_oracle(self, rows):
+        import datetime as dtm
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for _eid, user, ts, val in rows:
+            by_user[user].append((ts, val))
+        out = []
+        for user, evs in by_user.items():
+            evs.sort()
+            start, n, tot, prev = None, 0, 0.0, None
+            for ts, val in evs:
+                # strictly greater: an exact-gap event merges (Spark
+                # session_window semantics, TestSessionGapBoundary)
+                if start is None or (ts - prev).total_seconds() > self.GAP_S:
+                    if start is not None:
+                        out.append((user, start, n, round(tot, 2)))
+                    start, n, tot = ts, 0, 0.0
+                n += 1
+                tot += val
+                prev = ts
+            out.append((user, start, n, round(tot, 2)))
+        return sorted(
+            (u, s.strftime("%Y-%m-%d %H:%M:%S"), n, t) for u, s, n, t in out
+        )
+
+    def test_session_windows_match_python_oracle(self, spark, tmp_path):
+        from iceberg_rs_spark.streaming.ops import replay_to_memory, session_agg
+
+        rows = self._gen(seed=7)
+        stream = self._write_batches(spark, tmp_path, rows)
+        got = sorted(
+            (r.user_id, r.session_start, r.n_events, r.sum_value)
+            for r in replay_to_memory(
+                session_agg(stream), "rand_sessions", "complete"
+            ).collect()
+        )
+        assert got == self._session_oracle(rows)
+
+    def test_tumbling_windows_match_python_oracle(self, spark, tmp_path):
+        from collections import defaultdict
+
+        from iceberg_rs_spark.streaming.ops import replay_to_memory
+
+        from pyspark.sql import functions as F
+
+        rows = self._gen(seed=19)
+        stream = self._write_batches(spark, tmp_path, rows)
+        # per-user hourly tumbling (the fixture op groups by event_type,
+        # which this synthetic schema doesn't carry — group by user)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "user_id", "n", "sv",
+            )
+        )
+        got = sorted(
+            (r.ws, r.user_id, r.n, r.sv)
+            for r in replay_to_memory(agg, "rand_tumbling", "complete").collect()
+        )
+        acc = defaultdict(lambda: [0, 0.0])
+        for _eid, user, ts, val in rows:
+            ws = ts.replace(minute=0, second=0, microsecond=0)
+            k = (ws.strftime("%Y-%m-%d %H:%M:%S"), user)
+            acc[k][0] += 1
+            acc[k][1] += val
+        exp = sorted((w, u, n, round(t, 2)) for (w, u), (n, t) in acc.items())
+        assert got == exp
+
+    def test_stateful_dedup_across_batches(self, spark, tmp_path):
+        import random
+
+        from iceberg_rs_spark.streaming.ops import replay_to_memory, stateful_dedup
+
+        import datetime as dtm
+
+        rnd = random.Random(31)
+        # event times bounded within 30 min — under the 1h watermark
+        # delay, so NO row can ever be late-dropped regardless of which
+        # micro-batch it lands in (the watermark-drop semantics proper
+        # are pinned directly in TestWatermarkSemantics); this test
+        # isolates cross-batch duplicate collapse
+        base = dtm.datetime(2024, 3, 1, 12, 0, 0)
+        rows = [
+            (
+                eid,
+                rnd.randrange(5),
+                base + dtm.timedelta(seconds=rnd.randrange(1800)),
+                rnd.randrange(0, 40) * 0.25,
+            )
+            for eid in range(40)
+        ]
+        # re-deliver ~30% of rows verbatim, shuffled across batches —
+        # duplicates must collapse regardless of which micro-batch saw
+        # the copy
+        dups = [r for r in rows if rnd.random() < 0.3]
+        both = rows + dups
+        rnd.shuffle(both)
+        stream = self._write_batches(spark, tmp_path, both)
+        got = sorted(
+            (r.event_id, r.user_id, r.ts, r.value)
+            for r in replay_to_memory(
+                stateful_dedup(stream), "rand_dedup", "append"
+            ).collect()
+        )
+        assert got == sorted(rows)
