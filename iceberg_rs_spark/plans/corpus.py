@@ -50,56 +50,14 @@ PRIORITY: list[str] = [
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
     # row first), then everything else.
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "sort_four_null_orderings",
-    "sub_scalar_correlated",
-    "win_first_last_nth",
-    "win_lag_lead_order_gaps",
-    "win_moving_avg",
-    "win_range_frame_balance",
-    "win_rank_family",
-    "win_running_totals",
-    "win_topk_per_group",
-    "agg_approx_sketches",
-    "agg_dispersion_variants",
-    "dedup_exact_content_hash",
-    "dedup_simhash_fingerprints",
-    "fn_array_family2",
-    "fn_array_generators",
-    "fn_conditional_null2",
-    "fn_datetime_family2",
-    "fn_hash_engine_specific",
-    "fn_hash_portable",
-    "fn_json_family2",
-    "fn_map_family2",
-    "fn_null_safe_equality",
-    "fn_string_family2",
-    "fn_struct_inline",
-    "ingest_csv_json_parquet",
-    "multimodal_decode_features",
-    "sim_topk_bruteforce",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "stream_dedup_event_ids",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_static_enrichment",
-    "stream_stream_click_purchase",
-    "stream_tumbling_window",
-    "table_add_files_name_mapping",
-    "table_branch_tag_reads",
-    "table_incremental_scan",
-    "table_operation_sequence",
-    "table_scan_pushdown",
-    "table_schema_evolution_scan",
-    "table_snapshots_metadata",
-    "table_time_travel",
-    "text_language_id",
-    "text_stats_profile",
-    "text_token_counts_by_lang",
-    "udf_grouped_agg_median",
-    "udf_grouped_map_zscore",
+    "stream_stateful_user_sessions",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_pq_topk",
+    "sim_ann_agreement",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "sim_knn_classify",
     "udf_map_in_arrow_bytes",
     "udf_scalar_pandas_bucket",
     "udf_scalar_python_classify",
@@ -139,10 +97,8 @@ PRIORITY: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "sim_ann_agreement",
     "sim_embedding_high_pairs",
     "stream_ingest_icelake",
-    "stream_stateful_user_sessions",
     "stream_stream_abandoned_clicks",
     "table_mor_delete",
     "table_typed_columns_roundtrip",
@@ -163,18 +119,60 @@ PRIORITY: list[str] = [
     "events_powerlaw_rank_fit",
     "events_revenue_pareto_deciles",
     "pipeline_curriculum_stages",
-    "sim_knn_classify",
     "stream_cdc_upsert_icelake",
     "table_incremental_rollup_maintenance",
     "table_merge_upsert_mor",
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
     "sim_silhouette_by_label",
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
-    "sim_pq_topk",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "sort_four_null_orderings",
+    "sub_scalar_correlated",
+    "win_first_last_nth",
+    "win_lag_lead_order_gaps",
+    "win_moving_avg",
+    "win_range_frame_balance",
+    "win_rank_family",
+    "win_running_totals",
+    "win_topk_per_group",
+    "agg_dispersion_variants",
+    "dedup_exact_content_hash",
+    "dedup_simhash_fingerprints",
+    "fn_array_family2",
+    "fn_array_generators",
+    "fn_conditional_null2",
+    "fn_datetime_family2",
+    "fn_hash_portable",
+    "fn_json_family2",
+    "fn_map_family2",
+    "fn_null_safe_equality",
+    "fn_string_family2",
+    "fn_struct_inline",
+    "ingest_csv_json_parquet",
+    "multimodal_decode_features",
+    "sim_topk_bruteforce",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_tumbling_window",
+    "table_add_files_name_mapping",
+    "table_branch_tag_reads",
+    "table_incremental_scan",
+    "table_operation_sequence",
+    "table_scan_pushdown",
+    "table_schema_evolution_scan",
+    "table_snapshots_metadata",
+    "table_time_travel",
+    "text_language_id",
+    "text_stats_profile",
+    "text_token_counts_by_lang",
+    "udf_grouped_agg_median",
+    "udf_grouped_map_zscore",
     "table_vacuum_lifecycle_audit",
     "table_snapshot_ancestry",
     "table_partition_evolution_reads",
@@ -345,6 +343,8 @@ PRIORITY: list[str] = [
     "ts_exp_decay_features",
     "pipeline_filter_funnel",
     "dedup_cluster_survivorship",
+    "agg_approx_sketches",
+    "fn_hash_engine_specific",
 ]
 
 #: Changed-implementation re-certification queue: names whose latest
