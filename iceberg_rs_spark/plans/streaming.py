@@ -20,6 +20,7 @@ from iceberg_rs_spark.streaming import (
     session_agg,
     sliding_window_agg,
     stateful_dedup,
+    stateful_session_counts,
     stream_static_join,
     stream_stream_interval_join,
     tumbling_window_agg,
@@ -225,37 +226,13 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     so even the arbitrary-state path is hash-checked. Boundary matches
     Spark's built-in session_window (strictly-greater gap starts a new
     session; an exact-gap event merges), so this operator and
-    session_agg are interchangeable at the boundary."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def sessionize(key, pdf_iter, state: GroupState):
-        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].diff()
-        new_s = gaps.isna() | (gaps > pd.Timedelta(hours=2))
-        n_sessions = int(new_s.sum())
-        n_events = len(pdf)
-        if state.exists:
-            (prev_sessions, prev_events) = state.get
-            n_sessions += prev_sessions
-            n_events += prev_events
-        state.update((n_sessions, n_events))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [n_events],
-            }
-        )
-
-    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
-    sessions = ev.groupBy("user_id").applyInPandasWithState(
-        sessionize,
-        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
-        stateStructType="n_sessions bigint, n_events bigint",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    session_agg agree at the boundary — and since the state carries
+    the last seen event time, agreement holds across micro-batch
+    boundaries too (the randomized multi-batch differential in
+    tests/test_streaming.py pins cross-batch continuation). See
+    stateful_session_counts for the state-shape/ordering contract."""
+    ev = events_stream(spark, sf_dir)
+    sessions = stateful_session_counts(ev, gap="2 hours")
     out = replay_to_memory(sessions, "stateful_sessions", "update")
     return out.orderBy("user_id")
 

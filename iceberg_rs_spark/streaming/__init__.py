@@ -22,6 +22,7 @@ from iceberg_rs_spark.streaming.ops import (  # noqa: F401
     session_agg,
     sliding_window_agg,
     stateful_dedup,
+    stateful_session_counts,
     stream_static_join,
     stream_stream_interval_join,
     tumbling_window_agg,

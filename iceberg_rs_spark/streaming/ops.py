@@ -228,6 +228,65 @@ def session_agg(events: DataFrame, gap: str = "2 hours") -> DataFrame:
     )
 
 
+def stateful_session_counts(events: DataFrame, gap: str = "2 hours") -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    session and event counters with a gap-based sessionizer.
+
+    Semantics match ``session_agg``'s boundary (an event landing
+    EXACTLY ``gap`` after the previous one MERGES; only a strictly
+    greater gap splits — FIXTURES.md rule 10), and the state carries
+    the last seen event time so a session straddling a micro-batch
+    boundary is not split: the first event of a batch continues the
+    previous batch's session when it is within ``gap`` of the stored
+    timestamp. Assumes per-key batch-monotone arrival (each batch is
+    sorted internally; an event older than the stored timestamp merges
+    into the latest session rather than rewriting history) — the
+    watermark-buffered out-of-order path is ``session_agg``. State per
+    key is two counters + one timestamp, so the store stays O(keys)
+    regardless of event volume — the property that keeps this viable
+    on an unbounded 100 TB stream.
+
+    Input columns: ``user_id``, ``ts``, ``event_id``. Output one row
+    per key per micro-batch (update mode): cumulative
+    ``(user_id, n_sessions, n_events)``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        gap_td = pd.Timedelta(gap)
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff()
+        new_s = gaps.isna() | (gaps > gap_td)
+        n_sessions = int(new_s.sum())
+        n_events = len(pdf)
+        if state.exists:
+            (prev_sessions, prev_events, last_ts) = state.get
+            if last_ts is not None and (
+                pdf["ts"].iloc[0] - pd.Timestamp(last_ts)
+            ) <= gap_td:
+                # batch head continues the previous batch's session
+                n_sessions -= 1
+            n_sessions += prev_sessions
+            n_events += prev_events
+        state.update((n_sessions, n_events, pdf["ts"].iloc[-1].to_pydatetime()))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="n_sessions bigint, n_events bigint, last_ts timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on event_id via dropDuplicatesWithinWatermark.
     Plain dropDuplicates never expires key state unless the event-time

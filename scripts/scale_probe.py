@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import shutil
 import sys
 import time
@@ -38,7 +39,7 @@ REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-SRC = Path("/root/testdata/sf0.1")
+SRC = Path(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 DST = Path("/tmp/scale_probe/sf1.0")
 REPLICAS = 10  # 1 original + 9 derived
 

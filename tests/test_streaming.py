@@ -316,9 +316,10 @@ class TestRandomizedStreamingDifferential:
         for user in range(5):
             t = base + dtm.timedelta(minutes=rnd.randrange(0, 180))
             for _ in range(rnd.randint(3, 12)):
-                # mixture of in-session gaps and > gap jumps, including
-                # the exact half-open boundary (a jump of exactly GAP_S
-                # must start a NEW session)
+                # mixture of in-session gaps and > gap jumps; the
+                # exact-GAP_S jump exercises the merge side of the
+                # boundary (exact gap MERGES; only strictly greater
+                # splits — FIXTURES.md rule 10)
                 jump = rnd.choice([60, 600, 1800, 7200, 7200, 9000, 20000])
                 t = t + dtm.timedelta(seconds=jump)
                 rows.append((eid, user, t, rnd.randrange(0, 40) * 0.25))
@@ -364,6 +365,80 @@ class TestRandomizedStreamingDifferential:
             ).collect()
         )
         assert got == self._session_oracle(rows)
+
+    def test_stateful_session_counts_across_batches(self, spark, tmp_path):
+        """Cross-batch continuation of the arbitrary-state sessionizer:
+        batches are event-time-ordered (the operator's declared arrival
+        contract) but shuffled WITHIN each batch, and session
+        boundaries land both inside and astride micro-batch cuts. A
+        state that forgot the last event time would count every batch
+        head as a new session (the pre-fix behavior); the python
+        oracle is plain global gaps-and-islands with the > boundary."""
+        import math
+        import random
+        from collections import defaultdict
+
+        from iceberg_rs_spark.streaming.ops import (
+            replay_to_memory,
+            stateful_session_counts,
+        )
+
+        rows = sorted(self._gen(seed=43), key=lambda r: (r[2], r[0]))
+        # shuffle inside each batch chunk only: intra-batch disorder is
+        # sorted away by the operator; batch-monotone arrival is its
+        # declared contract
+        n_files = 6
+        per = math.ceil(len(rows) / n_files)
+        rnd = random.Random(91)
+        chunks = [rows[b * per : (b + 1) * per] for b in range(n_files)]
+        shuffled = []
+        for chunk in chunks:
+            rnd.shuffle(chunk)
+            shuffled.extend(chunk)
+        # the fixture must actually exercise cross-batch continuation:
+        # at least one user's session straddles a batch cut (a state
+        # that forgot the last event time would split it)
+        straddles = 0
+        for prev_chunk, cur_chunk in zip(chunks, chunks[1:]):
+            last = {u: ts for _e, u, ts, _v in sorted(prev_chunk, key=lambda r: r[2])}
+            first = {}
+            for _e, u, ts, _v in sorted(cur_chunk, key=lambda r: r[2]):
+                first.setdefault(u, ts)
+            straddles += sum(
+                1
+                for u, ts in first.items()
+                if u in last and (ts - last[u]).total_seconds() <= self.GAP_S
+            )
+        assert straddles > 0, "fixture never exercises cross-batch continuation"
+
+        stream = self._write_batches(spark, tmp_path, shuffled, n_files=n_files)
+        upd = replay_to_memory(
+            stateful_session_counts(stream), "rand_stateful_sessions", "update"
+        )
+        # update mode emits one row per key per batch; counters are
+        # monotone, so the final state is the per-key max
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in upd.groupBy("user_id")
+            .agg(
+                F.max("n_sessions").alias("n_sessions"),
+                F.max("n_events").alias("n_events"),
+            )
+            .collect()
+        }
+        by_user = defaultdict(list)
+        for _eid, user, ts, _val in rows:
+            by_user[user].append(ts)
+        exp = {}
+        for user, tss in by_user.items():
+            tss.sort()
+            n_sessions, prev = 0, None
+            for ts in tss:
+                if prev is None or (ts - prev).total_seconds() > self.GAP_S:
+                    n_sessions += 1
+                prev = ts
+            exp[user] = (n_sessions, len(tss))
+        assert got == exp
 
     def test_tumbling_windows_match_python_oracle(self, spark, tmp_path):
         from collections import defaultdict
