@@ -509,3 +509,151 @@ class TestRandomizedStreamingDifferential:
             ).collect()
         )
         assert got == sorted(rows)
+
+
+class TestRandomizedStreamingCDC:
+    """Randomized differential for the CDC upsert sink, mirroring what
+    the r8 randomized layer did for session windows: random change
+    streams with heavy key collisions and out-of-order event times
+    split across micro-batches, replayed through replay_cdc_to_icelake
+    and reconciled against a dict oracle applied batch-by-batch — with
+    time travel to every merge commit and a verbatim re-delivery that
+    must be a no-op. The CDC contract under test: within a batch the
+    max (ts, event_id) version of a key wins; ACROSS batches the later
+    commit wins unconditionally (the stream IS the change order —
+    sequence numbers, not event time, order commits)."""
+
+    CDC_SCHEMA = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _gen_batches(self, seed, n_keys=6, n_batches=7, rows_per=8):
+        import datetime as dtm
+        import random
+
+        rnd = random.Random(seed)
+        base = dt.datetime(2024, 5, 1)
+        eid = 0
+        batches = []
+        for _b in range(n_batches):
+            rows = []
+            for _ in range(rnd.randint(1, rows_per)):
+                u = rnd.randrange(n_keys)  # heavy collisions
+                # event time is random, NOT monotone with batch index:
+                # a later batch may carry an older ts and must still win
+                ts = base + dtm.timedelta(minutes=rnd.randrange(0, 600))
+                rows.append((u, eid, ts, rnd.randrange(0, 40) * 0.25))
+                eid += 1
+            if rnd.random() < 0.5:
+                # same key twice in one batch with IDENTICAL ts:
+                # event_id is the declared tiebreaker
+                u, _e, ts, v = rows[0]
+                rows.append((u, eid, ts, v + 0.25))
+                eid += 1
+            batches.append(rows)
+        return batches
+
+    @staticmethod
+    def _oracle_states(batches):
+        """Upsert-dict state after each batch."""
+        state, states = {}, []
+        for rows in batches:
+            latest = {}
+            for u, e, ts, v in rows:
+                cur = latest.get(u)
+                if cur is None or (ts, e) > (cur[1], cur[0]):
+                    latest[u] = (e, ts, v)
+            state.update(latest)
+            states.append(dict(state))
+        return states
+
+    @staticmethod
+    def _table_state(t, snapshot_id=None):
+        return {
+            r.user_id: (r.event_id, r.ts, r.value)
+            for r in t.scan(snapshot_id=snapshot_id).collect()
+        }
+
+    def test_random_cdc_stream_matches_dict_oracle(self, spark, tmp_path):
+        from iceberg_rs_spark.streaming import replay_cdc_to_icelake
+
+        batches = self._gen_batches(seed=53)
+        states = self._oracle_states(batches)
+        src = tmp_path / "cdc_src"
+        src.mkdir()
+        for b, rows in enumerate(batches):
+            spark.createDataFrame(rows, self.CDC_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"batch_{b}.parquet"))
+
+        catalog = Catalog(spark, str(tmp_path / "wh"))
+        t = catalog.create_table("db.cdc_rand", self.CDC_SCHEMA)
+
+        def replay():
+            stream = (
+                spark.readStream.schema(self.CDC_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/batch_*")
+            )
+            replay_cdc_to_icelake(
+                stream, t, keys=["user_id"], order=["ts", "event_id"]
+            )
+
+        replay()
+        assert self._table_state(t) == states[-1]
+
+        # one merge commit per micro-batch, in batch order — time
+        # travel to each must reproduce the oracle's prefix state
+        merges = [
+            s for s in t.metadata.snapshots if "streaming-batch-id" in s.summary
+        ]
+        assert len(merges) == len(batches)
+        assert [int(s.summary["streaming-batch-id"]) for s in merges] == list(
+            range(len(batches))
+        )
+        for i, snap in enumerate(merges):
+            assert self._table_state(t, snapshot_id=snap.snapshot_id) == states[i], (
+                f"time travel to merge commit {i} diverged from the dict oracle"
+            )
+
+        # verbatim re-delivery: every batch id is already in the
+        # ancestry, so the second replay must commit nothing
+        n_snaps = len(t.metadata.snapshots)
+        replay()
+        assert len(t.metadata.snapshots) == n_snaps
+        assert self._table_state(t) == states[-1]
+
+    def test_cross_batch_older_event_time_still_wins(self, spark, tmp_path):
+        """Directed pin of the contract corner randomized above: a
+        later BATCH carrying an older EVENT TIME replaces the row (CDC
+        commit order beats event time across batches), while within a
+        single batch the newer event time wins."""
+        from iceberg_rs_spark.streaming import replay_cdc_to_icelake
+
+        base = dt.datetime(2024, 5, 1)
+        batches = [
+            [(1, 0, base + dt.timedelta(minutes=50), 1.0)],
+            # same key, strictly older ts, later batch -> must win
+            [(1, 1, base + dt.timedelta(minutes=10), 2.0)],
+        ]
+        src = tmp_path / "cdc_src"
+        src.mkdir()
+        for b, rows in enumerate(batches):
+            spark.createDataFrame(rows, self.CDC_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"batch_{b}.parquet"))
+        catalog = Catalog(spark, str(tmp_path / "wh"))
+        t = catalog.create_table("db.cdc_oot", self.CDC_SCHEMA)
+        stream = (
+            spark.readStream.schema(self.CDC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/batch_*")
+        )
+        replay_cdc_to_icelake(stream, t, keys=["user_id"], order=["ts", "event_id"])
+        assert self._table_state(t) == self._oracle_states(batches)[-1]
+        assert {r.event_id for r in t.scan().collect()} == {1}
