@@ -2626,3 +2626,369 @@ class TestRandomizedLifecycleDifferential:
             )
             got = sorted((r.id, r.grp, r.val) for r in t.scan().collect())
             assert got == self._expect(state), f"divergence after {strat}"
+
+    def test_random_ops_over_typed_columns(self, catalog, spark):
+        """Typed-column dimension of the sweep (VERDICT r8 ask #6):
+        decimal(12,2) / uuid / time / fixed[4] — the reference's types
+        with no native Spark equivalent (schema.rs:90-147) — carried
+        through random append / CoW+MoR delete / CoW+MoR merge /
+        compaction / rollback interleavings under a dict oracle, with
+        time travel to every snapshot and expire+orphan maintenance at
+        the end. The single-append pin is table_typed_columns_roundtrip;
+        this pins the typed round-trip against the whole WRITE surface
+        (a rewrite that re-encodes a decimal, truncates a fixed, or
+        reformats a uuid diverges immediately)."""
+        import random
+        from collections import Counter
+        from decimal import Decimal
+
+        from iceberg_rs_spark.model import (
+            IceField,
+            IcePrimitive,
+            IceSchema,
+            IceStruct,
+        )
+
+        schema = IceSchema(
+            schema_id=0,
+            struct=IceStruct(
+                (
+                    IceField(1, "id", True, IcePrimitive("long")),
+                    IceField(2, "price", False, IcePrimitive("decimal(12,2)")),
+                    IceField(3, "rid", False, IcePrimitive("uuid")),
+                    IceField(4, "t_us", False, IcePrimitive("time")),
+                    IceField(5, "tag", False, IcePrimitive("fixed[4]")),
+                )
+            ),
+        )
+        ddl = "id long, price decimal(12,2), rid string, t_us long, tag binary"
+
+        def read(t, **kw):
+            return sorted(
+                (r.id, r.price, r.rid, r.t_us, bytes(r.tag))
+                for r in t.scan(**kw).collect()
+            )
+
+        def expect(st):
+            return sorted((i, *v) for i, v in st.items())
+
+        ops_seen: Counter = Counter()
+        for seed in (101, 211, 307):
+            rnd = random.Random(seed)
+
+            def mk_uuid():
+                h = f"{rnd.getrandbits(128):032x}"
+                return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+            def typed_vals():
+                return (
+                    Decimal(rnd.randrange(0, 40000)) / 100,
+                    mk_uuid(),
+                    rnd.randrange(86400) * 1_000_000,
+                    bytes(rnd.randrange(256) for _ in range(4)),
+                )
+
+            next_id = 0
+
+            def fresh(n):
+                nonlocal next_id
+                rows = [(next_id + i, *typed_vals()) for i in range(n)]
+                next_id += n
+                return rows
+
+            t = catalog.create_table(f"db.rand_typed_{seed}", schema)
+            state: dict[int, tuple] = {}
+            rows = fresh(8)
+            t.append(spark.createDataFrame(rows, ddl))
+            state.update({r[0]: r[1:] for r in rows})
+            states = [(t.metadata.current_snapshot_id, dict(state), "append")]
+
+            for step in range(12):
+                ops = [
+                    "append", "delete_price", "delete_time", "delete_uuid",
+                    "merge", "compact",
+                ]
+                if step < 7:
+                    ops.append("rollback")
+                op = rnd.choice(ops)
+                ops_seen[op] += 1
+                if op == "append":
+                    rows = fresh(rnd.randint(1, 5))
+                    t.append(spark.createDataFrame(rows, ddl))
+                    state.update({r[0]: r[1:] for r in rows})
+                elif op == "delete_price":
+                    # threshold off the 2dp grid: no boundary ties
+                    # between the decimal comparison and the oracle
+                    x = rnd.randrange(0, 400) + 0.005
+                    t.delete(
+                        f"price > {x}",
+                        mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                    )
+                    for i in [i for i, v in state.items() if float(v[0]) > x]:
+                        del state[i]
+                elif op == "delete_time":
+                    x = rnd.randrange(86400) * 1_000_000
+                    t.delete(
+                        f"t_us < {x}",
+                        mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                    )
+                    for i in [i for i, v in state.items() if v[2] < x]:
+                        del state[i]
+                elif op == "delete_uuid":
+                    if not state:
+                        continue
+                    victim = rnd.choice(sorted(state))
+                    t.delete(
+                        f"rid = '{state[victim][1]}'",
+                        mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                    )
+                    del state[victim]
+                elif op == "merge":
+                    upd = rnd.sample(
+                        sorted(state), min(len(state), rnd.randint(0, 3))
+                    )
+                    rows = [(i, *typed_vals()) for i in upd] + fresh(
+                        rnd.randint(0, 2)
+                    )
+                    if not rows:
+                        continue
+                    t.merge(
+                        spark.createDataFrame(rows, ddl),
+                        on=["id"],
+                        mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                    )
+                    state.update({r[0]: r[1:] for r in rows})
+                elif op == "rollback":
+                    target_snap, target_state, _ = rnd.choice(states)
+                    t.rollback_to_snapshot(target_snap)
+                    state = dict(target_state)
+                else:
+                    t.compact()
+                assert read(t) == expect(state), (
+                    f"seed {seed}: typed divergence after {op} at step {step}"
+                )
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), op)
+                )
+
+            for snap_id, snap_state, _op in states:
+                assert read(t, snapshot_id=snap_id) == expect(snap_state), (
+                    f"seed {seed}: typed time travel to {snap_id} diverged"
+                )
+
+            kept = {s for s, _, _ in states[-3:]}
+            removed = set(t.expire_snapshots(retain_last=3))
+            assert kept.isdisjoint(removed)
+            t.remove_orphan_files()
+            assert read(t) == expect(state), (
+                f"seed {seed}: typed current read broken after maintenance"
+            )
+            for snap_id, snap_state, _op in states:
+                if snap_id in kept:
+                    assert read(t, snapshot_id=snap_id) == expect(snap_state)
+
+        assert set(ops_seen) == {
+            "append", "delete_price", "delete_time", "delete_uuid",
+            "merge", "compact", "rollback",
+        }, dict(ops_seen)
+
+    def test_random_add_files_interleaved_with_writes(
+        self, catalog, spark, tmp_path
+    ):
+        """Name-mapping/add_files dimension (VERDICT r8 ask #6):
+        metadata-only registration of raw field-id-less parquet with
+        legacy column names, randomly interleaved with native appends,
+        CoW+MoR deletes and merges over BOTH kinds of files,
+        compaction, and rollback. The dict oracle cannot tell a
+        registered row from a written one — and neither may any read
+        or rewrite path: a CoW delete must rewrite a raw file through
+        the mapping without resurrecting or re-encoding rows, MoR
+        position deletes must land on raw files, and compaction must
+        fold them. Ends with expire+orphan maintenance under the
+        Iceberg add_files ownership contract: the table owns imported
+        files, so expire MAY delete an unreachable one, but anything a
+        kept snapshot references must survive — and the orphan sweep
+        never sees external paths at all."""
+        import os
+        import random
+
+        from iceberg_rs_spark.model import NameMapping
+
+        for seed in (137, 149):
+            rnd = random.Random(seed)
+            t = catalog.create_table(
+                f"db.rand_addf_{seed}", self._df(spark, [(0, 0, 0)]).schema
+            )
+            sch = t.schema()
+            mapping = [
+                NameMapping(sch.field_by_name("id").id, ("id", "rid")),
+                NameMapping(sch.field_by_name("grp").id, ("grp", "g")),
+                NameMapping(sch.field_by_name("val").id, ("val", "v")),
+            ]
+            state: dict[int, tuple[int, int]] = {}
+            next_id = 0
+            n_raw = 0
+            raw_files: list[str] = []
+
+            def fresh(n):
+                nonlocal next_id
+                rows = [
+                    (next_id + i, rnd.randrange(5), rnd.randrange(100))
+                    for i in range(n)
+                ]
+                next_id += n
+                return rows
+
+            def add_raw(rows):
+                nonlocal n_raw
+                raw = tmp_path / f"raw_{seed}_{n_raw}"
+                n_raw += 1
+                (
+                    self._df(spark, rows)
+                    .selectExpr("id AS rid", "grp AS g", "val AS v")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(str(raw))
+                )
+                # re-specifying the same mapping every call is
+                # idempotent and keeps the property present even after
+                # a rollback rewound metadata
+                t.add_files(str(raw), name_mapping=mapping)
+                raw_files.extend(
+                    os.path.join(r, f)
+                    for r, _d, fs in os.walk(raw)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+
+            rows = fresh(6)
+            t.append(self._df(spark, rows))
+            state.update({i: (g, v) for i, g, v in rows})
+            rows = fresh(5)
+            add_raw(rows)
+            state.update({i: (g, v) for i, g, v in rows})
+            states = [(t.metadata.current_snapshot_id, dict(state), "add_raw")]
+
+            for step in range(12):
+                ops = ["append", "add_raw", "delete", "merge", "compact"]
+                if step < 7:
+                    ops.append("rollback")
+                op = rnd.choice(ops)
+                if op == "append":
+                    rows = fresh(rnd.randint(1, 4))
+                    t.append(self._df(spark, rows))
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "add_raw":
+                    rows = fresh(rnd.randint(1, 4))
+                    add_raw(rows)
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "delete":
+                    mode = rnd.choice(["copy-on-write", "merge-on-read"])
+                    if rnd.random() < 0.5:
+                        g = rnd.randrange(5)
+                        where = f"grp = {g}"
+                        hit = [i for i, (gg, _) in state.items() if gg == g]
+                    else:
+                        x = rnd.randrange(100)
+                        where = f"val > {x}"
+                        hit = [i for i, (_, v) in state.items() if v > x]
+                    t.delete(where, mode=mode)
+                    for i in hit:
+                        del state[i]
+                elif op == "merge":
+                    upd = rnd.sample(
+                        sorted(state), min(len(state), rnd.randint(0, 3))
+                    )
+                    rows = [
+                        (i, rnd.randrange(5), rnd.randrange(100)) for i in upd
+                    ] + fresh(rnd.randint(0, 2))
+                    if not rows:
+                        continue
+                    t.merge(
+                        self._df(spark, rows),
+                        on=["id"],
+                        mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                    )
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "rollback":
+                    target_snap, target_state, _ = rnd.choice(states)
+                    t.rollback_to_snapshot(target_snap)
+                    state = dict(target_state)
+                else:
+                    t.compact()
+                assert self._read(t) == self._expect(state), (
+                    f"seed {seed}: add_files divergence after {op} "
+                    f"at step {step}"
+                )
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), op)
+                )
+
+            # deterministic coverage: force any op kind the random walk
+            # missed, so every seed exercises the full surface (the
+            # clustered-compaction sweep uses the same pattern)
+            missing = {
+                "append", "add_raw", "delete", "merge", "compact", "rollback"
+            } - {op for _, _, op in states}
+            for op in sorted(missing):
+                if op == "append":
+                    rows = fresh(2)
+                    t.append(self._df(spark, rows))
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "add_raw":
+                    rows = fresh(2)
+                    add_raw(rows)
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "delete":
+                    t.delete("grp = 0", mode="merge-on-read")
+                    for i in [i for i, (g, _) in state.items() if g == 0]:
+                        del state[i]
+                elif op == "merge":
+                    rows = [(k, 1, 7) for k in sorted(state)[:1]] + fresh(1)
+                    t.merge(self._df(spark, rows), on=["id"], mode="copy-on-write")
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "rollback":
+                    target_snap, target_state, _ = states[len(states) // 2]
+                    t.rollback_to_snapshot(target_snap)
+                    state = dict(target_state)
+                else:
+                    t.compact()
+                assert self._read(t) == self._expect(state), (
+                    f"seed {seed}: add_files divergence after forced {op}"
+                )
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), op)
+                )
+
+            for snap_id, snap_state, _op in states:
+                assert self._read(t, snapshot_id=snap_id) == self._expect(
+                    snap_state
+                ), f"seed {seed}: add_files time travel to {snap_id} diverged"
+
+            kept = {s for s, _, _ in states[-3:]}
+            removed = set(t.expire_snapshots(retain_last=3))
+            assert kept.isdisjoint(removed)
+            t.remove_orphan_files()
+            assert self._read(t) == self._expect(state), (
+                f"seed {seed}: add_files current read broken after maintenance"
+            )
+            for snap_id, snap_state, _op in states:
+                if snap_id in kept:
+                    assert self._read(t, snapshot_id=snap_id) == self._expect(
+                        snap_state
+                    )
+            # Ownership contract (Iceberg add_files): the table OWNS
+            # imported files — expire may physically delete one once
+            # no retained snapshot references it, but every raw file
+            # still referenced by a kept snapshot must survive both
+            # expire and the orphan sweep (which only walks the table
+            # location and can never see these external paths).
+            still_referenced = set()
+            for s in t.metadata.snapshots:
+                still_referenced.update(e.path for e in t._read_manifest(s))
+            for p in raw_files:
+                if p in still_referenced:
+                    assert os.path.exists(p), (
+                        f"seed {seed}: maintenance deleted a raw file a "
+                        "kept snapshot still references"
+                    )
