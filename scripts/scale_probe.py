@@ -22,6 +22,11 @@ This is a PROBE, not a gate: one timing each, nothing re-pinned
 
     python scripts/scale_probe.py            # writes /tmp/scale_probe/sf1.0 on first run
     python scripts/scale_probe.py --runs 2   # best-of-2 per point
+    python scripts/scale_probe.py --midpoint pipeline_training_data --runs 2
+        # three-point series (1x -> 5x -> 10x) for ONE query: a rising
+        # pairwise alpha means the 1x point was fixed-cost-dominated
+        # (amortization), a flat alpha ~= 1 means a genuinely linear
+        # stage (VERDICT r8 ask #8)
 """
 
 from __future__ import annotations
@@ -42,6 +47,8 @@ if REPO not in sys.path:
 SRC = Path(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 DST = Path("/tmp/scale_probe/sf1.0")
 REPLICAS = 10  # 1 original + 9 derived
+MID_REPLICAS = 5
+MID_DST = Path("/tmp/scale_probe/sf0.5")
 
 #: the five heaviest LLM ops per VERDICT r7 ask #8 (sim_topk_ivf's
 #: timing includes its index build — seeds + assignment + probe).
@@ -59,16 +66,16 @@ TABLES = [
 ]
 
 
-def build_sf10() -> None:
-    """Materialize the 10x probe inputs (idempotent)."""
+def build_scaled(replicas: int = REPLICAS, dst: Path = DST) -> None:
+    """Materialize the replicas-x probe inputs (idempotent)."""
     import duckdb
 
-    if (DST / "_READY").exists():
+    if (dst / "_READY").exists():
         return
-    DST.mkdir(parents=True, exist_ok=True)
+    dst.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
         if t not in ("documents", "embeddings"):
-            shutil.copy(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+            shutil.copy(SRC / f"{t}.parquet", dst / f"{t}.parquet")
     con = duckdb.connect()
     n_doc = con.sql(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
@@ -85,8 +92,8 @@ def build_sf10() -> None:
                    CASE WHEN r.r = 0 THEN d.n_chars
                         ELSE d.n_chars + 4 END AS n_chars
             FROM read_parquet('{SRC}/documents.parquet') d
-            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
-        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+            CROSS JOIN (SELECT unnest(range({replicas})) AS r) r
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
     # Two-coordinate perturbation: coordinates (r-1) and r of replica r
     # get +/- 0.01*r — norm drift is O(1e-2), cluster geometry intact.
@@ -103,18 +110,28 @@ def build_sf10() -> None:
                         ) END AS embedding,
                    e.label
             FROM read_parquet('{SRC}/embeddings.parquet') e
-            CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
-        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+            CROSS JOIN (SELECT unnest(range({replicas})) AS r) r
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
-    (DST / "_READY").touch()
+    (dst / "_READY").touch()
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=1, help="best-of-N per point")
+    ap.add_argument(
+        "--midpoint",
+        default=None,
+        metavar="QUERY",
+        help="three-point series (1x/5x/10x) for ONE query: pairwise "
+        "alphas separate fixed-cost amortization (rising) from a "
+        "genuinely linear stage (flat ~1)",
+    )
     args = ap.parse_args()
 
-    build_sf10()
+    build_scaled(REPLICAS, DST)
+    if args.midpoint:
+        build_scaled(MID_REPLICAS, MID_DST)
 
     import iceberg_rs_spark.plans  # noqa: F401
     from iceberg_rs_spark.operators import packing
@@ -134,6 +151,38 @@ def main() -> None:
             CORPUS[name].builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
+
+    if args.midpoint:
+        name = args.midpoint
+        if name not in CORPUS:
+            sys.exit(f"--midpoint query not in the corpus: {name}")
+        t1 = run(name, str(SRC))
+        t5 = run(name, str(MID_DST))
+        t10 = run(name, str(DST))
+        a_1_5 = round(math.log(t5 / t1) / math.log(MID_REPLICAS), 2)
+        a_5_10 = round(
+            math.log(t10 / t5) / math.log(REPLICAS / MID_REPLICAS), 2
+        )
+        a_1_10 = round(math.log(t10 / t1) / math.log(REPLICAS), 2)
+        print(
+            f"{name}: {t1:.3f}s (1x) -> {t5:.3f}s (5x) -> {t10:.3f}s (10x)\n"
+            f"alpha 1x->5x={a_1_5}  5x->10x={a_5_10}  1x->10x={a_1_10}"
+        )
+        print(
+            json.dumps(
+                {
+                    "probe": "midpoint",
+                    "query": name,
+                    "points": {"1x_s": t1, "5x_s": t5, "10x_s": t10},
+                    "alpha": {
+                        "1x->5x": a_1_5,
+                        "5x->10x": a_5_10,
+                        "1x->10x": a_1_10,
+                    },
+                }
+            )
+        )
+        return
 
     rows = []
     for name in QUERIES:
