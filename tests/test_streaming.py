@@ -472,6 +472,71 @@ class TestRandomizedStreamingDifferential:
         exp = sorted((w, u, n, round(t, 2)) for (w, u), (n, t) in acc.items())
         assert got == exp
 
+    def test_stream_stream_interval_join_across_batches(self, spark, tmp_path):
+        """Stream-stream inner interval join with the two sides'
+        matching rows scattered across DIFFERENT micro-batches in
+        random arrival order — the join buffer must hold early rows
+        until their partner arrives batches later. Event times are
+        bounded within 30 min under the 1 h watermark (like the dedup
+        test), so no buffered row can be evicted and the final append
+        output must equal the full batch join; the python oracle is
+        the quadratic all-pairs check. Crafted rows pin the interval
+        boundary: r_ts == l_ts + interval matches (inclusive),
+        one second past it does not."""
+        import random
+
+        import datetime as dtm
+
+        from iceberg_rs_spark.streaming.ops import (
+            replay_to_memory,
+            stream_stream_interval_join,
+        )
+
+        rnd = random.Random(61)
+        base = dtm.datetime(2024, 3, 1, 12, 0, 0)
+        rows = [
+            (
+                eid,
+                rnd.randrange(5),
+                base + dtm.timedelta(seconds=rnd.randrange(1800)),
+                rnd.randrange(0, 40) * 0.25,
+            )
+            for eid in range(40)
+        ]
+        # boundary pins for user 4: even ids are the left side below
+        t0 = base + dtm.timedelta(seconds=100)
+        rows += [
+            (100, 4, t0, 1.0),                              # left
+            (101, 4, t0 + dtm.timedelta(seconds=600), 1.0),  # exactly at interval: match
+            (103, 4, t0 + dtm.timedelta(seconds=601), 1.0),  # one past: no match
+        ]
+        rnd.shuffle(rows)  # partners land in arbitrary micro-batches
+        stream = self._write_batches(spark, tmp_path, rows, n_files=6)
+        joined = stream_stream_interval_join(
+            stream.where("event_id % 2 = 0"),
+            stream.where("event_id % 2 = 1"),
+            key="user_id",
+            interval="10 minutes",
+            watermark="1 hour",
+        )
+        got = sorted(
+            (r.l_id, r.r_id)
+            for r in replay_to_memory(
+                joined.select("l_id", "r_id"), "rand_ssjoin", "append"
+            ).collect()
+        )
+        exp = sorted(
+            (le, re)
+            for le, lu, lt, _lv in rows
+            if le % 2 == 0
+            for re, ru, rt, _rv in rows
+            if re % 2 == 1
+            and ru == lu
+            and lt <= rt <= lt + dtm.timedelta(minutes=10)
+        )
+        assert (100, 101) in exp and (100, 103) not in exp  # boundary fixture live
+        assert got == exp
+
     def test_stateful_dedup_across_batches(self, spark, tmp_path):
         import random
 
