@@ -108,6 +108,7 @@ PRIORITY: list[str] = [
     "pipeline_dedup_purge",
     "sim_quantized_grouped_topk",
     "sim_quantized_topk",
+    "stream_trending_topk",
     "table_changelog_scan",
     "table_partition_drop_metadata_only",
     "table_partitions_metadata",
@@ -120,11 +121,18 @@ PRIORITY: list[str] = [
     "events_revenue_pareto_deciles",
     "pipeline_curriculum_stages",
     "stream_cdc_upsert_icelake",
+    "stream_windowed_distinct_users",
     "table_incremental_rollup_maintenance",
     "table_merge_upsert_mor",
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
     "sim_silhouette_by_label",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_tumbling_window",
     "setop_union_all_counts",
     "setop_union_distinct",
     "sort_four_null_orderings",
@@ -154,12 +162,6 @@ PRIORITY: list[str] = [
     "sim_topk_bruteforce",
     "skew_salted_agg",
     "skew_salted_join",
-    "stream_dedup_event_ids",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_static_enrichment",
-    "stream_stream_click_purchase",
-    "stream_tumbling_window",
     "table_add_files_name_mapping",
     "table_branch_tag_reads",
     "table_incremental_scan",
@@ -266,7 +268,6 @@ PRIORITY: list[str] = [
     "join_null_safe_keys",
     "join_interval_coalesce_union",
     "table_branch_diff_audit",
-    "stream_windowed_distinct_users",
     "udf_arrow_python_scalar",
     "agg_smoothed_rate_ranking",
     "events_funnel_daily",
@@ -331,7 +332,6 @@ PRIORITY: list[str] = [
     "sim_centroid_per_label",
     "pipeline_mixture_weights",
     "join_pit_dimension",
-    "stream_trending_topk",
     "graph_pagerank_trade",
     "quality_expectations",
     "agg_heavy_hitters_mg",
