@@ -2992,3 +2992,139 @@ class TestRandomizedLifecycleDifferential:
                         f"seed {seed}: maintenance deleted a raw file a "
                         "kept snapshot still references"
                     )
+
+    def test_random_partition_spec_evolution_interleaved_with_writes(
+        self, catalog, spark
+    ):
+        """Partition-spec-evolution dimension (the §2B axis the sweep
+        didn't yet randomize; the directed pin is
+        table_partition_evolution_reads): the default spec is
+        re-pointed at random among identity(grp) / bucket[4](id) /
+        truncate[2](val) / a two-field spec / unpartitioned,
+        interleaved with appends, CoW+MoR deletes and merges, and
+        compaction — so the live file set spans MIXED specs and every
+        read must reconcile across them. Spec evolution is
+        metadata-only (commits no snapshot, rewrites nothing — the
+        Iceberg contract); pruned reads filter on SOURCE columns and
+        must stay exact over files that don't carry that partition
+        value (hidden partitioning falls back to stats, never drops a
+        file it can't prove empty)."""
+        import random
+
+        specs = [
+            [("grp", "identity")],
+            [("id", "bucket[4]")],
+            [("val", "truncate[2]")],
+            [("grp", "identity"), ("id", "bucket[4]")],
+            [],
+        ]
+        for seed in (173, 191):
+            rnd = random.Random(seed)
+            t = catalog.create_table(
+                f"db.rand_specevo_{seed}",
+                self._df(spark, [(0, 0, 0)]).schema,
+                partition_by=[("grp", "identity")],
+            )
+            state: dict[int, tuple[int, int]] = {}
+            next_id = 0
+            specs_set = set()
+
+            def fresh(n):
+                nonlocal next_id
+                rows = [
+                    (next_id + i, rnd.randrange(5), rnd.randrange(100))
+                    for i in range(n)
+                ]
+                next_id += n
+                return rows
+
+            rows = fresh(8)
+            t.append(self._df(spark, rows))
+            state.update({i: (g, v) for i, g, v in rows})
+            states = [(t.metadata.current_snapshot_id, dict(state), "append")]
+
+            def check(op, step):
+                assert self._read(t) == self._expect(state), (
+                    f"seed {seed}: spec-evo divergence after {op} at {step}"
+                )
+                # pruned read on a SOURCE column across mixed specs
+                g = rnd.randrange(5)
+                got = sorted(
+                    (r.id, r.grp, r.val)
+                    for r in t.scan(where=f"grp = {g}").collect()
+                )
+                exp = sorted(
+                    (i, gg, v) for i, (gg, v) in state.items() if gg == g
+                )
+                assert got == exp, (
+                    f"seed {seed}: pruned read grp={g} diverged after "
+                    f"{op} at {step} (mixed-spec pruning dropped or "
+                    "duplicated a file)"
+                )
+
+            for step in range(12):
+                op = rnd.choice(
+                    ["append", "evolve_spec", "delete", "merge", "compact"]
+                )
+                if op == "append":
+                    rows = fresh(rnd.randint(1, 5))
+                    t.append(self._df(spark, rows))
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "evolve_spec":
+                    idx = rnd.randrange(len(specs))
+                    t.set_partition_spec(specs[idx])
+                    specs_set.add(idx)
+                    # metadata-only: no snapshot, nothing to check yet
+                    continue
+                elif op == "delete":
+                    mode = rnd.choice(["copy-on-write", "merge-on-read"])
+                    if rnd.random() < 0.5:
+                        g = rnd.randrange(5)
+                        where = f"grp = {g}"
+                        hit = [i for i, (gg, _) in state.items() if gg == g]
+                    else:
+                        x = rnd.randrange(100)
+                        where = f"val > {x}"
+                        hit = [i for i, (_, v) in state.items() if v > x]
+                    t.delete(where, mode=mode)
+                    for i in hit:
+                        del state[i]
+                elif op == "merge":
+                    upd = rnd.sample(
+                        sorted(state), min(len(state), rnd.randint(0, 3))
+                    )
+                    rows = [
+                        (i, rnd.randrange(5), rnd.randrange(100)) for i in upd
+                    ] + fresh(rnd.randint(0, 2))
+                    if not rows:
+                        continue
+                    t.merge(
+                        self._df(spark, rows),
+                        on=["id"],
+                        mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+                    )
+                    state.update({i: (g, v) for i, g, v in rows})
+                else:
+                    t.compact()
+                check(op, step)
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), op)
+                )
+
+            # force the spec variants the walk missed, each followed by
+            # a write so the mixed-file state actually materializes
+            for idx in [i for i in range(len(specs)) if i not in specs_set]:
+                t.set_partition_spec(specs[idx])
+                rows = fresh(2)
+                t.append(self._df(spark, rows))
+                state.update({i: (g, v) for i, g, v in rows})
+                check(f"forced spec {idx}", "post")
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), "append")
+                )
+
+            # time travel across spec generations
+            for snap_id, snap_state, _op in states:
+                assert self._read(t, snapshot_id=snap_id) == self._expect(
+                    snap_state
+                ), f"seed {seed}: spec-evo time travel to {snap_id} diverged"
