@@ -598,7 +598,6 @@ class TestRandomizedStreamingCDC:
     )
 
     def _gen_batches(self, seed, n_keys=6, n_batches=7, rows_per=8):
-        import datetime as dtm
         import random
 
         rnd = random.Random(seed)
@@ -611,7 +610,7 @@ class TestRandomizedStreamingCDC:
                 u = rnd.randrange(n_keys)  # heavy collisions
                 # event time is random, NOT monotone with batch index:
                 # a later batch may carry an older ts and must still win
-                ts = base + dtm.timedelta(minutes=rnd.randrange(0, 600))
+                ts = base + dt.timedelta(minutes=rnd.randrange(0, 600))
                 rows.append((u, eid, ts, rnd.randrange(0, 40) * 0.25))
                 eid += 1
             if rnd.random() < 0.5:
