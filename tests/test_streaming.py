@@ -440,6 +440,61 @@ class TestRandomizedStreamingDifferential:
             exp[user] = (n_sessions, len(tss))
         assert got == exp
 
+    def test_stateful_session_counts_across_restarts(self, spark, tmp_path):
+        """Checkpoint-recovery dimension for the custom sessionizer:
+        the same event-time-ordered feed is delivered across THREE
+        separate availableNow runs sharing one checkpoint, so the
+        GroupState (counters + last event time) must round-trip through
+        the state store between query restarts — a different surface
+        from micro-batch handoff inside one run. A session straddling a
+        RUN boundary must not split; the oracle is the same global
+        gaps-and-islands count."""
+        import math
+        from collections import defaultdict
+
+        from iceberg_rs_spark.streaming.ops import stateful_session_counts
+
+        rows = sorted(self._gen(seed=29), key=lambda r: (r[2], r[0]))
+        n_runs = 3
+        per = math.ceil(len(rows) / n_runs)
+        src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+        schema = "event_id long, user_id long, ts timestamp, value double"
+        final: dict[int, tuple[int, int]] = {}
+        for run in range(n_runs):
+            chunk = rows[run * per : (run + 1) * per]
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            updates: list = []
+            q = (
+                stateful_session_counts(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _eid: updates.extend(df.collect())
+                )
+                .option("checkpointLocation", chk)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            for r in updates:
+                final[r.user_id] = (r.n_sessions, r.n_events)
+
+        by_user = defaultdict(list)
+        for _eid, user, ts, _val in rows:
+            by_user[user].append(ts)
+        exp = {}
+        for user, tss in by_user.items():
+            tss.sort()
+            n_sessions, prev = 0, None
+            for ts in tss:
+                if prev is None or (ts - prev).total_seconds() > self.GAP_S:
+                    n_sessions += 1
+                prev = ts
+            exp[user] = (n_sessions, len(tss))
+        assert final == exp
+
     def test_tumbling_windows_match_python_oracle(self, spark, tmp_path):
         from collections import defaultdict
 
