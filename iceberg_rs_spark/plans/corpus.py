@@ -50,6 +50,39 @@ PRIORITY: list[str] = [
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
     # row first), then everything else.
+    "table_mor_delete",
+    "table_typed_columns_roundtrip",
+    "table_zorder_rewrite",
+    "text_repetition_signals",
+    "ts_gapfill_interpolate",
+    "pipeline_dedup_purge",
+    "sim_quantized_grouped_topk",
+    "sim_quantized_topk",
+    "stream_trending_topk",
+    "table_changelog_scan",
+    "table_partition_drop_metadata_only",
+    "table_partitions_metadata",
+    "table_rewrite_deletes",
+    "table_rollback_restore",
+    "table_wap_publish",
+    "agg_weighted_percentiles",
+    "events_concurrent_peak",
+    "events_powerlaw_rank_fit",
+    "events_revenue_pareto_deciles",
+    "pipeline_curriculum_stages",
+    "stream_cdc_upsert_icelake",
+    "stream_windowed_distinct_users",
+    "table_incremental_rollup_maintenance",
+    "table_merge_upsert_mor",
+    "win_skyline_pareto_frontier",
+    "join_asof_tolerance_left",
+    "sim_silhouette_by_label",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_tumbling_window",
     "stream_stateful_user_sessions",
     "sim_topk_lsh",
     "sim_topk_ivf",
@@ -100,39 +133,6 @@ PRIORITY: list[str] = [
     "sim_embedding_high_pairs",
     "stream_ingest_icelake",
     "stream_stream_abandoned_clicks",
-    "table_mor_delete",
-    "table_typed_columns_roundtrip",
-    "table_zorder_rewrite",
-    "text_repetition_signals",
-    "ts_gapfill_interpolate",
-    "pipeline_dedup_purge",
-    "sim_quantized_grouped_topk",
-    "sim_quantized_topk",
-    "stream_trending_topk",
-    "table_changelog_scan",
-    "table_partition_drop_metadata_only",
-    "table_partitions_metadata",
-    "table_rewrite_deletes",
-    "table_rollback_restore",
-    "table_wap_publish",
-    "agg_weighted_percentiles",
-    "events_concurrent_peak",
-    "events_powerlaw_rank_fit",
-    "events_revenue_pareto_deciles",
-    "pipeline_curriculum_stages",
-    "stream_cdc_upsert_icelake",
-    "stream_windowed_distinct_users",
-    "table_incremental_rollup_maintenance",
-    "table_merge_upsert_mor",
-    "win_skyline_pareto_frontier",
-    "join_asof_tolerance_left",
-    "sim_silhouette_by_label",
-    "stream_dedup_event_ids",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_static_enrichment",
-    "stream_stream_click_purchase",
-    "stream_tumbling_window",
     "setop_union_all_counts",
     "setop_union_distinct",
     "sort_four_null_orderings",
