@@ -244,7 +244,16 @@ def stateful_session_counts(events: DataFrame, gap: str = "2 hours") -> DataFram
     watermark-buffered out-of-order path is ``session_agg``. State per
     key is two counters + one timestamp, so the store stays O(keys)
     regardless of event volume — the property that keeps this viable
-    on an unbounded 100 TB stream.
+    on an unbounded 100 TB stream. The stored timestamp is clamped to
+    ``max(previous, batch max)``, so a batch arriving entirely older
+    than the stored timestamp (a contract violation) merges into the
+    latest session without rewinding the anchor — a later in-gap batch
+    still continues the session instead of splitting it.
+
+    State-format note: the state struct is three fields
+    ``(n_sessions, n_events, last_ts)``; pre-round-9 builds stored only
+    the two counters, so a checkpoint written by them cannot be resumed
+    here — start a fresh checkpoint directory after upgrading.
 
     Input columns: ``user_id``, ``ts``, ``event_id``. Output one row
     per key per micro-batch (update mode): cumulative
@@ -260,6 +269,7 @@ def stateful_session_counts(events: DataFrame, gap: str = "2 hours") -> DataFram
         new_s = gaps.isna() | (gaps > gap_td)
         n_sessions = int(new_s.sum())
         n_events = len(pdf)
+        anchor_ts = pdf["ts"].iloc[-1].to_pydatetime()
         if state.exists:
             (prev_sessions, prev_events, last_ts) = state.get
             if last_ts is not None and (
@@ -269,7 +279,11 @@ def stateful_session_counts(events: DataFrame, gap: str = "2 hours") -> DataFram
                 n_sessions -= 1
             n_sessions += prev_sessions
             n_events += prev_events
-        state.update((n_sessions, n_events, pdf["ts"].iloc[-1].to_pydatetime()))
+            if last_ts is not None:
+                # never rewind the anchor: a fully-late batch merges into
+                # the latest session but must not shrink its reach
+                anchor_ts = max(anchor_ts, last_ts)
+        state.update((n_sessions, n_events, anchor_ts))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

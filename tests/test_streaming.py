@@ -495,6 +495,48 @@ class TestRandomizedStreamingDifferential:
             exp[user] = (n_sessions, len(tss))
         assert final == exp
 
+    def test_stateful_session_counts_late_batch_never_rewinds(self, spark, tmp_path):
+        """A batch delivered entirely OLDER than the stored anchor
+        (violating the batch-monotone contract) must merge into the
+        latest session without rewinding the state's last event time.
+        Pre-clamp, the rewound anchor made the NEXT in-gap batch look
+        out-of-gap and split the session: 10:00/10:30 → late 08:00 →
+        11:30 counted 2 sessions instead of 1. Three availableNow runs
+        over one checkpoint give deterministic batch boundaries."""
+        import datetime as dt
+
+        from iceberg_rs_spark.streaming.ops import stateful_session_counts
+
+        base = dt.datetime(2024, 3, 1, 10, 0, 0)
+        batches = [
+            [(1, 1, base, 1.0), (2, 1, base + dt.timedelta(minutes=30), 1.0)],
+            [(3, 1, base - dt.timedelta(hours=2), 1.0)],  # fully late
+            [(4, 1, base + dt.timedelta(minutes=90), 1.0)],  # in-gap of 10:30
+        ]
+        src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+        schema = "event_id long, user_id long, ts timestamp, value double"
+        final: dict[int, tuple[int, int]] = {}
+        for chunk in batches:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            updates: list = []
+            q = (
+                stateful_session_counts(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _eid: updates.extend(df.collect())
+                )
+                .option("checkpointLocation", chk)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            for r in updates:
+                final[r.user_id] = (r.n_sessions, r.n_events)
+        assert final == {1: (1, 4)}
+
     def test_tumbling_windows_match_python_oracle(self, spark, tmp_path):
         from collections import defaultdict
 
