@@ -26,6 +26,39 @@ from pyspark.sql import functions as F
 from iceberg_rs_spark.functions.hashing import h60
 
 
+#: Ceiling on the QUERY-batch size the serving-shaped ANN paths accept.
+#: :func:`ivf_topk` and :func:`pq_topk` materialize per-query probe /
+#: LUT structures driver-side and broadcast them (|Q|·n_probe·dim and
+#: |Q|·m·ksub doubles respectively) — correct for the bounded
+#: query-batch serving shape they implement (queries ≪ corpus), and a
+#: silent OOM machine if a corpus-sized frame is passed as `queries`.
+#: At the default 16,384 the pq LUT is ≈ 16 MB and the IVF probe
+#: broadcast ≈ 34 MB at dim 64 / n_probe 4. Raise via the
+#: ``max_query_batch`` parameter only with the driver memory to match;
+#: corpus-×-corpus jobs belong to :func:`embedding_near_dup_pairs`.
+DEFAULT_MAX_QUERY_BATCH = 16_384
+
+
+def _check_query_batch(queries: DataFrame, ceiling: int | None, op: str) -> None:
+    """Loud guard for the bounded-query-batch serving contract.
+
+    Counts through a ``limit(ceiling + 1)`` so the check itself does
+    bounded work: a full ``count()`` of a mistakenly corpus-sized
+    `queries` frame would already be the scan this guard exists to
+    prevent."""
+    ceiling = DEFAULT_MAX_QUERY_BATCH if ceiling is None else ceiling
+    n = queries.limit(ceiling + 1).count()
+    if n > ceiling:
+        raise ValueError(
+            f"{op}: query batch exceeds max_query_batch={ceiling}. "
+            "This operator collects/broadcasts per-query structures "
+            "and is meant for serving-shaped workloads "
+            "(queries ≪ corpus); for corpus-scale pairing use "
+            "embedding_near_dup_pairs, or raise max_query_batch "
+            "explicitly if the driver has the memory."
+        )
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -331,10 +364,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_batch: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index, pure
     DataFrame ops — the other classic ANN scale path next to
     :func:`lsh_topk`.
+
+    Bounded-query-batch contract: the probe relation (|Q| × n_probe
+    rows carrying full query vectors) is BROADCAST onto the inverted
+    lists, so this is a serving-shaped operator — queries ≪ corpus.
+    The corpus side is never collected (seeds are √n-bounded); the
+    query side is guarded by ``max_query_batch`` (default
+    :data:`DEFAULT_MAX_QUERY_BATCH`) and raises rather than silently
+    building a corpus-sized broadcast.
 
     Build: seed centroids = the ``n_centroids`` vectors with the
     LOWEST portable-hash of their id — a deterministic uniform
@@ -365,6 +407,7 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
+    _check_query_batch(queries, max_query_batch, "ivf_topk")
     emb = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     if n_centroids is None:
         n_centroids = auto_n_centroids(emb.count())
@@ -675,6 +718,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_batch: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization (PQ) with asymmetric
     distance computation — the memory-compression ANN path: each
@@ -703,6 +747,14 @@ def pq_topk(
     lookups in fixed sub-space order — deterministic summation, no
     Python in the hot path, no shuffle of the embedding table at all.
 
+    Bounded-query-batch contract: the query set is COLLECTED to the
+    driver to build the ADC LUT (|Q| × m × ksub doubles) which is then
+    broadcast — the serving shape: queries ≪ corpus. The corpus side
+    is never collected (codebook cells are m·ksub, metadata-sized).
+    ``max_query_batch`` (default :data:`DEFAULT_MAX_QUERY_BATCH`)
+    guards the collect so a corpus-sized `queries` frame raises loudly
+    instead of OOM-ing the driver at 100 TB.
+
     Approximation quality (recall vs brute force) is asserted in
     tests/test_operators.py.
     """
@@ -711,6 +763,7 @@ def pq_topk(
 
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} sub-spaces")
+    _check_query_batch(queries, max_query_batch, "pq_topk")
     dsub = dim // m
 
     # L2-normalize first: unit vectors make squared-L2 monotone in

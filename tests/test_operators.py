@@ -459,6 +459,22 @@ class TestSimilarity:
             counts[r.query_id] += 1
         assert all(c == 5 for c in counts.values())
 
+    def test_serving_paths_reject_oversized_query_batch(self, emb):
+        """ivf_topk/pq_topk collect-or-broadcast per-query structures
+        (probe relation, ADC LUT) — the bounded-query-batch serving
+        contract. Passing a corpus-sized frame as `queries` must raise
+        loudly BEFORE any driver-side materialization, and an explicit
+        higher ceiling must lift the guard."""
+        import pytest
+
+        q = self._queries(emb, n=5)
+        with pytest.raises(ValueError, match="ivf_topk.*max_query_batch"):
+            S.ivf_topk(emb, q, k=3, n_centroids=8, max_query_batch=4)
+        with pytest.raises(ValueError, match="pq_topk.*max_query_batch"):
+            S.pq_topk(emb, q, k=3, m=8, ksub=16, max_query_batch=4)
+        # raising the ceiling explicitly restores the serving path
+        assert S.ivf_topk(emb, q, k=3, n_centroids=8, max_query_batch=5).count() > 0
+
     def test_lsh_scores_match_exact_scores(self, emb):
         """Every (query, neighbor) the LSH path returns must carry the
         same cosine the exact path assigns to that pair."""
