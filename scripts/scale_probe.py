@@ -49,6 +49,7 @@ DST = Path("/tmp/scale_probe/sf1.0")
 REPLICAS = 10  # 1 original + 9 derived
 MID_REPLICAS = 5
 MID_DST = Path("/tmp/scale_probe/sf0.5")
+MIN_ALPHA_T = 0.01  # floor for log-ratio exponents; timings are ms-rounded
 
 #: the five heaviest LLM ops per VERDICT r7 ask #8 (sim_topk_ivf's
 #: timing includes its index build — seeds + assignment + probe).
@@ -67,11 +68,19 @@ TABLES = [
 
 
 def build_scaled(replicas: int = REPLICAS, dst: Path = DST) -> None:
-    """Materialize the replicas-x probe inputs (idempotent)."""
+    """Materialize the replicas-x probe inputs (idempotent per SRC).
+
+    The _READY marker records the resolved SRC it was built from, so
+    pointing SPARK_GRAFT_SF_DIR at a different fixture rebuilds instead
+    of silently reusing replicas of the old one."""
     import duckdb
 
-    if (dst / "_READY").exists():
+    marker = dst / "_READY"
+    src_tag = str(SRC.resolve())
+    if marker.exists() and marker.read_text() == src_tag:
         return
+    if dst.exists():
+        shutil.rmtree(dst)
     dst.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
         if t not in ("documents", "embeddings"):
@@ -113,7 +122,7 @@ def build_scaled(replicas: int = REPLICAS, dst: Path = DST) -> None:
             CROSS JOIN (SELECT unnest(range({replicas})) AS r) r
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
-    (dst / "_READY").touch()
+    marker.write_text(src_tag)
 
 
 def main() -> None:
@@ -159,6 +168,14 @@ def main() -> None:
         t1 = run(name, str(SRC))
         t5 = run(name, str(MID_DST))
         t10 = run(name, str(DST))
+        # timings are rounded to 3 decimals; a sub-centisecond point
+        # makes log-ratio alphas meaningless (or divides by zero)
+        if min(t1, t5, t10) < MIN_ALPHA_T:
+            sys.exit(
+                f"{name}: a timed point is below {MIN_ALPHA_T}s "
+                f"({t1=}, {t5=}, {t10=}) — too fast for a meaningful "
+                "scaling exponent at this fixture; probe a heavier query"
+            )
         a_1_5 = round(math.log(t5 / t1) / math.log(MID_REPLICAS), 2)
         a_5_10 = round(
             math.log(t10 / t5) / math.log(REPLICAS / MID_REPLICAS), 2
@@ -186,8 +203,8 @@ def main() -> None:
 
     rows = []
     for name in QUERIES:
-        t1 = run(name, str(SRC))
-        t10 = run(name, str(DST))
+        t1 = max(run(name, str(SRC)), MIN_ALPHA_T)
+        t10 = max(run(name, str(DST)), MIN_ALPHA_T)
         alpha = round(math.log(t10 / t1) / math.log(REPLICAS), 2)
         rows.append({"query": name, "sf0.1_s": t1, "sf1.0_s": t10, "alpha": alpha})
         print(f"{name:32s} {t1:8.3f}s -> {t10:8.3f}s   alpha={alpha}")
