@@ -77,20 +77,24 @@ PRIORITY: list[str] = [
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
     "sim_silhouette_by_label",
+    "sim_topk_bruteforce",
     "stream_dedup_event_ids",
     "stream_session_windows",
     "stream_sliding_window",
     "stream_static_enrichment",
     "stream_stream_click_purchase",
     "stream_tumbling_window",
-    "stream_stateful_user_sessions",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_pq_topk",
     "sim_ann_agreement",
     "sim_ann_agreement_ivf",
     "sim_ann_agreement_pq",
+    "sim_embedding_high_pairs",
     "sim_knn_classify",
+    "sim_pq_topk",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "stream_ingest_icelake",
+    "stream_stateful_user_sessions",
+    "stream_stream_abandoned_clicks",
     "udf_map_in_arrow_bytes",
     "udf_scalar_pandas_bucket",
     "udf_scalar_python_classify",
@@ -130,9 +134,6 @@ PRIORITY: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "sim_embedding_high_pairs",
-    "stream_ingest_icelake",
-    "stream_stream_abandoned_clicks",
     "setop_union_all_counts",
     "setop_union_distinct",
     "sort_four_null_orderings",
@@ -159,7 +160,6 @@ PRIORITY: list[str] = [
     "fn_struct_inline",
     "ingest_csv_json_parquet",
     "multimodal_decode_features",
-    "sim_topk_bruteforce",
     "skew_salted_agg",
     "skew_salted_join",
     "table_add_files_name_mapping",
