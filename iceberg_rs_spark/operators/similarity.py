@@ -176,10 +176,13 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_batch: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
-    ``queries`` is expected to be small (it is broadcast); the big
+    ``queries`` is expected to be small (it is force-broadcast —
+    the bounded-query-batch serving contract, guarded by
+    ``max_query_batch`` like the ANN paths); the big
     embeddings side is scanned once, map-side only. Norms are computed
     once per vector on each join input (projections under a join don't
     collapse into the per-pair expression), so a pair costs one dot.
@@ -189,6 +192,7 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    _check_query_batch(queries, max_query_batch, "brute_force_topk")
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_na")
     )
@@ -294,6 +298,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_batch: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket plus every bucket within Hamming distance ``probe_hamming``
@@ -304,9 +309,12 @@ def lsh_topk(
     away, so probing the 1 + C(planes,1) + ... buckets recovers it at
     the cost of scanning (probes/2^planes) of the data — still a
     vanishing fraction at scale, and only the tiny broadcast query
-    side fans out. ``probe_hamming=0`` is the single-bucket probe."""
+    side fans out (|Q| × probes rows — the bounded-query-batch
+    serving contract, guarded by ``max_query_batch`` like the other
+    paths). ``probe_hamming=0`` is the single-bucket probe."""
     from pyspark.sql import Window
 
+    _check_query_batch(queries, max_query_batch, "lsh_topk")
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
     emb_b = embeddings.select(
         F.col(id_col),

@@ -472,6 +472,10 @@ class TestSimilarity:
             S.ivf_topk(emb, q, k=3, n_centroids=8, max_query_batch=4)
         with pytest.raises(ValueError, match="pq_topk.*max_query_batch"):
             S.pq_topk(emb, q, k=3, m=8, ksub=16, max_query_batch=4)
+        with pytest.raises(ValueError, match="brute_force_topk.*max_query_batch"):
+            S.brute_force_topk(emb, q, k=3, max_query_batch=4)
+        with pytest.raises(ValueError, match="lsh_topk.*max_query_batch"):
+            S.lsh_topk(emb, q, k=3, max_query_batch=4)
         # raising the ceiling explicitly restores the serving path
         assert S.ivf_topk(emb, q, k=3, n_centroids=8, max_query_batch=5).count() > 0
 
