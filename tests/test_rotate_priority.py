@@ -156,11 +156,15 @@ class TestRotation:
             f"{len(derived)} changed-implementation candidates queued but "
             "none inside the 50-query driver window; run "
             "scripts/rotate_priority.py --write and commit. NOTE: this "
-            "state is EXPECTED at every between-rounds HEAD — the driver "
-            "records CORRECTNESS_r{N}.json after the round's last commit, "
-            "which drains the window and (by design) leaves the committed "
-            "head pointing at just-certified names. It is a prompt for the "
-            "next round's first commit, not a defect in the recorded round."
+            "state is EXPECTED at a between-rounds HEAD whenever the "
+            "derived queue outgrew the window — the driver records "
+            "CORRECTNESS_r{N}.json after the round's last commit, which "
+            "drains the window and can leave the committed head pointing "
+            "at just-certified names. Since r10 the ritual rotates TWICE "
+            "(--write as the first AND last code commit of each round), "
+            "so a queue that fits the 50-window leaves HEAD green; a red "
+            "HEAD is a prompt for the next round's first commit, not a "
+            "defect in the recorded round."
         )
 
     def test_recert_queue_auto_leads(self):
