@@ -3335,7 +3335,14 @@ class TestRandomizedRollupMaintenance:
     slow path), or nothing at all. After EVERY refresh the maintained
     rollup must equal both a python dict recompute over all appended
     rows and the table's own full-scan recompute — the certified
-    contract that makes O(delta) refreshes trustworthy at 100 TB."""
+    contract that makes O(delta) refreshes trustworthy at 100 TB.
+
+    Non-append commits ride the sweep too: a delete inside a refresh
+    range makes the delta undefined (rewritten files are not new data),
+    so incremental_scan must raise LOUDLY and the maintainer REBASES —
+    full recompute, fresh start snapshot — exactly the fallback a real
+    IVM system takes on a non-appendable range; the walk then resumes
+    delta refreshes on top of the rebased materialization."""
 
     SCHEMA = "id long, grp long, val long"
 
@@ -3343,8 +3350,11 @@ class TestRandomizedRollupMaintenance:
         import random
         from collections import Counter, defaultdict
 
+        import pytest
+
         ops_seen: Counter = Counter()
         spanning_refreshes = 0  # refreshes whose range crossed a compaction
+        rebases = 0  # refreshes that hit a delete and fell back to rebuild
         for seed in (5, 17, 41):
             rnd = random.Random(seed)
             t = catalog.create_table(
@@ -3380,24 +3390,40 @@ class TestRandomizedRollupMaintenance:
                 rollup[r.grp][1] += r.val
             last_snap = t.metadata.current_snapshot_id
             compact_since_refresh = False
+            delete_since_refresh = False
 
             def refresh():
                 nonlocal last_snap, spanning_refreshes, compact_since_refresh
-                if compact_since_refresh:
-                    spanning_refreshes += 1
-                compact_since_refresh = False
-                delta = (
-                    t.incremental_scan(start_snapshot_id=last_snap)
-                    .groupBy("grp")
-                    .agg(
-                        F.count(F.lit(1)).cast("long").alias("n"),
-                        F.coalesce(F.sum("val"), F.lit(0)).cast("long").alias("s"),
+                nonlocal delete_since_refresh, rebases, rollup
+                if delete_since_refresh:
+                    # a delete in the range makes the delta undefined;
+                    # the scan must refuse loudly, and the maintainer
+                    # rebases: full recompute + fresh start snapshot
+                    with pytest.raises(ValueError, match="incremental"):
+                        t.incremental_scan(start_snapshot_id=last_snap)
+                    rebases += 1
+                    rollup = defaultdict(lambda: [0, 0])
+                    for r in t.scan().collect():
+                        rollup[r.grp][0] += 1
+                        rollup[r.grp][1] += r.val
+                    delete_since_refresh = False
+                    compact_since_refresh = False
+                else:
+                    if compact_since_refresh:
+                        spanning_refreshes += 1
+                    compact_since_refresh = False
+                    delta = (
+                        t.incremental_scan(start_snapshot_id=last_snap)
+                        .groupBy("grp")
+                        .agg(
+                            F.count(F.lit(1)).cast("long").alias("n"),
+                            F.coalesce(F.sum("val"), F.lit(0)).cast("long").alias("s"),
+                        )
+                        .collect()
                     )
-                    .collect()
-                )
-                for r in delta:
-                    rollup[r.grp][0] += r.n
-                    rollup[r.grp][1] += r.s
+                    for r in delta:
+                        rollup[r.grp][0] += r.n
+                        rollup[r.grp][1] += r.s
                 last_snap = t.metadata.current_snapshot_id
                 maintained = {g: (n, s) for g, (n, s) in rollup.items() if n}
                 # certified equal to the python recompute over all rows...
@@ -3419,8 +3445,11 @@ class TestRandomizedRollupMaintenance:
                     f"seed {seed}: maintained rollup diverged from full scan"
                 )
 
-            for _step in range(14):
-                op = rnd.choice(["append", "append", "append", "compact", "refresh"])
+            for _step in range(16):
+                op = rnd.choice(
+                    ["append", "append", "append", "compact", "delete",
+                     "refresh", "refresh"]
+                )
                 ops_seen[op] += 1
                 if op == "append":
                     rows = fresh(rnd.randint(1, 5))
@@ -3429,11 +3458,23 @@ class TestRandomizedRollupMaintenance:
                 elif op == "compact":
                     t.compact()
                     compact_since_refresh = True
+                elif op == "delete":
+                    mode = rnd.choice(["copy-on-write", "merge-on-read"])
+                    g = rnd.randrange(4)
+                    before = t.metadata.current_snapshot_id
+                    t.delete(f"grp = {g}", mode=mode)
+                    all_rows = [r for r in all_rows if r[1] != g]
+                    if t.metadata.current_snapshot_id != before:
+                        # only a real commit poisons the range (a
+                        # no-match delete commits nothing)
+                        delete_since_refresh = True
                 else:
                     refresh()
             refresh()  # drain whatever the walk left un-refreshed
 
-        # the sweep must have exercised every operation and at least one
-        # refresh range that crossed a compaction (the slow path)
-        assert set(ops_seen) == {"append", "compact", "refresh"}, ops_seen
+        # the sweep must have exercised every operation, at least one
+        # refresh range that crossed a compaction (the slow path), and
+        # at least one delete-poisoned range (raise + rebase fallback)
+        assert set(ops_seen) == {"append", "compact", "delete", "refresh"}, ops_seen
         assert spanning_refreshes > 0, "no refresh range ever spanned a compaction"
+        assert rebases > 0, "no refresh range was ever poisoned by a delete"
