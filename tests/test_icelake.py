@@ -3323,6 +3323,193 @@ class TestRandomizedLifecycleDifferential:
                 got = set(t.expire_snapshots(retain_last=1))
                 assert got == exp_removed and set(t.metadata.refs) == exp_refs
 
+    def test_random_maintenance_interleaved_is_read_invisible(
+        self, catalog, spark
+    ):
+        """Maintenance dimension of the sweep: rewrite_manifests,
+        rewrite_position_deletes, and remove_orphan_files fired at
+        random points INSIDE a random write history. The example pins
+        each cover one call on a quiet table; the interaction space —
+        a position rewrite while a tag still time-travels to the
+        pre-rewrite files, an orphan sweep over injected junk while
+        rollback has forked the history, a manifest reshard between a
+        MoR delete and a MoR merge — is where maintenance corrupts
+        reads. Invariants checked after EVERY op:
+
+        * the live read equals the dict oracle (maintenance is
+          read-invisible);
+        * an orphan sweep removes EXACTLY the injected junk files —
+          never a file any snapshot on any fork still references;
+        * rewrite_position_deletes refuses (equality-delete guard,
+          icelake.py rewrite_position_deletes) exactly when the live
+          entry list carries equality deletes, and the refusal leaves
+          the table untouched;
+
+        and at the end: time travel to every recorded snapshot and
+        every tag, and changelog/incremental silence over every
+        maintenance (``replace``) snapshot range."""
+        import random
+        from collections import Counter
+
+        from iceberg_rs_spark.sources.icelake import _delete_file_entries
+
+        ops_seen: Counter = Counter()
+        for seed in (1, 5):  # chosen so the union fires every op kind
+            rnd = random.Random(seed)
+            t = catalog.create_table(
+                f"db.rand_maint_{seed}",
+                self._df(spark, [(0, 0, 0)]).schema,
+                partition_by=[("grp", "identity")],
+            )
+            state: dict[int, tuple[int, int]] = {}
+            next_id = 0
+            states: list[tuple[int, dict, str]] = []
+            tags: dict[str, dict] = {}
+
+            def fresh(n, rng):
+                nonlocal next_id
+                rows = [
+                    (next_id + i, rng.randrange(5), rng.randrange(100))
+                    for i in range(n)
+                ]
+                next_id += n
+                return rows
+
+            def inject_junk(k):
+                import os
+
+                paths = []
+                for j in range(k):
+                    d = os.path.join(t.location, "data", "junk")
+                    os.makedirs(d, exist_ok=True)
+                    p = os.path.join(d, f"crashed-{seed}-{len(states)}-{j}.parquet")
+                    with open(p, "wb") as f:
+                        f.write(b"half-written by a crashed executor")
+                    paths.append(p)
+                return sorted(paths)
+
+            rows = fresh(8, rnd)
+            t.append(self._df(spark, rows))
+            state.update({i: (g, v) for i, g, v in rows})
+            states.append((t.metadata.current_snapshot_id, dict(state), "append"))
+
+            for step in range(14):
+                ops = [
+                    "append", "delete_mor", "delete_cow", "merge_mor",
+                    "merge_cow", "rewrite_manifests", "rewrite_pos_dels",
+                    "orphan_sweep", "compact", "tag",
+                ]
+                if step < 7:
+                    ops.append("rollback")
+                op = rnd.choice(ops)
+                ops_seen[op] += 1
+                if op == "append":
+                    rows = fresh(rnd.randint(1, 5), rnd)
+                    t.append(self._df(spark, rows))
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op in ("delete_mor", "delete_cow"):
+                    mode = "merge-on-read" if op == "delete_mor" else "copy-on-write"
+                    x = rnd.randrange(100)
+                    t.delete(f"val < {x}", mode=mode)
+                    for i in [i for i, (_, v) in state.items() if v < x]:
+                        del state[i]
+                elif op in ("merge_mor", "merge_cow"):
+                    mode = "merge-on-read" if op == "merge_mor" else "copy-on-write"
+                    upd = rnd.sample(
+                        sorted(state), min(len(state), rnd.randint(0, 3))
+                    )
+                    rows = [
+                        (i, rnd.randrange(5), rnd.randrange(100)) for i in upd
+                    ] + fresh(rnd.randint(0, 2), rnd)
+                    if not rows:
+                        continue
+                    t.merge(self._df(spark, rows), on=["id"], mode=mode)
+                    state.update({i: (g, v) for i, g, v in rows})
+                elif op == "rewrite_manifests":
+                    t.rewrite_manifests(shard_size=rnd.randint(1, 4))
+                elif op == "rewrite_pos_dels":
+                    has_eq = any(
+                        e.content == "equality-deletes"
+                        for e in _delete_file_entries(
+                            t._current_entries(t.metadata)
+                        )
+                    )
+                    if has_eq:
+                        before = t.metadata.current_snapshot_id
+                        with pytest.raises(ValueError, match="equality-delete"):
+                            t.rewrite_position_deletes()
+                        assert t.metadata.current_snapshot_id == before, (
+                            f"seed {seed}: refused rewrite still committed"
+                        )
+                    else:
+                        t.rewrite_position_deletes()
+                elif op == "orphan_sweep":
+                    junk = inject_junk(rnd.randint(1, 2))
+                    removed = t.remove_orphan_files()
+                    assert removed == junk, (
+                        f"seed {seed}: orphan sweep removed {removed}, "
+                        f"expected exactly the injected {junk}"
+                    )
+                elif op == "compact":
+                    t.compact()
+                elif op == "tag":
+                    name = f"audit-{len(states)}"
+                    if name not in tags:
+                        t.create_tag(name)
+                        tags[name] = dict(state)
+                else:
+                    target_snap, target_state, _ = rnd.choice(states)
+                    t.rollback_to_snapshot(target_snap)
+                    state = dict(target_state)
+                assert self._read(t) == self._expect(state), (
+                    f"seed {seed}: divergence after {op}"
+                )
+                states.append(
+                    (t.metadata.current_snapshot_id, dict(state), op)
+                )
+
+            # every recorded snapshot and every tag must still read its
+            # rows — the pre-rewrite files a tag pins must have survived
+            # every orphan sweep and position rewrite
+            for snap_id, snap_state, _op in states:
+                assert self._read(t, snapshot_id=snap_id) == self._expect(
+                    snap_state
+                ), f"seed {seed}: time travel to {snap_id} diverged"
+            for name, tag_state in tags.items():
+                assert self._read(t, tag=name) == self._expect(tag_state), (
+                    f"seed {seed}: tag {name} diverged"
+                )
+
+            # maintenance commits are replace snapshots: changelog must
+            # yield nothing and incremental scan must count zero rows
+            # over their ranges (silently re-delivering rewritten files
+            # would duplicate rows downstream)
+            maintenance = {"rewrite_manifests", "rewrite_pos_dels", "compact"}
+            for (s0, d0, _), (s1, d1, op1) in zip(states, states[1:]):
+                if s0 == s1 or op1 not in maintenance:
+                    continue
+                assert d0 == d1
+                assert (
+                    t.changelog_scan(
+                        start_snapshot_id=s0, end_snapshot_id=s1
+                    ).count()
+                    == 0
+                ), f"seed {seed}: changelog over {op1} not silent"
+                assert (
+                    t.incremental_scan(
+                        start_snapshot_id=s0, end_snapshot_id=s1
+                    ).count()
+                    == 0
+                ), f"seed {seed}: incremental scan over {op1} not silent"
+
+        # vacuity guard: every op kind must actually have fired across
+        # the seeds, or a seed change hollows the sweep
+        assert set(ops_seen) == {
+            "append", "delete_mor", "delete_cow", "merge_mor", "merge_cow",
+            "rewrite_manifests", "rewrite_pos_dels", "orphan_sweep",
+            "compact", "tag", "rollback",
+        }, dict(ops_seen)
+
 
 class TestRandomizedRollupMaintenance:
     """Randomized differential for the incremental-view-maintenance
