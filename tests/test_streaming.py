@@ -634,6 +634,116 @@ class TestRandomizedStreamingDifferential:
         assert (100, 101) in exp and (100, 103) not in exp  # boundary fixture live
         assert got == exp
 
+    def test_stream_stream_left_outer_join_closed_windows_only(
+        self, spark, tmp_path
+    ):
+        """Randomized differential for the LEFT OUTER interval join —
+        the eviction path the inner-join sweep above deliberately never
+        reaches (its event times are bounded under the watermark). Here
+        random rows span 4 hours under a 30 min watermark, so old
+        unmatched left rows MUST be evicted and emitted with NULL right
+        columns while still-open windows must stay buffered forever.
+
+        Arrival is in EVENT-TIME order (rows sorted before batching):
+        no input row is ever late, so the python oracle is exact —
+        matched pairs are the quadratic all-pairs interval check, and a
+        NULL row appears iff the left has no partner AND its window
+        provably closed under the final global watermark
+        W = min(max left ts, max right ts) - delay (the
+        multipleWatermarkPolicy=min rule: the slower side gates
+        eviction for both). Two availableNow passes over one
+        checkpoint drain the final no-data batch (ops.py
+        replay_to_parquet). Data rows sit at odd-second offsets and
+        both sides' maxima at whole minutes, so no window boundary can
+        equal W and eviction strictness cannot flake the oracle."""
+        import random
+
+        import datetime as dtm
+
+        from iceberg_rs_spark.streaming.ops import (
+            replay_to_parquet,
+            stream_stream_interval_join,
+        )
+
+        rnd = random.Random(83)
+        base = dtm.datetime(2024, 3, 1, 12, 0, 0)
+        interval = dtm.timedelta(minutes=10)
+        delay = dtm.timedelta(minutes=30)
+        rows = [
+            (
+                eid,
+                rnd.randrange(4),
+                base
+                + dtm.timedelta(
+                    minutes=rnd.randrange(240), seconds=2 * rnd.randrange(30) + 1
+                ),
+                1.0,
+            )
+            for eid in range(48)
+        ]
+        # whole-minute maxima pins (even ids = left, odd = right): the
+        # global watermark lands at min(maxL, maxR) - 30 min exactly on
+        # a minute, away from every odd-second window boundary
+        rows += [
+            (200, 0, base + dtm.timedelta(minutes=250), 1.0),  # left max
+            (201, 0, base + dtm.timedelta(minutes=246), 1.0),  # right max
+        ]
+        # eviction-boundary pins on a user nobody else has: W closes at
+        # min(250, 246) - 30 = base+216 min; a lone left 1 s below the
+        # close boundary must emit NULL, 1 s above must stay buffered
+        w_final = base + dtm.timedelta(minutes=216)
+        rows += [
+            (210, 9, w_final - interval - dtm.timedelta(seconds=1), 1.0),
+            (212, 9, w_final - interval + dtm.timedelta(seconds=1), 1.0),
+        ]
+        rows.sort(key=lambda r: r[2])  # in-order arrival: nothing late
+        stream = self._write_batches(spark, tmp_path, rows, n_files=6)
+        joined = stream_stream_interval_join(
+            stream.where("event_id % 2 = 0"),
+            stream.where("event_id % 2 = 1"),
+            key="user_id",
+            interval="10 minutes",
+            watermark="30 minutes",
+            how="left_outer",
+        )
+        got = sorted(
+            (r.l_id, r.r_id)
+            for r in replay_to_parquet(
+                joined.select("l_id", "r_id"), "rand_ssouter", passes=2
+            ).collect()
+        )
+        lefts = [(e, u, t) for e, u, t, _ in rows if e % 2 == 0]
+        rights = [(e, u, t) for e, u, t, _ in rows if e % 2 == 1]
+        assert w_final == min(
+            max(t for *_, t in lefts), max(t for *_, t in rights)
+        ) - delay
+        # oracle safety: no left window boundary may EQUAL the final
+        # watermark, or eviction strictness decides the row's fate
+        assert all(lt + interval != w_final for *_, lt in lefts)
+        matched = sorted(
+            (le, re)
+            for le, lu, lt in lefts
+            for re, ru, rt in rights
+            if ru == lu and lt <= rt <= lt + interval
+        )
+        matched_ids = {le for le, _ in matched}
+        nulls = sorted(
+            (le, None)
+            for le, _lu, lt in lefts
+            if le not in matched_ids and lt + interval < w_final
+        )
+        exp = sorted(matched + nulls)
+        # vacuity guards: the sweep must exercise matches, closed-window
+        # NULLs, AND still-open buffered rows, and both boundary pins
+        still_open = [
+            le
+            for le, _lu, lt in lefts
+            if le not in matched_ids and lt + interval > w_final
+        ]
+        assert matched and nulls and still_open
+        assert (210, None) in nulls and 212 in still_open
+        assert got == exp
+
     def test_stateful_dedup_across_batches(self, spark, tmp_path):
         import random
 
