@@ -3510,6 +3510,191 @@ class TestRandomizedLifecycleDifferential:
             "compact", "tag", "rollback",
         }, dict(ops_seen)
 
+    def test_random_concurrent_writer_races_never_lose_updates(
+        self, catalog, spark, monkeypatch
+    ):
+        """Concurrency dimension of the sweep: the four example pins
+        (delete vs append, compact vs append, delete vs rewrite, merge
+        vs append) each stage ONE version race; this sweeps random
+        foreground ops against random concurrent commits injected at
+        the version-write moment (the same _write_metadata_version
+        seam). The outcome is not predicted — whichever way the
+        implementation rules, the differential holds it to the one
+        contract that can never bend:
+
+        * the CONCURRENT writer's committed effect survives every
+          outcome (no lost update — it won the version slot);
+        * if the retried foreground op SUCCEEDS, the final state is the
+          snapshot-isolation composition: concurrent effect applied to
+          the shared base, then the foreground effect AS PLANNED
+          against its read snapshot (a retried delete must not re-plan
+          against rows it never read, and must not resurrect rows the
+          concurrent writer deleted);
+        * if it raises CommitConflict, the foreground op is a perfect
+          no-op — no partial files visible, reads equal base +
+          concurrent effect only.
+
+        Time travel to every recorded post-step snapshot at the end."""
+        import random
+        from collections import Counter
+
+        import iceberg_rs_spark.sources.icelake as lake
+
+        orig = lake._write_metadata_version
+        outcomes: Counter = Counter()
+        fg_seen: Counter = Counter()
+        for seed in (3, 29):
+            rnd = random.Random(seed)
+            t = catalog.create_table(
+                f"db.rand_race_{seed}",
+                self._df(spark, [(0, 0, 0)]).schema,
+                partition_by=[("grp", "identity")],
+            )
+            t2 = catalog.load_table(f"db.rand_race_{seed}")
+            state: dict[int, tuple[int, int]] = {}
+            next_id = 0
+            states: list[tuple[int, dict]] = []
+
+            def fresh(n, rng):
+                nonlocal next_id
+                rows = [
+                    (next_id + i, rng.randrange(5), rng.randrange(100))
+                    for i in range(n)
+                ]
+                next_id += n
+                return rows
+
+            rows = fresh(10, rnd)
+            t.append(self._df(spark, rows))
+            state.update({i: (g, v) for i, g, v in rows})
+
+            for step in range(10):
+                pre = dict(state)
+                fg = rnd.choice(
+                    ["append", "delete_cow", "delete_mor", "merge_cow",
+                     "merge_mor", "compact"]
+                )
+                fg_seen[fg] += 1
+                # plan the foreground call and its dict effect against
+                # the read snapshot (= pre), mirroring snapshot isolation
+                if fg == "append":
+                    fg_rows = fresh(rnd.randint(1, 4), rnd)
+                    fg_call = lambda r=fg_rows: t.append(self._df(spark, r))
+                    fg_apply = lambda s, r=fg_rows: s.update(
+                        {i: (g, v) for i, g, v in r}
+                    )
+                elif fg in ("delete_cow", "delete_mor"):
+                    mode = (
+                        "copy-on-write" if fg == "delete_cow" else "merge-on-read"
+                    )
+                    x = rnd.randrange(100)
+                    hit = frozenset(i for i, (_, v) in pre.items() if v < x)
+                    fg_call = lambda m=mode, q=x: t.delete(f"val < {q}", mode=m)
+                    fg_apply = lambda s, h=hit: [
+                        s.pop(i) for i in h if i in s
+                    ]
+                elif fg in ("merge_cow", "merge_mor"):
+                    mode = (
+                        "copy-on-write" if fg == "merge_cow" else "merge-on-read"
+                    )
+                    upd = rnd.sample(
+                        sorted(pre), min(len(pre), rnd.randint(1, 3))
+                    )
+                    fg_rows = [
+                        (i, rnd.randrange(5), rnd.randrange(100)) for i in upd
+                    ] + fresh(rnd.randint(0, 2), rnd)
+                    fg_call = lambda m=mode, r=fg_rows: t.merge(
+                        self._df(spark, r), on=["id"], mode=m
+                    )
+                    fg_apply = lambda s, r=fg_rows: s.update(
+                        {i: (g, v) for i, g, v in r}
+                    )
+                else:
+                    fg_call = t.compact
+                    fg_apply = lambda s: None
+
+                conc_call, conc_apply = None, None
+                if rnd.random() < 0.7:
+                    conc = rnd.choice(["append", "delete_cow", "compact"])
+                    if conc == "append":
+                        c_rows = fresh(rnd.randint(1, 3), rnd)
+                        conc_call = lambda r=c_rows: t2.append(
+                            self._df(spark, r)
+                        )
+                        conc_apply = lambda s, r=c_rows: s.update(
+                            {i: (g, v) for i, g, v in r}
+                        )
+                    elif conc == "delete_cow":
+                        cx = rnd.randrange(100)
+                        c_hit = frozenset(
+                            i for i, (_, v) in pre.items() if v >= cx
+                        )
+                        conc_call = lambda q=cx: t2.delete(f"val >= {q}")
+                        conc_apply = lambda s, h=c_hit: [
+                            s.pop(i) for i in h if i in s
+                        ]
+                    else:
+                        conc_call = t2.compact
+                        conc_apply = lambda s: None
+
+                fired = {"done": False}
+                if conc_call is not None:
+
+                    def racy(location, version, md, _c=conc_call):
+                        if not fired["done"]:
+                            fired["done"] = True
+                            _c()  # concurrent writer takes this slot
+                            raise FileExistsError(version)
+                        return orig(location, version, md)
+
+                    monkeypatch.setattr(lake, "_write_metadata_version", racy)
+                try:
+                    fg_call()
+                    ok = True
+                except lake.CommitConflict:
+                    ok = False
+                finally:
+                    monkeypatch.setattr(lake, "_write_metadata_version", orig)
+
+                raced = fired["done"]
+                # the foreground op may have matched nothing and never
+                # attempted a commit — then the race never fired and the
+                # concurrent effect must NOT enter the oracle
+                if raced:
+                    conc_apply(state)
+                    outcomes["raced_ok" if ok else "raced_conflict"] += 1
+                else:
+                    outcomes["clean"] += 1
+                if ok:
+                    fg_apply(state)
+                assert self._read(t) == self._expect(state), (
+                    f"seed {seed} step {step}: {fg} "
+                    f"{'succeeded' if ok else 'conflicted'} "
+                    f"{'after a race' if raced else 'unraced'} but reads "
+                    "diverged from the snapshot-isolation oracle"
+                )
+                if not ok:
+                    assert raced, (
+                        f"seed {seed} step {step}: {fg} conflicted with no "
+                        "competing commit"
+                    )
+                states.append((t.metadata.current_snapshot_id, dict(state)))
+
+            for snap_id, snap_state in states:
+                assert self._read(t, snapshot_id=snap_id) == self._expect(
+                    snap_state
+                ), f"seed {seed}: time travel to {snap_id} diverged"
+
+        # vacuity: every foreground kind fired, and the sweep saw both
+        # raced successes and at least one genuine CommitConflict
+        assert set(fg_seen) == {
+            "append", "delete_cow", "delete_mor", "merge_cow", "merge_mor",
+            "compact",
+        }, dict(fg_seen)
+        assert outcomes["raced_ok"] >= 3 and outcomes["raced_conflict"] >= 1, (
+            dict(outcomes)
+        )
+
 
 class TestRandomizedRollupMaintenance:
     """Randomized differential for the incremental-view-maintenance
