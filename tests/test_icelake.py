@@ -239,6 +239,34 @@ class TestSchemaEvolution:
         assert dict(t2.to_df().dtypes)["v"] == "bigint"
         assert t2.to_df().agg(F.sum("v")).first()[0] == 10
 
+    def test_drop_then_readd_same_name_never_resurrects(self, catalog, spark):
+        """The classic field-id trap (schema.rs:190-208 — column
+        identity is the field ID, never the name): dropping a column
+        and re-adding one with the SAME NAME mints a fresh field id, so
+        rows written before the drop must read NULL for the re-added
+        column — a name-based projection would silently resurrect the
+        old values. Time travel to a pre-drop snapshot still shows the
+        original values under that snapshot's own stamped schema. The
+        randomized evolution sweep never re-uses a name (its columns
+        are c1/r2/...), so this pin holds the one aliasing case it
+        cannot reach."""
+        df1 = spark.createDataFrame([(1, 10), (2, 20)], "id long, score long")
+        t = catalog.create_table("db.readd_name", df1.schema)
+        t.append(df1)
+        snap1 = t.metadata.current_snapshot_id
+        old_fid = t.metadata.current_schema().field_by_name("score").id
+        t.drop_column("score")
+        t.append(spark.createDataFrame([(3,)], "id long"))
+        t.add_column("score", "long")
+        assert t.metadata.current_schema().field_by_name("score").id != old_fid
+        t.append(spark.createDataFrame([(4, 99)], "id long, score long"))
+        assert sorted((r.id, r.score) for r in t.to_df().collect()) == [
+            (1, None), (2, None), (3, None), (4, 99),
+        ]
+        assert sorted(
+            (r.id, r.score) for r in t.scan(snapshot_id=snap1).collect()
+        ) == [(1, 10), (2, 20)]
+
     def test_partition_spec_evolution(self, catalog, events_df):
         t = catalog.create_table("db.pevo", events_df.schema, partition_by=[("ts", "day")])
         t.append(events_df.limit(100))
