@@ -3641,37 +3641,54 @@ class TestRandomizedLifecycleDifferential:
                     fg_call = t.compact
                     fg_apply = lambda s: None
 
-                conc_call, conc_apply = None, None
+                # one or (sometimes) two concurrent commits, fired on
+                # the foreground's successive write attempts — the
+                # double race drives the retry loop twice, so a stale
+                # re-plan that survives one retry still gets caught.
+                # The second racer is always an append: the injected
+                # writer itself must never conflict, or the foreground
+                # outcome becomes ambiguous.
+                conc_ops = []
                 if rnd.random() < 0.7:
                     conc = rnd.choice(["append", "delete_cow", "compact"])
                     if conc == "append":
                         c_rows = fresh(rnd.randint(1, 3), rnd)
-                        conc_call = lambda r=c_rows: t2.append(
-                            self._df(spark, r)
-                        )
-                        conc_apply = lambda s, r=c_rows: s.update(
-                            {i: (g, v) for i, g, v in r}
-                        )
+                        conc_ops.append((
+                            lambda r=c_rows: t2.append(self._df(spark, r)),
+                            lambda s, r=c_rows: s.update(
+                                {i: (g, v) for i, g, v in r}
+                            ),
+                        ))
                     elif conc == "delete_cow":
                         cx = rnd.randrange(100)
                         c_hit = frozenset(
                             i for i, (_, v) in pre.items() if v >= cx
                         )
-                        conc_call = lambda q=cx: t2.delete(f"val >= {q}")
-                        conc_apply = lambda s, h=c_hit: [
-                            s.pop(i) for i in h if i in s
-                        ]
+                        conc_ops.append((
+                            lambda q=cx: t2.delete(f"val >= {q}"),
+                            lambda s, h=c_hit: [
+                                s.pop(i) for i in h if i in s
+                            ],
+                        ))
                     else:
-                        conc_call = t2.compact
-                        conc_apply = lambda s: None
+                        conc_ops.append((t2.compact, lambda s: None))
+                    if rnd.random() < 0.3:
+                        c2_rows = fresh(rnd.randint(1, 2), rnd)
+                        conc_ops.append((
+                            lambda r=c2_rows: t2.append(self._df(spark, r)),
+                            lambda s, r=c2_rows: s.update(
+                                {i: (g, v) for i, g, v in r}
+                            ),
+                        ))
 
-                fired = {"done": False}
-                if conc_call is not None:
+                fired = {"n": 0}
+                if conc_ops:
 
-                    def racy(location, version, md, _c=conc_call):
-                        if not fired["done"]:
-                            fired["done"] = True
-                            _c()  # concurrent writer takes this slot
+                    def racy(location, version, md):
+                        if fired["n"] < len(conc_ops):
+                            c = conc_ops[fired["n"]][0]
+                            fired["n"] += 1
+                            c()  # concurrent writer takes this slot
                             raise FileExistsError(version)
                         return orig(location, version, md)
 
@@ -3684,13 +3701,19 @@ class TestRandomizedLifecycleDifferential:
                 finally:
                     monkeypatch.setattr(lake, "_write_metadata_version", orig)
 
-                raced = fired["done"]
+                raced = fired["n"] > 0
                 # the foreground op may have matched nothing and never
                 # attempted a commit — then the race never fired and the
-                # concurrent effect must NOT enter the oracle
+                # concurrent effect must NOT enter the oracle; a
+                # semantic conflict inside the retry's updater can also
+                # stop the chain between the two racers, so apply only
+                # the ones that actually committed
                 if raced:
-                    conc_apply(state)
+                    for _c, c_apply in conc_ops[: fired["n"]]:
+                        c_apply(state)
                     outcomes["raced_ok" if ok else "raced_conflict"] += 1
+                    if fired["n"] > 1:
+                        outcomes["double_race"] += 1
                 else:
                     outcomes["clean"] += 1
                 if ok:
@@ -3719,9 +3742,11 @@ class TestRandomizedLifecycleDifferential:
             "append", "delete_cow", "delete_mor", "merge_cow", "merge_mor",
             "compact",
         }, dict(fg_seen)
-        assert outcomes["raced_ok"] >= 3 and outcomes["raced_conflict"] >= 1, (
-            dict(outcomes)
-        )
+        assert (
+            outcomes["raced_ok"] >= 2
+            and outcomes["raced_conflict"] >= 1
+            and outcomes["double_race"] >= 1
+        ), dict(outcomes)
 
 
 class TestRandomizedRollupMaintenance:
