@@ -70,3 +70,65 @@ def test_timezone_independence(name, spark, duck, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert_frames_match(spark_pdf, duck.sql(spec.oracle).df(), name=f"tz:{name}")
+
+
+class TestGateCanary:
+    """Negative controls for the compare machinery itself: a gate that
+    cannot FAIL is vacuously green, so every divergence class the
+    driver's hash distinguishes must raise here, and every legitimate
+    variation (row order, NaN==NaN) must pass. Pure pandas — no Spark."""
+
+    @staticmethod
+    def _pdf(**cols):
+        import pandas as pd
+
+        return pd.DataFrame(dict(cols))
+
+    def _must_differ(self, a, b, fragment=""):
+        with pytest.raises(AssertionError, match=fragment):
+            assert_frames_match(a, b, name="canary")
+
+    def test_identical_frames_pass_in_any_row_order(self):
+        a = self._pdf(k=[1, 2, 3], v=[1.5, 2.5, float("nan")])
+        b = self._pdf(k=[3, 1, 2], v=[float("nan"), 1.5, 2.5])
+        assert_frames_match(a, b, name="canary")  # order-insensitive
+
+    def test_column_name_divergence_fails(self):
+        self._must_differ(
+            self._pdf(sum_qty=[1]), self._pdf(total=[1]), "column mismatch"
+        )
+
+    def test_row_count_divergence_fails(self):
+        self._must_differ(self._pdf(k=[1, 2]), self._pdf(k=[1]), "row count")
+
+    def test_dtype_kind_divergence_fails(self):
+        # DuckDB DOUBLE vs Spark BIGINT with equal numbers must still fail
+        self._must_differ(
+            self._pdf(k=[1, 2]), self._pdf(k=[1.0, 2.0]), "dtype-kind"
+        )
+
+    def test_value_divergence_fails(self):
+        self._must_differ(self._pdf(k=[1, 2]), self._pdf(k=[1, 3]), "differs")
+
+    def test_float_bit_divergence_fails(self):
+        self._must_differ(
+            self._pdf(v=[1.0]), self._pdf(v=[1.0 + 1e-15]), "differs"
+        )
+
+    def test_signed_zero_divergence_fails(self):
+        self._must_differ(self._pdf(v=[0.0]), self._pdf(v=[-0.0]), "differs")
+
+    def test_null_vs_value_divergence_fails(self):
+        self._must_differ(
+            self._pdf(v=[None, "x"]), self._pdf(v=["x", "x"]), "differs"
+        )
+
+    def test_nested_list_divergence_fails(self):
+        self._must_differ(
+            self._pdf(v=[[1, 2], [3]]), self._pdf(v=[[1, 2], [4]]), "differs"
+        )
+
+    def test_nested_list_equality_passes(self):
+        a = self._pdf(v=[[1, 2], [3]])
+        b = self._pdf(v=[[3], [1, 2]])
+        assert_frames_match(a, b, name="canary")
