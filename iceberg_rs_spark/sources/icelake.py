@@ -347,12 +347,35 @@ def _latest_version(location: str) -> int:
     return v
 
 
+_TMP_SEQ = iter(range(1, 1 << 62))  # per-process unique temp suffixes
+
+
 def _write_metadata_version(location: str, version: int, md: TableMetadata) -> None:
-    """Exclusive-create commit: losing a race raises FileExistsError."""
+    """Exclusive-create commit: losing a race raises FileExistsError.
+
+    Crash-atomic: the JSON is fully written (and fsynced) to a temp
+    file first, then CLAIMED via os.link — an atomic create-exclusive
+    that fails with FileExistsError if a racer already owns the
+    version. A writer crashing mid-commit can therefore never leave a
+    truncated vN.metadata.json for _latest_version to pick up (which
+    would brick every subsequent read AND commit of the table); at
+    worst it leaves an invisible .tmp orphan in metadata/. This is the
+    filesystem-catalog equivalent of HadoopTableOperations' write-then-
+    rename commit; an object-store catalog would swap the pointer in
+    its atomic catalog transaction instead."""
     path = _version_path(location, version)
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        f.write(md.to_json_str())
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
+    try:
+        with open(tmp, "w") as f:
+            f.write(md.to_json_str())
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, path)
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     with open(os.path.join(_metadata_dir(location), "version-hint.text"), "w") as f:
         f.write(str(version))
 

@@ -1073,6 +1073,98 @@ class TestAdviceR2Fixes:
             t.add_files(raw_dir)
 
 
+class TestCommitCrashAtomicity:
+    """The commit protocol must be crash-atomic: a writer dying at ANY
+    point inside _write_metadata_version may leave an invisible .tmp
+    orphan in metadata/, but never a truncated vN.metadata.json —
+    _latest_version picks the newest version file by existence alone,
+    so a half-written one would brick every subsequent read AND commit
+    of the table, permanently (the pre-r10 O_CREAT|O_EXCL write had
+    exactly this window)."""
+
+    def _meta_files(self, t):
+        """Version files + tmp litter only — a failed commit may
+        legitimately orphan a snap-*.json manifest (written before the
+        claim; invisible without a version file referencing it)."""
+        import os
+
+        return sorted(
+            n
+            for n in os.listdir(os.path.join(t.location, "metadata"))
+            if ".tmp." in n or n.endswith(".metadata.json")
+        )
+
+    def test_crash_at_claim_leaves_table_readable_and_writable(
+        self, catalog, spark, events_df, monkeypatch
+    ):
+        import os as osmod
+
+        t = catalog.create_table("db.crash_claim", events_df.schema)
+        t.append(events_df.limit(10))
+        before_files = self._meta_files(t)
+        before_rows = t.to_df().count()
+        real_link = osmod.link
+        blow = {"armed": True}
+
+        def dying_link(src, dst, **kw):
+            if blow["armed"]:
+                blow["armed"] = False
+                raise OSError("simulated writer death at the claim step")
+            return real_link(src, dst, **kw)
+
+        monkeypatch.setattr(osmod, "link", dying_link)
+        with pytest.raises(OSError, match="simulated"):
+            t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.undo()
+        # no truncated version file, no tmp litter, table fully intact
+        assert self._meta_files(t) == before_files
+        assert t.to_df().count() == before_rows
+        # and the next commit proceeds normally
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 20
+
+    def test_crash_during_json_write_leaves_no_version_file(
+        self, catalog, spark, events_df, monkeypatch
+    ):
+        import os as osmod
+
+        t = catalog.create_table("db.crash_write", events_df.schema)
+        t.append(events_df.limit(10))
+        before_files = self._meta_files(t)
+        real_fsync = osmod.fsync
+
+        def dying_fsync(fd):
+            raise OSError("simulated writer death mid-write")
+
+        monkeypatch.setattr(osmod, "fsync", dying_fsync)
+        with pytest.raises(OSError, match="simulated"):
+            t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.setattr(osmod, "fsync", real_fsync)
+        assert self._meta_files(t) == before_files
+        assert t.to_df().count() == 10
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 20
+
+    def test_stale_tmp_orphan_is_invisible(self, catalog, events_df):
+        """A temp file a DEAD writer really did leak (kill -9 between
+        write and claim — no finally runs) must be invisible to version
+        resolution, reads, and future commits."""
+        import os
+
+        t = catalog.create_table("db.crash_orphan", events_df.schema)
+        t.append(events_df.limit(10))
+        v = len(t.metadata.snapshots)
+        orphan = os.path.join(
+            t.location, "metadata", "v99.metadata.json.tmp.12345.6"
+        )
+        with open(orphan, "w") as f:
+            f.write('{"truncated": ')
+        assert t.to_df().count() == 10
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 20
+        assert len(t.metadata.snapshots) == v + 1
+
+
 class TestMergeOnReadDeletes:
     """Position-delete files (Iceberg v2 merge-on-read; reference
     snapshot.rs:28-29 'delete files were added to delete rows')."""
