@@ -77,6 +77,11 @@ PRIORITY: list[str] = [
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
     "sim_silhouette_by_label",
+    "table_branch_diff_audit",
+    "table_incremental_scan_compacted",
+    "table_partition_evolution_reads",
+    "table_snapshot_ancestry",
+    "table_vacuum_lifecycle_audit",
     "sim_topk_bruteforce",
     "stream_dedup_event_ids",
     "stream_session_windows",
@@ -84,6 +89,14 @@ PRIORITY: list[str] = [
     "stream_static_enrichment",
     "stream_stream_click_purchase",
     "stream_tumbling_window",
+    "table_add_files_name_mapping",
+    "table_branch_tag_reads",
+    "table_incremental_scan",
+    "table_operation_sequence",
+    "table_scan_pushdown",
+    "table_schema_evolution_scan",
+    "table_snapshots_metadata",
+    "table_time_travel",
     "sim_ann_agreement",
     "sim_ann_agreement_ivf",
     "sim_ann_agreement_pq",
@@ -162,22 +175,11 @@ PRIORITY: list[str] = [
     "multimodal_decode_features",
     "skew_salted_agg",
     "skew_salted_join",
-    "table_add_files_name_mapping",
-    "table_branch_tag_reads",
-    "table_incremental_scan",
-    "table_operation_sequence",
-    "table_scan_pushdown",
-    "table_schema_evolution_scan",
-    "table_snapshots_metadata",
-    "table_time_travel",
     "text_language_id",
     "text_stats_profile",
     "text_token_counts_by_lang",
     "udf_grouped_agg_median",
     "udf_grouped_map_zscore",
-    "table_vacuum_lifecycle_audit",
-    "table_snapshot_ancestry",
-    "table_partition_evolution_reads",
     "sub_in_exists_family",
     "sub_quantified_all_any",
     "dedup_lsh_quality_eval",
@@ -220,7 +222,6 @@ PRIORITY: list[str] = [
     "setop_except_distinct",
     "setop_intersect",
     "setop_intersect_all",
-    "table_incremental_scan_compacted",
     "text_vocab_growth_heaps",
     "fn_variant_semistructured",
     "fn_collation_ci_grouping",
@@ -267,7 +268,6 @@ PRIORITY: list[str] = [
     "join_dynamic_partition_pruning",
     "join_null_safe_keys",
     "join_interval_coalesce_union",
-    "table_branch_diff_audit",
     "udf_arrow_python_scalar",
     "agg_smoothed_rate_ranking",
     "events_funnel_daily",
