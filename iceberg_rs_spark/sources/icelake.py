@@ -2011,6 +2011,21 @@ class Table:
                 ):
                     continue
                 orphans.append(path)
+        # Commit-protocol litter: a writer killed between writing and
+        # CLAIMING a metadata version (no finally runs on kill -9)
+        # leaks a metadata/*.tmp.* file. Never referenced by anything
+        # — sweep it under the same in-flight age guard (a LIVE
+        # writer's tmp exists only for the instant before its link).
+        for name in os.listdir(_metadata_dir(self.location)):
+            if ".tmp." not in name:
+                continue
+            path = os.path.join(_metadata_dir(self.location), name)
+            if (
+                older_than_ms is not None
+                and os.path.getmtime(path) * 1000 >= older_than_ms
+            ):
+                continue
+            orphans.append(path)
         if not dry_run:
             for path in orphans:
                 os.remove(path)

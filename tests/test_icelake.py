@@ -1163,6 +1163,19 @@ class TestCommitCrashAtomicity:
         t.append(events_df.limit(20).subtract(events_df.limit(10)))
         assert t.to_df().count() == 20
         assert len(t.metadata.snapshots) == v + 1
+        # the orphan sweep clears the litter but never a version file
+        removed = t.remove_orphan_files()
+        assert removed == [orphan]
+        assert not os.path.exists(orphan)
+        assert t.to_df().count() == 20
+        # and the in-flight age guard protects a fresh tmp (a LIVE
+        # writer's claim-in-progress) just like a fresh data file
+        with open(orphan, "w") as f:
+            f.write("x")
+        from iceberg_rs_spark.sources.icelake import _now_ms
+
+        assert t.remove_orphan_files(older_than_ms=_now_ms() - 60_000) == []
+        assert os.path.exists(orphan)
 
 
 class TestMergeOnReadDeletes:
