@@ -292,7 +292,13 @@ class Catalog:
             properties=dict(properties or {}),
         )
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
-        _write_metadata_version(location, 1, md)
+        try:
+            _write_metadata_version(location, 1, md)
+        except FileExistsError:
+            # the table_exists check above is advisory; v1's exclusive
+            # create is the real arbiter — a racer losing here gets the
+            # same error the upfront check gives, not a raw OS error
+            raise ValueError(f"table already exists: {identifier}") from None
         return Table(self.spark, identifier, location)
 
     def load_table(self, identifier: str) -> "Table":

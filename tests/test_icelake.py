@@ -1145,6 +1145,19 @@ class TestCommitCrashAtomicity:
         t.append(events_df.limit(20).subtract(events_df.limit(10)))
         assert t.to_df().count() == 20
 
+    def test_create_table_race_loses_cleanly(
+        self, catalog, events_df, monkeypatch
+    ):
+        """Two creators racing the same identifier: the upfront
+        table_exists check is advisory (TOCTOU window); v1's exclusive
+        create is the arbiter, and the loser must get the same
+        'already exists' error as the upfront check — not a raw
+        FileExistsError."""
+        catalog.create_table("db.create_race", events_df.schema)
+        monkeypatch.setattr(catalog, "table_exists", lambda _i: False)
+        with pytest.raises(ValueError, match="already exists"):
+            catalog.create_table("db.create_race", events_df.schema)
+
     def test_stale_tmp_orphan_is_invisible(self, catalog, events_df):
         """A temp file a DEAD writer really did leak (kill -9 between
         write and claim — no finally runs) must be invisible to version
