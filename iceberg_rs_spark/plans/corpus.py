@@ -50,6 +50,14 @@ PRIORITY: list[str] = [
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
     # row first), then everything else.
+    "sim_embedding_high_pairs",
+    "sim_knn_classify",
+    "sim_pq_topk",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "stream_ingest_icelake",
+    "stream_stateful_user_sessions",
+    "stream_stream_abandoned_clicks",
     "table_mor_delete",
     "table_typed_columns_roundtrip",
     "table_zorder_rewrite",
@@ -100,14 +108,6 @@ PRIORITY: list[str] = [
     "sim_ann_agreement",
     "sim_ann_agreement_ivf",
     "sim_ann_agreement_pq",
-    "sim_embedding_high_pairs",
-    "sim_knn_classify",
-    "sim_pq_topk",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "stream_ingest_icelake",
-    "stream_stateful_user_sessions",
-    "stream_stream_abandoned_clicks",
     "udf_map_in_arrow_bytes",
     "udf_scalar_pandas_bucket",
     "udf_scalar_python_classify",
