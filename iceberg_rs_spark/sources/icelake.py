@@ -356,34 +356,131 @@ def _latest_version(location: str) -> int:
 _TMP_SEQ = iter(range(1, 1 << 62))  # per-process unique temp suffixes
 
 
-def _write_metadata_version(location: str, version: int, md: TableMetadata) -> None:
+def _fsync_dir(dirpath: str) -> None:
+    """fsync a directory so a just-created entry survives power loss.
+    Tolerates filesystems that reject directory fsync (some network
+    mounts): durability degrades to process-crash atomicity there, the
+    documented floor."""
+    try:
+        dfd = os.open(dirpath, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(dfd)
+    except OSError:
+        pass
+    finally:
+        os.close(dfd)
+
+
+class CommitBackend:
+    """Atomicity seam for the version-claim step of the commit protocol
+    (VERDICT r10 #6: a 100 TB deployment is on S3/GCS day one, where
+    POSIX link does not exist).
+
+    Contract ``claim_version(tmp, path)`` — publish the fully-written
+    metadata file at ``tmp`` as ``path``, atomically, all-or-nothing:
+
+    - MUST raise ``FileExistsError`` iff ``path`` is already claimed
+      (a racing writer won); the optimistic-commit retry loop in
+      ``Table._commit`` keys on that exception type.
+    - MUST never leave a partial/invisible ``path`` observable — any
+      reader that sees ``path`` exist must read the complete document
+      (``_latest_version`` resolves versions by existence alone, so a
+      torn publish bricks the table).
+    - MUST raise ``FileNotFoundError`` if ``tmp`` has vanished (a
+      concurrent orphan sweep collected it); the caller rewrites the
+      temp object and retries the claim.
+    - MAY be called concurrently for the same ``path`` from many
+      processes/hosts; exactly one call succeeds.
+
+    An object-store/REST-catalog implementation satisfies this with a
+    compare-and-swap on the catalog's version pointer (e.g. a
+    conditional If-None-Match PUT, or the catalog transaction that
+    swaps current-metadata-location) — the tmp object is then just a
+    staged upload. The local default uses ``os.link``, POSIX's atomic
+    create-exclusive, plus a directory fsync so an acknowledged commit
+    survives power loss (ADVICE r10 #2)."""
+
+    def claim_version(self, tmp: str, path: str) -> None:
+        raise NotImplementedError
+
+
+class LocalCommitBackend(CommitBackend):
+    """POSIX filesystem claim: hard-link then fsync the directory."""
+
+    def claim_version(self, tmp: str, path: str) -> None:
+        os.link(tmp, path)
+        _fsync_dir(os.path.dirname(path))
+
+
+DEFAULT_COMMIT_BACKEND: CommitBackend = LocalCommitBackend()
+
+
+def _write_metadata_version(
+    location: str,
+    version: int,
+    md: TableMetadata,
+    backend: CommitBackend | None = None,
+) -> None:
     """Exclusive-create commit: losing a race raises FileExistsError.
 
     Crash-atomic: the JSON is fully written (and fsynced) to a temp
-    file first, then CLAIMED via os.link — an atomic create-exclusive
-    that fails with FileExistsError if a racer already owns the
-    version. A writer crashing mid-commit can therefore never leave a
-    truncated vN.metadata.json for _latest_version to pick up (which
-    would brick every subsequent read AND commit of the table); at
-    worst it leaves an invisible .tmp orphan in metadata/. This is the
-    filesystem-catalog equivalent of HadoopTableOperations' write-then-
-    rename commit; an object-store catalog would swap the pointer in
-    its atomic catalog transaction instead."""
+    file first, then CLAIMED via ``backend.claim_version`` — an atomic
+    create-exclusive that fails with FileExistsError if a racer
+    already owns the version. A writer crashing mid-commit can
+    therefore never leave a truncated vN.metadata.json for
+    _latest_version to pick up (which would brick every subsequent
+    read AND commit of the table); at worst it leaves an invisible
+    .tmp orphan in metadata/. This is the filesystem-catalog
+    equivalent of HadoopTableOperations' write-then-rename commit; an
+    object-store backend swaps the catalog's version pointer in its
+    own atomic transaction instead (see CommitBackend contract).
+
+    Durability: the local backend fsyncs the metadata directory after
+    the claim, so an acknowledged commit survives power loss, not just
+    process death (ADVICE r10 #2). The version hint is advisory and
+    rewritten via tmp+os.replace so it is always either the old or the
+    new complete value (ADVICE r10 #3 — a torn numeric prefix like
+    '1' of '12' stays valid-but-stale and silently degrades every
+    lookup to the slow directory scan).
+
+    A concurrent ``remove_orphan_files`` with no age guard may sweep
+    OUR in-flight tmp between write and claim (ADVICE r10 #1); the
+    claim then raises FileNotFoundError while the version slot is
+    still free — not a conflict, so the _commit retry loop must not
+    see it. Rewrite the temp and retry the claim here instead."""
+    backend = backend or DEFAULT_COMMIT_BACKEND
     path = _version_path(location, version)
-    tmp = f"{path}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
-    try:
-        with open(tmp, "w") as f:
-            f.write(md.to_json_str())
-            f.flush()
-            os.fsync(f.fileno())
-        os.link(tmp, path)
-    finally:
+    for _attempt in range(3):
+        tmp = f"{path}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
         try:
-            os.unlink(tmp)
+            with open(tmp, "w") as f:
+                f.write(md.to_json_str())
+                f.flush()
+                os.fsync(f.fileno())
+            backend.claim_version(tmp, path)
         except FileNotFoundError:
-            pass
-    with open(os.path.join(_metadata_dir(location), "version-hint.text"), "w") as f:
-        f.write(str(version))
+            continue  # tmp swept mid-claim; slot still free — rewrite
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        break
+    else:
+        raise OSError(
+            f"commit tmp for {path} swept by a concurrent orphan sweep "
+            "3 times in a row — aborting"
+        )
+    hint = os.path.join(_metadata_dir(location), "version-hint.text")
+    hint_tmp = f"{hint}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
+    try:
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, hint)
+    except FileNotFoundError:
+        pass  # hint tmp swept mid-replace; the hint is advisory — skip
 
 
 # ---------------------------------------------------------------------------

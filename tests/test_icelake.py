@@ -1191,6 +1191,180 @@ class TestCommitCrashAtomicity:
         assert os.path.exists(orphan)
 
 
+class TestCommitBackendSeam:
+    """CommitBackend contract (VERDICT r10 #6): the version-claim step
+    is the ONLY atomicity primitive the commit protocol needs, so an
+    object-store catalog plugs in by satisfying claim_version's
+    contract — FileExistsError iff a racer owns the version, never a
+    torn publish, FileNotFoundError iff the staged tmp vanished. A
+    fake backend drives the retry loops through every contract arm."""
+
+    def test_file_exists_drives_the_optimistic_retry_loop(
+        self, catalog, events_df, monkeypatch
+    ):
+        """A backend FileExistsError means 'a racer won the version' —
+        _commit must re-read metadata and retry at the next version,
+        exactly as with the local backend."""
+        from iceberg_rs_spark.sources import icelake as lake
+
+        t = catalog.create_table("db.seam_conflict", events_df.schema)
+        t.append(events_df.limit(10))
+        calls = {"n": 0}
+        real = lake.LocalCommitBackend()
+
+        class OnceConflicting(lake.CommitBackend):
+            def claim_version(self, tmp, path):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise FileExistsError(path)
+                real.claim_version(tmp, path)
+
+        monkeypatch.setattr(lake, "DEFAULT_COMMIT_BACKEND", OnceConflicting())
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert calls["n"] == 2
+        assert t.to_df().count() == 20
+
+    def test_not_found_rewrites_tmp_without_burning_a_conflict_retry(
+        self, catalog, events_df, monkeypatch
+    ):
+        """FileNotFoundError means 'our staged tmp was swept' (ADVICE
+        r10 #1: a concurrent remove_orphan_files with no age guard) —
+        NOT a conflict. _write_metadata_version rewrites the tmp and
+        retries the claim internally, so a table with
+        commit.retry.num-retries=0 still commits."""
+        from iceberg_rs_spark.sources import icelake as lake
+
+        t = catalog.create_table("db.seam_swept", events_df.schema)
+        t.set_properties(**{"commit.retry.num-retries": "0"})
+        t.append(events_df.limit(10))
+        calls = {"n": 0}
+        real = lake.LocalCommitBackend()
+
+        class OnceSwept(lake.CommitBackend):
+            def claim_version(self, tmp, path):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    import os
+
+                    os.unlink(tmp)  # the sweep collects the staged tmp
+                    raise FileNotFoundError(tmp)
+                real.claim_version(tmp, path)
+
+        monkeypatch.setattr(lake, "DEFAULT_COMMIT_BACKEND", OnceSwept())
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert calls["n"] == 2
+        assert t.to_df().count() == 20
+
+    def test_persistent_sweeping_aborts_instead_of_spinning(
+        self, catalog, events_df, monkeypatch
+    ):
+        from iceberg_rs_spark.sources import icelake as lake
+
+        t = catalog.create_table("db.seam_spin", events_df.schema)
+        t.append(events_df.limit(10))
+
+        class AlwaysSwept(lake.CommitBackend):
+            def claim_version(self, tmp, path):
+                raise FileNotFoundError(tmp)
+
+        monkeypatch.setattr(lake, "DEFAULT_COMMIT_BACKEND", AlwaysSwept())
+        with pytest.raises(OSError, match="orphan sweep"):
+            t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.undo()
+        # the table is untouched and the next commit proceeds
+        assert t.to_df().count() == 10
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 20
+
+    def test_inflight_tmp_swept_at_the_link_itself(
+        self, catalog, events_df, monkeypatch
+    ):
+        """The real interleaving ADVICE r10 #1 described: the sweep
+        unlinks the tmp between the writer's fsync and its os.link, so
+        the LOCAL backend itself raises FileNotFoundError — the commit
+        must rewrite and succeed, not die spuriously."""
+        import os as osmod
+
+        t = catalog.create_table("db.seam_linkrace", events_df.schema)
+        t.append(events_df.limit(10))
+        real_link = osmod.link
+        fired = {"n": 0}
+
+        def sweeping_link(src, dst, **kw):
+            if fired["n"] == 0:
+                fired["n"] += 1
+                osmod.unlink(src)  # concurrent sweep collects the tmp
+            return real_link(src, dst, **kw)
+
+        monkeypatch.setattr(osmod, "link", sweeping_link)
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.undo()
+        assert fired["n"] == 1
+        assert t.to_df().count() == 20
+
+    def test_hint_is_old_or_new_never_torn(
+        self, catalog, events_df, monkeypatch
+    ):
+        """ADVICE r10 #3: the advisory version hint is published via
+        tmp+os.replace, so a crash mid-publish leaves the OLD complete
+        value — never a torn numeric prefix that would silently pin a
+        stale-but-valid hint."""
+        import os as osmod
+
+        from iceberg_rs_spark.sources.icelake import _latest_version
+
+        t = catalog.create_table("db.seam_hint", events_df.schema)
+        t.append(events_df.limit(10))
+        hint_path = osmod.path.join(t.location, "metadata", "version-hint.text")
+        old_hint = open(hint_path).read()
+        assert old_hint == str(_latest_version(t.location))
+        real_replace = osmod.replace
+
+        def dying_replace(src, dst):
+            if dst.endswith("version-hint.text"):
+                raise OSError("simulated crash at hint publish")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(osmod, "replace", dying_replace)
+        with pytest.raises(OSError, match="hint publish"):
+            t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.undo()
+        # hint holds the old COMPLETE value; the version itself was
+        # claimed before the hint failure, and the forward walk from
+        # the stale hint still resolves it
+        assert open(hint_path).read() == old_hint
+        assert int(old_hint) + 1 == _latest_version(t.location)
+        assert t.to_df().count() == 20
+        t.append(events_df.limit(30).subtract(events_df.limit(20)))
+        assert t.to_df().count() == 30
+
+    def test_local_claim_fsyncs_the_metadata_directory(
+        self, catalog, events_df, monkeypatch
+    ):
+        """ADVICE r10 #2: durability of an acknowledged commit under
+        power loss requires fsyncing the directory AFTER the link —
+        pin that the local backend does both fsyncs (tmp file + dir)."""
+        import os as osmod
+
+        t = catalog.create_table("db.seam_fsync", events_df.schema)
+        t.append(events_df.limit(10))
+        real_fsync = osmod.fsync
+        real_fstat = osmod.fstat
+        synced_dirs = []
+
+        def spying_fsync(fd):
+            import stat
+
+            if stat.S_ISDIR(real_fstat(fd).st_mode):
+                synced_dirs.append(fd)
+            return real_fsync(fd)
+
+        monkeypatch.setattr(osmod, "fsync", spying_fsync)
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.undo()
+        assert synced_dirs, "claim must fsync the metadata directory"
+
+
 class TestMergeOnReadDeletes:
     """Position-delete files (Iceberg v2 merge-on-read; reference
     snapshot.rs:28-29 'delete files were added to delete rows')."""
