@@ -165,6 +165,115 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _bucketed_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket_width: int | None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Candidate pairs from bucket co-membership, with the hot-bucket
+    guard (VERDICT r10 #5). ``keyed`` has one row per (doc, bucket).
+
+    Without a cap, a bucket of width w emits C(w,2) pairs — quadratic
+    in w. Organic corpora keep w small (that is the point of banding),
+    but boilerplate-heavy corpora produce one hot bucket holding a
+    constant FRACTION of the corpus (near-identical template variants
+    all collide), and C(0.2n, 2) is O(n²) pairs: the regime that kills
+    banded dedup at 100 TB no matter how the join is bucketed, because
+    the OUTPUT is quadratic.
+
+    With ``max_bucket_width`` set, buckets wider than the cap switch
+    from all-pairs to a CHAIN over the bucket's ids in sorted order
+    (w-1 pairs): connectivity-preserving, so downstream connected
+    components still merges the whole bucket into one cluster, while
+    the emitted-pair count becomes linear in w. This is a CAP WITH
+    EXPLICIT ACCOUNTING, not a silent drop: ``lsh_bucket_width_stats``
+    reports, per capped bucket, the exact pairs forgone — callers that
+    verify pairs individually (e.g. exact-Jaccard gates) must either
+    raise the cap or treat capped buckets as clusters, because a
+    chained pair may verify-fail where some skipped pair would have
+    passed."""
+    carry = carry_cols or []
+    if max_bucket_width is None:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for c in bucket_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
+    from pyspark.sql import Window
+
+    wide = keyed.withColumn(
+        "_bw", F.count("*").over(Window.partitionBy(*bucket_cols))
+    )
+    small = wide.where(F.col("_bw") <= max_bucket_width).drop("_bw")
+    exact = _bucketed_pairs(small, id_col, bucket_cols, None, carry)
+    order = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    big = wide.where(F.col("_bw") > max_bucket_width)
+    chain = (
+        big.select(
+            F.col(id_col),
+            *carry,
+            F.lag(id_col).over(order).alias("_prev"),
+            *[F.lag(c).over(order).alias(f"_prev_{c}") for c in carry],
+        )
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_prev_{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
+    )
+    return exact.unionByName(chain)
+
+
+def lsh_bucket_width_stats(
+    df: DataFrame,
+    max_bucket_width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The guard's explicit accounting (the 'no silent caps' rule):
+    one row per OVER-CAP band bucket — width, the C(w,2) pairs an
+    uncapped run would emit from it, the w-1 chain pairs the capped
+    run emits, and the difference forgone. Empty output means the cap
+    never fired and the capped run is pair-for-pair identical to the
+    uncapped one."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        F.posexplode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias(
+            "_band_idx", "_band_sig"
+        ),
+    )
+    w = F.col("width")
+    return (
+        banded.groupBy("_band_idx", "_band_sig")
+        .agg(F.count("*").alias("width"))
+        .where(w > max_bucket_width)
+        .select(
+            F.col("_band_idx").alias("band_idx"),
+            F.col("_band_sig").alias("band_sig"),
+            w.cast("long").alias("width"),
+            (w * (w - 1) / 2).cast("long").alias("exact_pairs"),
+            (w - 1).cast("long").alias("chain_pairs"),
+            (w * (w - 1) / 2 - (w - 1)).cast("long").alias("pairs_forgone"),
+        )
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,8 +282,18 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     shingle_rows_df: DataFrame | None = None,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
-    """(id_a < id_b) pairs sharing at least one LSH band bucket."""
+    """(id_a < id_b) pairs sharing at least one LSH band bucket.
+
+    ``max_bucket_width`` arms the hot-bucket guard: band buckets wider
+    than the cap emit a sorted id CHAIN (w-1 pairs, connectivity
+    preserved for clustering) instead of all C(w,2) pairs — the
+    boilerplate-corpus regime where one template's variants all
+    collide into a bucket holding a constant fraction of the corpus
+    and the all-pairs output is O(n²). Account for what the cap
+    forgoes with :func:`lsh_bucket_width_stats` (see
+    :func:`_bucketed_pairs` for the exact semantics)."""
     if num_hashes % bands:
         # Silent truncation would quietly change the s-curve the caller
         # tuned (bands x rows sets the similarity threshold); make the
@@ -197,17 +316,9 @@ def minhash_candidate_pairs(
             "_band_idx", "_band_sig"
         ),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._band_idx") == F.col("b._band_idx"))
-            & (F.col("a._band_sig") == F.col("b._band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucketed_pairs(
+        banded, id_col, ["_band_idx", "_band_sig"], max_bucket_width
+    ).distinct()
 
 
 def jaccard_pairs(
@@ -467,6 +578,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 15,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
     (pigeonhole: distance ≤3 ⇒ at least one identical chunk), bucket-join
@@ -475,7 +587,15 @@ def simhash_near_dup_pairs(
     Fingerprints are materialized before the bucket self-join (one long
     per doc): the two join sides otherwise each re-run the full
     tokenize→hash→60-sum aggregation — Catalyst plans no ReusedExchange
-    across the alias pair."""
+    across the alias pair.
+
+    ``max_bucket_width`` arms the hot-bucket guard (see
+    :func:`_bucketed_pairs`): over-cap chunk buckets emit a sorted id
+    chain instead of all pairs. The Hamming verify still applies to
+    chain pairs, so in a capped bucket whose members sit up to
+    2*max_hamming apart, a chain link may verify-fail where a skipped
+    pair would have passed — capped buckets are cluster candidates,
+    not an exhaustive pair list."""
     fp = barrier(simhash_fingerprints(df, id_col, text_col))
     chunks = fp.select(
         id_col,
@@ -491,22 +611,15 @@ def simhash_near_dup_pairs(
             )
         ).alias("_chunk_idx", "_chunk"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a._chunk_idx") == F.col("b._chunk_idx"))
-            & (F.col("a._chunk") == F.col("b._chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._fp").alias("_fpa"),
-            F.col("b._fp").alias("_fpb"),
-        )
-        .distinct()
-    )
+    cands = _bucketed_pairs(
+        chunks,
+        id_col,
+        ["_chunk_idx", "_chunk"],
+        max_bucket_width,
+        carry_cols=["_fp"],
+    ).select(
+        "id_a", "id_b", F.col("_fp_a").alias("_fpa"), F.col("_fp_b").alias("_fpb")
+    ).distinct()
     return cands.where(hamming64(F.col("_fpa"), F.col("_fpb")) <= max_hamming).select(
         "id_a", "id_b", hamming64(F.col("_fpa"), F.col("_fpb")).alias("hamming")
     )

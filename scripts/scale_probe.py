@@ -125,6 +125,130 @@ def build_scaled(replicas: int = REPLICAS, dst: Path = DST) -> None:
     marker.write_text(src_tag)
 
 
+#: Adversarial-duplication regime (VERDICT r10 #5): the fraction of
+#: docs replaced by single-token variants of ONE template. Organic
+#: replicas keep band buckets narrow; this regime collides a constant
+#: fraction of the corpus into one hot bucket per band, where the
+#: all-pairs output is O(n²) regardless of join strategy.
+ADV_HOT_MOD = 5  # doc_id % 5 == 0 -> ~20% of the corpus
+ADV_TEMPLATE = (
+    "standard quarterly compliance boilerplate disclaimer the contents "
+    "of this document are provided for informational purposes only and "
+    "do not constitute legal financial or investment advice recipients "
+    "should consult their own advisors before acting on any statement"
+)
+ADV_DST = {1: Path("/tmp/scale_probe/adv_1x"), 10: Path("/tmp/scale_probe/adv_10x")}
+
+
+def build_adversarial(replicas: int, dst: Path) -> None:
+    """documents.parquet where ~20% of rows are SINGLE-TOKEN variants
+    of one template (suffix token ' v<doc_id>') and the rest keep
+    organic text (re-keyed + perturbed per replica, same scheme as
+    build_scaled). Idempotent per SRC."""
+    import duckdb
+
+    marker = dst / "_READY"
+    src_tag = f"{SRC.resolve()}|{replicas}|{ADV_HOT_MOD}"
+    if marker.exists() and marker.read_text() == src_tag:
+        return
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    n_doc = con.sql(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+            SELECT d.doc_id + r.r * {n_doc} AS doc_id,
+                   CASE WHEN d.doc_id % {ADV_HOT_MOD} = 0
+                        THEN '{ADV_TEMPLATE}' || ' v'
+                             || CAST(d.doc_id + r.r * {n_doc} AS VARCHAR)
+                        WHEN r.r = 0 THEN d.text
+                        ELSE d.text || ' #v' || CAST(r.r AS VARCHAR)
+                   END AS text,
+                   d.lang, d.source, d.n_chars
+            FROM read_parquet('{SRC}/documents.parquet') d
+            CROSS JOIN (SELECT unnest(range({replicas})) AS r) r
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+    """)
+    marker.write_text(src_tag)
+
+
+def run_adversarial(runs: int, cap: int) -> None:
+    """Pair counts + wall time for the banded dedup candidate
+    generators on the adversarial fixture at 1x and 10x, uncapped vs
+    max_bucket_width=cap. The uncapped pair count scales ~quadratically
+    (the regime's signature); the capped run must stay ~linear with
+    the forgone pairs explicitly accounted."""
+    from pyspark.sql import functions as PF
+
+    from iceberg_rs_spark.operators import dedup as D
+    from iceberg_rs_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs(dst: Path):
+        return spark.read.parquet(str(dst / "documents.parquet")).select(
+            "doc_id", "text"
+        )
+
+    def timed_count(build_df) -> "tuple[float, int]":
+        best, n = math.inf, -1
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = build_df().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), n
+
+    out: dict = {"probe": "adversarial-duplication", "hot_frac": 1 / ADV_HOT_MOD,
+                 "cap": cap, "points": {}}
+    for mult, dst in ADV_DST.items():
+        d = docs(dst)
+        pt: dict = {}
+        mh_t, mh_n = timed_count(lambda: D.minhash_candidate_pairs(d))
+        pt["minhash_uncapped"] = {"sec": mh_t, "pairs": mh_n}
+        mhc_t, mhc_n = timed_count(
+            lambda: D.minhash_candidate_pairs(d, max_bucket_width=cap)
+        )
+        pt["minhash_capped"] = {"sec": mhc_t, "pairs": mhc_n}
+        sh_t, sh_n = timed_count(lambda: D.simhash_near_dup_pairs(d))
+        pt["simhash_uncapped"] = {"sec": sh_t, "pairs": sh_n}
+        shc_t, shc_n = timed_count(
+            lambda: D.simhash_near_dup_pairs(d, max_bucket_width=cap)
+        )
+        pt["simhash_capped"] = {"sec": shc_t, "pairs": shc_n}
+        acct = (
+            D.lsh_bucket_width_stats(d, max_bucket_width=cap)
+            .agg(
+                PF.sum("width").alias("docs_in_hot_buckets"),
+                PF.sum("pairs_forgone").alias("pairs_forgone"),
+                PF.count(PF.lit(1)).alias("hot_buckets"),
+                PF.max("width").alias("max_width"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        pt["cap_accounting"] = {k: (int(v) if v is not None else 0) for k, v in acct.items()}
+        out["points"][f"{mult}x"] = pt
+        print(f"-- {mult}x --")
+        for k, v in pt.items():
+            print(f"  {k}: {v}")
+
+    def alpha(metric: str, field: str) -> float:
+        lo = max(out["points"]["1x"][metric][field], MIN_ALPHA_T)
+        hi = max(out["points"]["10x"][metric][field], MIN_ALPHA_T)
+        return round(math.log(hi / lo) / math.log(10), 2)
+
+    out["alpha"] = {
+        m: {"time": alpha(m, "sec"), "pairs": alpha(m, "pairs")}
+        for m in ("minhash_uncapped", "minhash_capped",
+                  "simhash_uncapped", "simhash_capped")
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=1, help="best-of-N per point")
@@ -136,7 +260,23 @@ def main() -> None:
         "alphas separate fixed-cost amortization (rising) from a "
         "genuinely linear stage (flat ~1)",
     )
+    ap.add_argument(
+        "--adversarial",
+        action="store_true",
+        help="adversarial-duplication probe (VERDICT r10 #5): ~20%% of "
+        "docs are single-token variants of one template; measures the "
+        "banded candidate generators' pair counts and wall time at 1x "
+        "and 10x, uncapped vs --cap, with forgone-pair accounting",
+    )
+    ap.add_argument("--cap", type=int, default=64,
+                    help="max_bucket_width for the capped arm")
     args = ap.parse_args()
+
+    if args.adversarial:
+        for mult, dst in ADV_DST.items():
+            build_adversarial(mult, dst)
+        run_adversarial(args.runs, args.cap)
+        return
 
     build_scaled(REPLICAS, DST)
     if args.midpoint:

@@ -148,6 +148,112 @@ class TestMinHashLSH:
         assert ids == {2}
 
 
+class TestHotBucketGuard:
+    """max_bucket_width (VERDICT r10 #5): the adversarial-duplication
+    regime — one template's near-identical variants all collide into a
+    hot band bucket holding a constant fraction of the corpus, making
+    the all-pairs output O(n²) no matter how the join is bucketed. The
+    guard switches over-cap buckets to a sorted-id chain: linear
+    output, connectivity preserved, forgone pairs explicitly accounted."""
+
+    HOT, COLD = 20, 30
+
+    def _hot_corpus(self, spark):
+        rows = [
+            (i, "identical boilerplate template body with many shared tokens here")
+            for i in range(self.HOT)
+        ]
+        rows += [
+            (100 + i, f"distinct document number {i} concerning topic {i * 7} and unrelated subject {i * 13}")
+            for i in range(self.COLD)
+        ]
+        return _docs(spark, rows)
+
+    def _components(self, pair_rows):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pair_rows:
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_cap_bounds_pairs_and_preserves_connectivity(self, spark):
+        both = self._hot_corpus(spark)
+        n_uncapped = D.minhash_candidate_pairs(both).count()
+        capped = D.minhash_candidate_pairs(both, max_bucket_width=5).collect()
+        # quadratic without the guard (the 20-doc cluster alone is 190
+        # pairs), linear with it (19 chain links however many bands the
+        # cluster collides in — the chain is the same sorted-id walk)
+        assert n_uncapped >= 190
+        assert len(capped) < 60
+        # connectivity: every hot doc still lands in ONE component
+        roots = self._components(capped)
+        hot_roots = {roots[i] for i in range(self.HOT)}
+        assert hot_roots == {0}
+        # and the distributed clustering agrees
+        cc = D.connected_components(
+            spark.createDataFrame(capped, "id_a long, id_b long")
+        )
+        hot_comp = {
+            r.component for r in cc.collect() if r.node < self.HOT
+        }
+        assert hot_comp == {0}
+
+    def test_cap_that_never_fires_is_pair_identical(self, spark, sf_dir):
+        from iceberg_rs_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_candidate_pairs(docs).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_candidate_pairs(docs, max_bucket_width=1000).collect()
+        }
+        assert capped == uncapped
+        assert D.lsh_bucket_width_stats(docs, max_bucket_width=1000).count() == 0
+
+    def test_accounting_reconciles_forgone_pairs(self, spark):
+        both = self._hot_corpus(spark)
+        stats = D.lsh_bucket_width_stats(both, max_bucket_width=5).collect()
+        assert stats, "the hot bucket must be reported"
+        for r in stats:
+            assert r.width > 5
+            assert r.exact_pairs == r.width * (r.width - 1) // 2
+            assert r.chain_pairs == r.width - 1
+            assert r.pairs_forgone == r.exact_pairs - r.chain_pairs
+        # identical docs have identical signatures: all 4 bands hold
+        # the full 20-doc hot bucket
+        assert sorted(r.width for r in stats if r.width == self.HOT) == [self.HOT] * 4
+
+    def test_simhash_guard_chain_passes_verify_and_connects(self, spark):
+        both = self._hot_corpus(spark)
+        capped = D.simhash_near_dup_pairs(
+            both, max_hamming=3, max_bucket_width=5
+        ).collect()
+        # identical docs: fingerprints equal, so every chain link has
+        # hamming 0 and survives the verify
+        hot_pairs = [r for r in capped if r.id_a < self.HOT and r.id_b < self.HOT]
+        assert all(r.hamming == 0 for r in hot_pairs)
+        roots = self._components(hot_pairs)
+        assert {roots[i] for i in range(self.HOT)} == {0}
+        # linear, not quadratic, over the hot cluster
+        assert len(hot_pairs) == self.HOT - 1
+        n_uncapped = D.simhash_near_dup_pairs(both, max_hamming=3).where(
+            (F.col("id_a") < self.HOT) & (F.col("id_b") < self.HOT)
+        ).count()
+        assert n_uncapped == self.HOT * (self.HOT - 1) // 2
+
+
 class TestSimHash:
     def test_identical_docs_have_equal_fingerprints(self, spark):
         df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")])
