@@ -58,6 +58,103 @@ PREV_RATIO_LIMIT = 1.5
 #: reject the fast-but-genuine retries the pass exists to accept.
 RETIME_WARM_FRACTION = 0.25
 
+#: Ambient-load sentinel (VERDICT r10 #2): the r10 driver recording was
+#: a +27% uniformly-hot run (ambient VM throttling) that nominally
+#: breached the 2x hard gate on two queries — a false signal the
+#: harness must refuse to record as gate flags. A fixed single-threaded
+#: CPU loop is timed at sweep start AND end and compared to the pinned
+#: idle-box reference (``calibration_sec`` in BENCH_BASELINE.json);
+#: past this ratio the whole recording is marked ``ambient_degraded``
+#: and gate flags are suppressed (kept under ``suppressed_*`` for
+#: audit), new-pin appends are skipped, and the last CLEAN queries map
+#: is carried forward as the next run's ``prev`` reference.
+#:
+#: Threshold rationale: the calibration loop (sha256 over a 64 KiB
+#: L2-resident buffer, min-of-5 rounds) shows up to ~13% idle-box
+#: wander across sessions on this VM (measured r11: 0.157-0.189 s vs
+#: the 0.167 s median reference), while the failure mode being
+#: detected is >=25% uniform inflation — 1.20 sits between with margin
+#: on both sides. The total-wall-clock +-3.5% band is too tight for a
+#: sub-second loop.
+AMBIENT_DEGRADED_RATIO = 1.20
+CALIBRATION_ITERS = 4000
+CALIBRATION_ROUNDS = 5
+
+
+def cpu_calibration(
+    iters: int = CALIBRATION_ITERS, rounds: int = CALIBRATION_ROUNDS
+) -> float:
+    """Best-of-``rounds`` wall time of a fixed single-threaded CPU loop
+    (sha256 over a 64 KiB buffer — L2-resident so memory pressure from
+    a co-tenant adds noise rather than dominating; hardware-SHA bound
+    so host CPU steal / frequency throttling inflates it in proportion).
+    Min across rounds rejects one-off scheduler excursions; persistent
+    throttling slows every round, so the min still reflects it."""
+    import hashlib
+
+    buf = b"\xa5" * (64 << 10)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            hashlib.sha256(buf).digest()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+#: Second sentinel channel: fsync-cycle latency. The r11 second sweep
+#: showed why CPU alone is not enough — host-level contention inflated
+#: the I/O-heavy table family ~2x while the CPU loop read only 1.17x
+#: (under the 1.20 gate). The fsync probe is inherently noisier
+#: (measured idle spread ~1.4x even at min-of-4), so its gate is a
+#: generous 2.5x: it exists to catch gross disk contention, not drift.
+AMBIENT_IO_DEGRADED_RATIO = 2.5
+IO_CALIBRATION_CYCLES = 200
+IO_CALIBRATION_ROUNDS = 4
+
+
+def io_calibration(
+    cycles: int = IO_CALIBRATION_CYCLES, rounds: int = IO_CALIBRATION_ROUNDS
+) -> float:
+    """Best-of-``rounds`` wall time of ``cycles`` create+write(4K)+
+    fsync+unlink cycles in a private temp dir — the small-metadata-file
+    commit pattern the table family lives on, so ambient journal/disk
+    contention shows up here even when the CPU loop stays clean."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bench_iocal_")
+    best = float("inf")
+    try:
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            for i in range(cycles):
+                p = os.path.join(d, f"f{r}_{i}")
+                fd = os.open(p, os.O_CREAT | os.O_WRONLY, 0o644)
+                os.write(fd, b"x" * 4096)
+                os.fsync(fd)
+                os.close(fd)
+                os.unlink(p)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return best
+
+
+def ambient_verdict(
+    calib_sec: float,
+    reference_sec: "float | None",
+    limit: float = AMBIENT_DEGRADED_RATIO,
+) -> "tuple[bool, float | None]":
+    """(degraded, ratio) for one calibration sample vs the pinned
+    idle-box reference. No reference (first recording / hand-edited
+    pin file) -> never degraded: the sentinel fails open so a missing
+    pin can't block the driver's recording — it self-pins instead."""
+    if not reference_sec or reference_sec <= 0:
+        return False, None
+    ratio = round(calib_sec / reference_sec, 3)
+    return ratio > limit, ratio
+
 
 def breaches_pin(t: float, pin: float) -> bool:
     """Does a timing breach the hard per-query contract vs its pin?
@@ -229,11 +326,26 @@ def warmup(spark, sf_dir: str) -> None:
     # same treatment: compile the exact plan on the tiny fixture first.
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
+        # The r10 watch-list (VERDICT r10 #4) profiled as first-execution
+        # codegen, not steady-state cost: each ran 1.3-3.3x its pin on
+        # first execution and at/near pin on the second (r11 profile:
+        # ts_seasonal_naive_backtest 1.53s -> 0.59s, win_gaps_islands
+        # 0.91 -> 0.56, events_session_depth_curve 1.22 -> 0.68,
+        # multimodal_audio_features 0.82 -> 0.59). Same treatment as
+        # events_rfm_segments: compile the exact plan on the tiny
+        # fixture so the sweep measures execution, not JIT — at cluster
+        # scale one-time codegen is irrelevant.
         for warm_q in (
             "stream_session_windows",
             "stream_stateful_user_sessions",
             "events_rfm_segments",
             "udf_arrow_python_scalar",
+            "multimodal_audio_features",
+            "events_session_depth_curve",
+            "ts_seasonal_naive_backtest",
+            "win_gaps_islands_streaks",
+            "pipeline_lsh_scurve_planner",
+            "sim_rank_correlation_kendall",
         ):
             try:
                 CORPUS[warm_q].builder(spark, warm_sf).collect()
@@ -244,6 +356,39 @@ def warmup(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # The calibration reference is needed up front for the start probe's
+    # settle-retry; queries are re-read further down with the rest of
+    # the pin file.
+    _calib_ref = _io_ref = None
+    try:
+        with open(os.path.join(REPO, "BENCH_BASELINE.json")) as f:
+            _pins_peek = json.load(f)
+        _calib_ref = _pins_peek.get("calibration_sec")
+        _io_ref = _pins_peek.get("io_calibration_sec")
+    except (OSError, json.JSONDecodeError):
+        pass
+    # Ambient-load sentinel, sample 1: before Spark starts, so the
+    # calibration loop has the box to itself the way the idle-box
+    # reference did. A breaching start sample gets up to two
+    # settle-and-resample retries (10 s apart): the maiden r11 run
+    # showed the probe catching the JUST-EXITED prior job's residual
+    # heat (start 1.31x, end 0.94x, sweep itself clean) — the driver
+    # runs the correctness drive and bench back-to-back, so without the
+    # settle every driver recording would start degraded and gate flags
+    # would never be recorded. A genuinely hot box stays hot through
+    # 20 s and still trips.
+    calib_start = cpu_calibration()
+    io_start = io_calibration()
+    for _ in range(2):
+        if not (
+            ambient_verdict(calib_start, _calib_ref)[0]
+            or ambient_verdict(io_start, _io_ref, AMBIENT_IO_DEGRADED_RATIO)[0]
+        ):
+            break
+        time.sleep(10)
+        calib_start = min(calib_start, cpu_calibration())
+        io_start = min(io_start, io_calibration())
+    load_start = os.getloadavg()
     spark = get_spark(app_name="iceberg_rs_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, sf_dir)
@@ -251,13 +396,20 @@ def main() -> None:
     # Reference timings from the last recorded full run (committed
     # BENCH_FULL.json): used to flag per-query regressions BEFORE the
     # driver's 2× gate trips. Loaded before this run overwrites it.
+    # A degraded prior recording carries the last CLEAN queries map
+    # under ``clean_ref_queries`` — prefer it, so one hot run can't
+    # poison the drift baseline for every run after it.
     ref: dict[str, float] = {}
     ref_path = os.path.join(REPO, "BENCH_FULL.json")
     try:
         with open(ref_path) as f:
-            ref = {
-                k: v for k, v in json.load(f).get("queries", {}).items() if v > 0
-            }
+            ref_doc = json.load(f)
+        ref_src = (
+            ref_doc.get("clean_ref_queries")
+            if ref_doc.get("ambient_degraded") and ref_doc.get("clean_ref_queries")
+            else ref_doc.get("queries", {})
+        )
+        ref = {k: v for k, v in ref_src.items() if v > 0}
     except (OSError, json.JSONDecodeError):
         pass
 
@@ -269,11 +421,12 @@ def main() -> None:
     # the round-2 pin itself).
     pin_path = os.path.join(REPO, "BENCH_BASELINE.json")
     pinned: dict[str, float] = {}
+    calib_ref: "float | None" = None
     try:
         with open(pin_path) as f:
-            pinned = {
-                k: v for k, v in json.load(f)["queries"].items() if v > 0
-            }
+            pin_doc_in = json.load(f)
+        pinned = {k: v for k, v in pin_doc_in["queries"].items() if v > 0}
+        calib_ref = pin_doc_in.get("calibration_sec")
     except (OSError, json.JSONDecodeError, KeyError):
         pass
 
@@ -393,6 +546,54 @@ def main() -> None:
             )
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+
+    # Ambient-load sentinel, sample 2: degradation that began mid-sweep
+    # (the r10 shape — the driver run went hot partway through the box's
+    # day) is invisible to a start-only probe. Degraded if EITHER
+    # sample breaches; both are recorded.
+    calib_end = cpu_calibration()
+    io_end = io_calibration()
+    load_end = os.getloadavg()
+    deg_start, ratio_start = ambient_verdict(calib_start, calib_ref)
+    deg_end, ratio_end = ambient_verdict(calib_end, calib_ref)
+    io_ref = _io_ref
+    io_deg_start, io_ratio_start = ambient_verdict(
+        io_start, io_ref, AMBIENT_IO_DEGRADED_RATIO
+    )
+    io_deg_end, io_ratio_end = ambient_verdict(
+        io_end, io_ref, AMBIENT_IO_DEGRADED_RATIO
+    )
+    ambient_degraded = deg_start or deg_end or io_deg_start or io_deg_end
+    ambient = {
+        "calibration_start_sec": round(calib_start, 4),
+        "calibration_end_sec": round(calib_end, 4),
+        "reference_sec": calib_ref,
+        "ratio_start": ratio_start,
+        "ratio_end": ratio_end,
+        "threshold": AMBIENT_DEGRADED_RATIO,
+        "io_start_sec": round(io_start, 4),
+        "io_end_sec": round(io_end, 4),
+        "io_reference_sec": io_ref,
+        "io_ratio_start": io_ratio_start,
+        "io_ratio_end": io_ratio_end,
+        "io_threshold": AMBIENT_IO_DEGRADED_RATIO,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "degraded": ambient_degraded,
+    }
+    if ambient_degraded:
+        print(
+            f"BENCH AMBIENT-DEGRADED: cpu {ambient['calibration_start_sec']}s/"
+            f"{ambient['calibration_end_sec']}s (ratios {ratio_start}/"
+            f"{ratio_end}, gate {AMBIENT_DEGRADED_RATIO}) io "
+            f"{ambient['io_start_sec']}s/{ambient['io_end_sec']}s (ratios "
+            f"{io_ratio_start}/{io_ratio_end}, gate "
+            f"{AMBIENT_IO_DEGRADED_RATIO}) vs idle references "
+            f"{calib_ref}s/{io_ref}s — gate flags suppressed, "
+            "pins frozen; re-run on an idle box",
+            file=sys.stderr,
+        )
+
     # Regression early-warning: any query >1.5× its last recorded time
     # (absolute slack of 0.3s filters sub-second jitter). Computed from
     # post-retime timings, so every surviving flag was slow on BOTH
@@ -428,38 +629,56 @@ def main() -> None:
             f"{info['now']}s ({info['ratio']}x)",
             file=sys.stderr,
         )
-    # First-recording semantics for queries newer than the pin.
+    # First-recording semantics for queries newer than the pin — and
+    # for the calibration reference itself. A degraded run must not
+    # self-pin: its first recordings would bake ambient inflation into
+    # the hard gate's denominators forever.
     new_pins = {
         name: t for name, t in timings.items() if name not in pinned and t > 0
     }
-    if new_pins and pinned:
+    pin_calib = calib_ref is None and pinned
+    pin_io = io_ref is None and pinned
+    if (new_pins or pin_calib or pin_io) and pinned and not ambient_degraded:
         pinned.update(new_pins)
         with open(pin_path) as f:
             pin_doc = json.load(f)
         pin_doc["queries"] = dict(sorted(pinned.items()))
+        if pin_calib:
+            pin_doc["calibration_sec"] = round(min(calib_start, calib_end), 4)
+        if pin_io:
+            pin_doc["io_calibration_sec"] = round(min(io_start, io_end), 4)
         with open(pin_path, "w") as f:
             json.dump(pin_doc, f, indent=1)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full_doc = {
+        "metric": "corpus_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "flagged_vs_previous": flagged,
+        "flagged_vs_pinned": flagged_pinned,
+        "retimed": retimed,
+        "ratios_vs_pinned": ratios_vs_pinned,
+        "plan_audit": {
+            "cartesians": audit_cartesians,
+            "flagged": audit_flagged,
+        },
+        "ambient": ambient,
+        "ambient_degraded": ambient_degraded,
+        "sf": sf_val,
+    }
+    if ambient_degraded:
+        # Suppress the gate flags (they measure the box, not the code)
+        # but keep them under suppressed_* for audit, and carry the
+        # last clean queries map forward so the NEXT run's prev
+        # comparison skips this hot recording.
+        full_doc["suppressed_flagged_vs_previous"] = flagged
+        full_doc["suppressed_flagged_vs_pinned"] = flagged_pinned
+        full_doc["flagged_vs_previous"] = {}
+        full_doc["flagged_vs_pinned"] = {}
+        full_doc["clean_ref_queries"] = ref
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-        json.dump(
-            {
-                "metric": "corpus_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "flagged_vs_previous": flagged,
-                "flagged_vs_pinned": flagged_pinned,
-                "retimed": retimed,
-                "ratios_vs_pinned": ratios_vs_pinned,
-                "plan_audit": {
-                    "cartesians": audit_cartesians,
-                    "flagged": audit_flagged,
-                },
-                "sf": sf_val,
-            },
-            f,
-            indent=1,
-        )
+        json.dump(full_doc, f, indent=1)
     # Rotation-staleness early warning (the r5 miss class): if the
     # driver's 50-query window contains zero never-certified queries,
     # the next CORRECTNESS run certifies nothing new — remind the
@@ -484,19 +703,16 @@ def main() -> None:
         n: round(timings[n], 2) for n in HEADLINE if n in timings
     }
     # the one-line contract: compact, last on stdout, < 2000 chars
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_wall_clock",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": headline,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    stdout_doc = {
+        "metric": "corpus_wall_clock",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_val,
+    }
+    if ambient_degraded:
+        stdout_doc["ambient_degraded"] = True
+    print(json.dumps(stdout_doc, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

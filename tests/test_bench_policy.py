@@ -108,6 +108,68 @@ class TestRetimeDecision:
                 assert recorded >= min(first, pin)
 
 
+class TestAmbientSentinel:
+    """VERDICT r10 #2: the r10 driver recording was a +27% uniformly-hot
+    run whose two nominal 2x-gate breaches measured the box, not the
+    code. The sentinel times a fixed CPU loop at sweep start/end against
+    the pinned idle reference and suppresses gate flags when degraded."""
+
+    def test_degraded_past_threshold(self):
+        # the r10 shape: ~26% uniform inflation on a 0.167s reference
+        degraded, ratio = bench.ambient_verdict(0.211, 0.167)
+        assert degraded and ratio == 1.263
+
+    def test_idle_wander_not_degraded(self):
+        # measured idle cross-session wander tops out ~1.13x — must not
+        # false-positive (0.189s was the worst idle sample observed)
+        degraded, ratio = bench.ambient_verdict(0.189, 0.167)
+        assert not degraded and ratio == 1.132
+
+    def test_boundary_is_exclusive(self):
+        at = round(bench.AMBIENT_DEGRADED_RATIO * 0.167, 4)
+        degraded, _ = bench.ambient_verdict(at, 0.167)
+        assert not degraded
+
+    def test_fails_open_without_reference(self):
+        """No pinned reference (first recording / hand-edited pin file)
+        -> never degraded: the sentinel must not block the driver's
+        recording; the run self-pins instead."""
+        for ref in (None, 0, -1.0):
+            degraded, ratio = bench.ambient_verdict(5.0, ref)
+            assert not degraded and ratio is None
+
+    def test_threshold_sits_between_idle_wander_and_failure_mode(self):
+        """The constant's contract: above the measured ~1.13x idle
+        wander (no false positives), below the 1.26x failure mode it
+        exists to catch (no false negatives on the r10 shape)."""
+        assert 1.13 < bench.AMBIENT_DEGRADED_RATIO < 1.26
+
+    def test_calibration_loop_runs_and_is_subsecond(self):
+        t = bench.cpu_calibration()
+        assert 0 < t < 1.0
+
+    def test_io_channel_gate_is_generous(self):
+        """The fsync probe's idle spread is ~1.4x (min-of-4), so its
+        gate must sit well above that while still catching gross disk
+        contention; the CPU gate stays the tight channel."""
+        assert bench.AMBIENT_IO_DEGRADED_RATIO >= 2.0
+        ref = 0.185
+        # idle-worst sample must not trip
+        deg, _ = bench.ambient_verdict(
+            0.26, ref, bench.AMBIENT_IO_DEGRADED_RATIO
+        )
+        assert not deg
+        # gross contention does
+        deg, ratio = bench.ambient_verdict(
+            0.60, ref, bench.AMBIENT_IO_DEGRADED_RATIO
+        )
+        assert deg and ratio == 3.243
+
+    def test_io_calibration_runs(self):
+        t = bench.io_calibration(cycles=20, rounds=2)
+        assert 0 < t < 5.0
+
+
 class TestWarmup:
     def test_warmup_runs_end_to_end(self, spark):
         """bench.warmup is the recording's single point of failure: an
