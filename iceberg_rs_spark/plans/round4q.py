@@ -231,17 +231,30 @@ def pipeline_lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     def intpow(col, n: int):
         return reduce(lambda a, _: a * col, range(n - 1), col)
 
-    arms = []
+    # One stage, not a 4-way union (r11 watch-list shave): explode the
+    # config list against the grid, then select each config's exact
+    # repeated-multiplication polynomial with a when-chain — the same
+    # IEEE-exact arithmetic, a quarter of the stages.
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rows_per_band"), F.lit(b).alias("bands")
+                )
+                for r, b in SCURVE_CONFIGS
+            ]
+        )
+    ).alias("cfg")
+    p_expr = None
     for r, b in SCURVE_CONFIGS:
         jr = intpow(F.col("j"), r)
         p = 1 - intpow(1 - jr, b)
-        arms.append(
-            grid.select(
-                F.lit(r).alias("rows_per_band"),
-                F.lit(b).alias("bands"),
-                "j",
-                rhalf(p, 6).alias("p_candidate"),
-            )
-        )
-    out = reduce(lambda a_, b_: a_.unionByName(b_), arms)
+        cond = (F.col("cfg.rows_per_band") == r) & (F.col("cfg.bands") == b)
+        p_expr = F.when(cond, p) if p_expr is None else p_expr.when(cond, p)
+    out = grid.select("j", cfg).select(
+        F.col("cfg.rows_per_band").alias("rows_per_band"),
+        F.col("cfg.bands").alias("bands"),
+        "j",
+        rhalf(p_expr, 6).alias("p_candidate"),
+    )
     return out.orderBy("rows_per_band", "bands", "j")

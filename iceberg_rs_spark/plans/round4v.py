@@ -101,26 +101,36 @@ def sim_rank_correlation_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot.alias("dot"),
         (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cos"),
     )
-    a = scored.select(
-        F.col("qid").alias("qa"),
-        F.col("vec_id").alias("ida"),
-        F.col("dot").alias("dota"),
-        F.col("cos").alias("cosa"),
+    # Pair counting stays inside one aggregation (r11 watch-list shave):
+    # collect each query's candidates once and count concordant /
+    # discordant pairs with array HOFs JVM-side — the former self-join
+    # recomputed the scored subplan (two scans of embeddings) and
+    # shuffled 55k pair rows to compare ~11k candidate pairs per query.
+    # sort_array on (vec_id, dot, cos) structs fixes the i<j pair set to
+    # exactly the oracle's a.vec_id < b.vec_id (vec_id leads the struct
+    # and is unique per qid); the comparisons are integer-exact on
+    # identically-computed doubles either way.
+    arr = F.sort_array(F.collect_list(F.struct("vec_id", "dot", "cos")))
+    pair_count = (
+        "aggregate(transform(arr, (x, i) -> "
+        "size(filter(slice(arr, i + 2, size(arr) - i - 1), "
+        "y -> (x.cos - y.cos) * (x.dot - y.dot) {op} 0))), "
+        "0L, (acc, c) -> acc + bigint(c))"
     )
-    b = scored.select(
-        F.col("qid").alias("qb"),
-        F.col("vec_id").alias("idb"),
-        F.col("dot").alias("dotb"),
-        F.col("cos").alias("cosb"),
-    )
-    sign = (F.col("cosa") - F.col("cosb")) * (F.col("dota") - F.col("dotb"))
     agg = (
-        a.join(b, (F.col("qa") == F.col("qb")) & (F.col("ida") < F.col("idb")))
-        .groupBy(F.col("qa").alias("qid"))
-        .agg(
-            F.count(F.when(sign > 0, 1)).cast("long").alias("concordant"),
-            F.count(F.when(sign < 0, 1)).cast("long").alias("discordant"),
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        scored.groupBy("qid")
+        .agg(arr.alias("arr"))
+        .select(
+            "qid",
+            F.expr(pair_count.format(op=">")).alias("concordant"),
+            F.expr(pair_count.format(op="<")).alias("discordant"),
+            (
+                F.size("arr").cast("long")
+                * (F.size("arr") - 1).cast("long")
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("n_pairs"),
         )
     )
     return agg.select(
