@@ -50,6 +50,18 @@ PRIORITY: list[str] = [
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
     # row first), then everything else.
+    "pipeline_lsh_scurve_planner",
+    "sim_rank_correlation_kendall",
+    "text_containment_pairs",
+    "dedup_component_size_profile",
+    "dedup_lsh_quality_eval",
+    "dedup_exact_content_hash",
+    "dedup_simhash_fingerprints",
+    "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_matrix",
+    "dedup_simhash_near_pairs",
+    "pipeline_training_data",
     "sim_embedding_high_pairs",
     "sim_knn_classify",
     "sim_pq_topk",
@@ -58,66 +70,62 @@ PRIORITY: list[str] = [
     "stream_ingest_icelake",
     "stream_stateful_user_sessions",
     "stream_stream_abandoned_clicks",
-    "table_mor_delete",
-    "table_typed_columns_roundtrip",
-    "table_zorder_rewrite",
-    "text_repetition_signals",
-    "ts_gapfill_interpolate",
     "pipeline_dedup_purge",
+    "sim_ann_agreement",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
     "sim_quantized_grouped_topk",
     "sim_quantized_topk",
-    "stream_trending_topk",
+    "sim_silhouette_by_label",
+    "sim_topk_bruteforce",
+    "stream_cdc_upsert_icelake",
+    "table_add_files_name_mapping",
+    "table_branch_diff_audit",
+    "table_branch_tag_reads",
     "table_changelog_scan",
+    "table_incremental_rollup_maintenance",
+    "table_incremental_scan",
+    "table_incremental_scan_compacted",
+    "table_merge_upsert_mor",
+    "table_mor_delete",
+    "table_operation_sequence",
     "table_partition_drop_metadata_only",
+    "table_partition_evolution_reads",
     "table_partitions_metadata",
     "table_rewrite_deletes",
     "table_rollback_restore",
+    "table_scan_pushdown",
+    "table_schema_evolution_scan",
+    "table_snapshot_ancestry",
+    "table_snapshots_metadata",
+    "table_time_travel",
+    "table_typed_columns_roundtrip",
+    "table_vacuum_lifecycle_audit",
     "table_wap_publish",
+    "table_zorder_rewrite",
+    "text_repetition_signals",
+    "ts_gapfill_interpolate",
+    "stream_trending_topk",
     "agg_weighted_percentiles",
     "events_concurrent_peak",
     "events_powerlaw_rank_fit",
     "events_revenue_pareto_deciles",
     "pipeline_curriculum_stages",
-    "stream_cdc_upsert_icelake",
     "stream_windowed_distinct_users",
-    "table_incremental_rollup_maintenance",
-    "table_merge_upsert_mor",
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
-    "sim_silhouette_by_label",
-    "table_branch_diff_audit",
-    "table_incremental_scan_compacted",
-    "table_partition_evolution_reads",
-    "table_snapshot_ancestry",
-    "table_vacuum_lifecycle_audit",
-    "sim_topk_bruteforce",
     "stream_dedup_event_ids",
     "stream_session_windows",
     "stream_sliding_window",
     "stream_static_enrichment",
     "stream_stream_click_purchase",
     "stream_tumbling_window",
-    "table_add_files_name_mapping",
-    "table_branch_tag_reads",
-    "table_incremental_scan",
-    "table_operation_sequence",
-    "table_scan_pushdown",
-    "table_schema_evolution_scan",
-    "table_snapshots_metadata",
-    "table_time_travel",
-    "sim_ann_agreement",
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
     "udf_map_in_arrow_bytes",
     "udf_scalar_pandas_bucket",
     "udf_scalar_python_classify",
     "udf_udtf_sequence",
     "agg_corr_covar",
     "agg_percentiles_regression",
-    "dedup_connected_components",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_matrix",
-    "dedup_simhash_near_pairs",
     "fn_array_hof_family",
     "fn_math_family",
     "fn_unpivot_melt",
@@ -127,7 +135,6 @@ PRIORITY: list[str] = [
     "multimodal_video_frame_sample",
     "pipeline_sequence_packing",
     "pipeline_train_test_split",
-    "pipeline_training_data",
     "prepare_training_corpus",
     "q10_returned_items",
     "q11_important_parts",
@@ -159,8 +166,6 @@ PRIORITY: list[str] = [
     "win_running_totals",
     "win_topk_per_group",
     "agg_dispersion_variants",
-    "dedup_exact_content_hash",
-    "dedup_simhash_fingerprints",
     "fn_array_family2",
     "fn_array_generators",
     "fn_conditional_null2",
@@ -182,8 +187,6 @@ PRIORITY: list[str] = [
     "udf_grouped_map_zscore",
     "sub_in_exists_family",
     "sub_quantified_all_any",
-    "dedup_lsh_quality_eval",
-    "dedup_component_size_profile",
     "ingest_orc_roundtrip",
     "ts_cross_correlation_leadlag",
     "agg_collect_sorted",
@@ -241,10 +244,8 @@ PRIORITY: list[str] = [
     "sim_mmr_rerank",
     "sim_ranking_metrics_ndcg",
     "sim_threshold_sweep",
-    "sim_rank_correlation_kendall",
     "sim_vector_stats_profile",
     "text_code_detection",
-    "text_containment_pairs",
     "text_rake_phrases",
     "text_js_divergence_lang",
     "text_term_burstiness",
@@ -255,7 +256,6 @@ PRIORITY: list[str] = [
     "pipeline_conversation_assembly",
     "pipeline_dataset_card_by_source",
     "pipeline_importance_resampling",
-    "pipeline_lsh_scurve_planner",
     "pipeline_padding_waste_report",
     "pipeline_doc_feature_vector",
     "pipeline_epoch_shuffle_batches",
