@@ -45,8 +45,6 @@ ADDED = 0.05  # the incremental delta: 5% of the base entry count
 def _build_table(spark, n: int, tag: str):
     """A table whose current snapshot holds n (+ n*ADDED) entries:
     S1 = append of n synthetic entries, S2 = append of n*ADDED more."""
-    import dataclasses
-
     from iceberg_rs_spark.sources.icelake import (
         MAIN_BRANCH,
         Catalog,
@@ -114,13 +112,10 @@ def _build_table(spark, n: int, tag: str):
         )
     )
     s2 = t.metadata.current_snapshot_id
-    assert dataclasses is not None
     return t, s1, s2, n, n_added
 
 
 def _probe(spark, n: int) -> dict:
-    from pyspark.sql import functions as F
-
     t, s1, s2, n_base, n_added = _build_table(spark, n, f"{n}")
     md = t.metadata
     snap2 = md.snapshot_by_id(s2)
@@ -170,7 +165,6 @@ def _probe(spark, n: int) -> dict:
     rec("expire_snapshots", time.perf_counter() - t0, total)
     assert len(removed) == 2, removed
     assert t.to_df().count() == 1
-    assert F is not None
     return out
 
 
