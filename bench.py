@@ -421,12 +421,15 @@ def main() -> None:
     # the round-2 pin itself).
     pin_path = os.path.join(REPO, "BENCH_BASELINE.json")
     pinned: dict[str, float] = {}
-    calib_ref: "float | None" = None
+    # single source of truth for the sentinel references: the peek at
+    # the top of main() — re-reading here could silently diverge from
+    # what the start probe's settle-retry used (e.g. a KeyError on
+    # 'queries' below must not also blank the end-of-sweep verdict).
+    calib_ref, io_ref = _calib_ref, _io_ref
     try:
         with open(pin_path) as f:
             pin_doc_in = json.load(f)
         pinned = {k: v for k, v in pin_doc_in["queries"].items() if v > 0}
-        calib_ref = pin_doc_in.get("calibration_sec")
     except (OSError, json.JSONDecodeError, KeyError):
         pass
 
@@ -556,7 +559,6 @@ def main() -> None:
     load_end = os.getloadavg()
     deg_start, ratio_start = ambient_verdict(calib_start, calib_ref)
     deg_end, ratio_end = ambient_verdict(calib_end, calib_ref)
-    io_ref = _io_ref
     io_deg_start, io_ratio_start = ambient_verdict(
         io_start, io_ref, AMBIENT_IO_DEGRADED_RATIO
     )
@@ -603,9 +605,13 @@ def main() -> None:
         for name, t in timings.items()
         if name in ref and breaches_prev(t, ref[name])
     }
+    # Degraded runs must not emit raw gate-breach lines either — a
+    # stderr consumer would treat box-noise flags as contract breaches,
+    # the exact false signal the sentinel exists to kill.
+    _sup = "-SUPPRESSED(ambient)" if ambient_degraded else ""
     for name, info in sorted(flagged.items(), key=lambda kv: -kv[1]["ratio"]):
         print(
-            f"BENCH SLOW {name}: {info['prev']}s -> {info['now']}s "
+            f"BENCH SLOW{_sup} {name}: {info['prev']}s -> {info['now']}s "
             f"({info['ratio']}x)",
             file=sys.stderr,
         )
@@ -625,7 +631,7 @@ def main() -> None:
     }
     for name, info in sorted(flagged_pinned.items(), key=lambda kv: -kv[1]["ratio"]):
         print(
-            f"BENCH OVER-2x-PINNED {name}: {info['pinned']}s -> "
+            f"BENCH OVER-2x-PINNED{_sup} {name}: {info['pinned']}s -> "
             f"{info['now']}s ({info['ratio']}x)",
             file=sys.stderr,
         )
@@ -676,7 +682,11 @@ def main() -> None:
         full_doc["suppressed_flagged_vs_pinned"] = flagged_pinned
         full_doc["flagged_vs_previous"] = {}
         full_doc["flagged_vs_pinned"] = {}
-        full_doc["clean_ref_queries"] = ref
+        if ref:
+            # An empty ref (first-ever recording) must NOT be written:
+            # the read side's falsy check would fall back to this hot
+            # run's own queries map and poison the drift baseline.
+            full_doc["clean_ref_queries"] = ref
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full_doc, f, indent=1)
     # Rotation-staleness early warning (the r5 miss class): if the

@@ -117,9 +117,13 @@ def sim_rank_correlation_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> (x.cos - y.cos) * (x.dot - y.dot) {op} 0))), "
         "0L, (acc, c) -> acc + bigint(c))"
     )
+    # A qid with a single candidate has no pairs: the oracle's inner
+    # self-join drops it, so the grouped rewrite must too (n_pairs=0
+    # would otherwise surface as an extra row with NULL tau).
     agg = (
         scored.groupBy("qid")
         .agg(arr.alias("arr"))
+        .where(F.size("arr") >= 2)
         .select(
             "qid",
             F.expr(pair_count.format(op=">")).alias("concordant"),

@@ -461,6 +461,11 @@ def _write_metadata_version(
                 os.fsync(f.fileno())
             backend.claim_version(tmp, path)
         except FileNotFoundError:
+            if not os.path.isdir(_metadata_dir(location)):
+                # The metadata directory itself is gone (the table was
+                # dropped under us) — not a sweep race; re-raise rather
+                # than misdiagnose below.
+                raise
             continue  # tmp swept mid-claim; slot still free — rewrite
         finally:
             try:
@@ -473,14 +478,22 @@ def _write_metadata_version(
             f"commit tmp for {path} swept by a concurrent orphan sweep "
             "3 times in a row — aborting"
         )
+    # The hint is ADVISORY (resolution falls back to the forward walk /
+    # directory scan): once the version is claimed the commit is
+    # durable, so a failed hint publish must not fail the commit —
+    # swallow any OSError (ENOSPC, EPERM, a sweep collecting the tmp)
+    # and leave the old complete hint in place.
     hint = os.path.join(_metadata_dir(location), "version-hint.text")
     hint_tmp = f"{hint}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
     try:
         with open(hint_tmp, "w") as f:
             f.write(str(version))
         os.replace(hint_tmp, hint)
-    except FileNotFoundError:
-        pass  # hint tmp swept mid-replace; the hint is advisory — skip
+    except OSError:
+        try:
+            os.unlink(hint_tmp)
+        except OSError:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -222,8 +222,8 @@ def run_adversarial(runs: int, cap: int) -> None:
         acct = (
             D.lsh_bucket_width_stats(d, max_bucket_width=cap)
             .agg(
-                PF.sum("width").alias("docs_in_hot_buckets"),
-                PF.sum("pairs_forgone").alias("pairs_forgone"),
+                PF.sum("width").alias("banded_docs_in_hot_buckets"),
+                PF.sum("pairs_forgone").alias("banded_pairs_forgone"),
                 PF.count(PF.lit(1)).alias("hot_buckets"),
                 PF.max("width").alias("max_width"),
             )
@@ -231,6 +231,13 @@ def run_adversarial(runs: int, cap: int) -> None:
             .asDict()
         )
         pt["cap_accounting"] = {k: (int(v) if v is not None else 0) for k, v in acct.items()}
+        # banded_* sums count per (band, bucket) — a pair colliding in
+        # k bands is counted k times there. The DISTINCT forgone count
+        # is exact from the two measured pair sets: chain pairs live in
+        # the same buckets as the all-pairs output, so capped ⊆ uncapped
+        # and the difference is precisely the distinct pairs the cap
+        # forgoes.
+        pt["cap_accounting"]["distinct_pairs_forgone"] = mh_n - mhc_n
         out["points"][f"{mult}x"] = pt
         print(f"-- {mult}x --")
         for k, v in pt.items():

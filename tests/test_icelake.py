@@ -1302,13 +1302,16 @@ class TestCommitBackendSeam:
         assert fired["n"] == 1
         assert t.to_df().count() == 20
 
-    def test_hint_is_old_or_new_never_torn(
+    def test_hint_is_old_or_new_never_torn_and_advisory(
         self, catalog, events_df, monkeypatch
     ):
         """ADVICE r10 #3: the advisory version hint is published via
         tmp+os.replace, so a crash mid-publish leaves the OLD complete
         value — never a torn numeric prefix that would silently pin a
-        stale-but-valid hint."""
+        stale-but-valid hint. And because the version claim precedes
+        the hint publish (the commit is already durable), a failed
+        publish must NOT fail the append — the hint is advisory, the
+        forward walk from the stale value still resolves."""
         import os as osmod
 
         from iceberg_rs_spark.sources.icelake import _latest_version
@@ -1326,17 +1329,44 @@ class TestCommitBackendSeam:
             return real_replace(src, dst)
 
         monkeypatch.setattr(osmod, "replace", dying_replace)
-        with pytest.raises(OSError, match="hint publish"):
-            t.append(events_df.limit(20).subtract(events_df.limit(10)))
-        monkeypatch.undo()
-        # hint holds the old COMPLETE value; the version itself was
-        # claimed before the hint failure, and the forward walk from
-        # the stale hint still resolves it
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        # hint publish failed silently (no torn write, no leaked tmp),
+        # the commit itself succeeded
         assert open(hint_path).read() == old_hint
+        assert not [
+            n
+            for n in osmod.listdir(osmod.path.dirname(hint_path))
+            if n.startswith("version-hint.text.tmp.")
+        ]
+        monkeypatch.undo()
+        # the stale-but-complete hint still resolves via the forward walk
         assert int(old_hint) + 1 == _latest_version(t.location)
         assert t.to_df().count() == 20
         t.append(events_df.limit(30).subtract(events_df.limit(20)))
         assert t.to_df().count() == 30
+        assert open(hint_path).read() == str(_latest_version(t.location))
+
+    def test_dropped_table_mid_commit_is_not_misdiagnosed_as_sweep(
+        self, catalog, events_df, monkeypatch
+    ):
+        """FileNotFoundError with the metadata directory GONE means the
+        table was dropped under the writer — re-raise it, never burn
+        retries and blame 'a concurrent orphan sweep'."""
+        import shutil
+
+        from iceberg_rs_spark.sources import icelake as lake
+
+        t = catalog.create_table("db.seam_dropped", events_df.schema)
+        t.append(events_df.limit(10))
+
+        class DropsTable(lake.CommitBackend):
+            def claim_version(self, tmp, path):
+                shutil.rmtree(lake._metadata_dir(t.location))
+                raise FileNotFoundError(tmp)
+
+        monkeypatch.setattr(lake, "DEFAULT_COMMIT_BACKEND", DropsTable())
+        with pytest.raises(FileNotFoundError):
+            t.append(events_df.limit(20).subtract(events_df.limit(10)))
 
     def test_local_claim_fsyncs_the_metadata_directory(
         self, catalog, events_df, monkeypatch
