@@ -206,31 +206,130 @@ def _bucketed_pairs(
             *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
             *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
         )
-    from pyspark.sql import Window
-
-    wide = keyed.withColumn(
-        "_bw", F.count("*").over(Window.partitionBy(*bucket_cols))
-    )
+    # Bucket width via hash aggregation (map-side partials) + equi-join,
+    # NOT a count window: Window.partitionBy(bucket) would materialize
+    # every row of the hot bucket in ONE task — the exact single-point
+    # regime the guard exists to survive.
+    widths = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bw"))
+    wide = keyed.join(widths, bucket_cols)
     small = wide.where(F.col("_bw") <= max_bucket_width).drop("_bw")
     exact = _bucketed_pairs(small, id_col, bucket_cols, None, carry)
-    order = Window.partitionBy(*bucket_cols).orderBy(id_col)
-    big = wide.where(F.col("_bw") > max_bucket_width)
-    chain = (
-        big.select(
-            F.col(id_col),
-            *carry,
-            F.lag(id_col).over(order).alias("_prev"),
-            *[F.lag(c).over(order).alias(f"_prev_{c}") for c in carry],
-        )
-        .where(F.col("_prev").isNotNull())
-        .select(
-            F.col("_prev").alias("id_a"),
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"_prev_{c}").alias(f"{c}_a") for c in carry],
-            *[F.col(c).alias(f"{c}_b") for c in carry],
-        )
-    )
+    big = wide.where(F.col("_bw") > max_bucket_width).drop("_bw")
+    chain = _chain_pairs_distributed(big, id_col, bucket_cols, carry)
     return exact.unionByName(chain)
+
+
+def _chain_pairs_distributed(
+    big: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    carry: list[str],
+) -> DataFrame:
+    """Consecutive-id links per bucket WITHOUT ever holding a bucket in
+    one task. A hot bucket is, by the guard's premise, a constant
+    fraction of the corpus — a per-bucket window (lag over
+    Window.partitionBy(bucket)) would sort all of it in a single task.
+    Instead:
+
+    1. range-partition on (bucket..., id) and sort within partitions —
+       the hot bucket spans MANY partitions, each holding a contiguous
+       sorted slice;
+    2. each partition streams its Arrow batches once through
+       mapInPandas, linking consecutive rows that share a bucket (one
+       row of state carried across batch boundaries);
+    3. the links that straddle PARTITION boundaries are reconstructed
+       from a metadata-sized per-(partition, bucket-fragment) min/max
+       aggregate — two endpoint rows per fragment cross the driver,
+       never data.
+
+    The emitted pair set is exactly "consecutive ids per bucket in
+    global sorted order" regardless of where the range boundaries
+    fall, so the output is partitioning-invariant."""
+    from pyspark.sql import types as T
+
+    sess = big.sparkSession
+    cols = [*bucket_cols, id_col, *carry]
+    schema = {f.name: f.dataType for f in big.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", schema[id_col]),
+            T.StructField("id_b", schema[id_col]),
+            *[T.StructField(f"{c}_a", schema[c]) for c in carry],
+            *[T.StructField(f"{c}_b", schema[c]) for c in carry],
+        ]
+    )
+    sorted_df = barrier(
+        big.select(*cols)
+        .repartitionByRange(*bucket_cols, id_col)
+        .sortWithinPartitions(*bucket_cols, id_col)
+    )
+
+    def link_batches(batches):
+        import pandas as pd
+
+        tail = None  # last row of the previous batch (1-row DataFrame)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cur = pdf if tail is None else pd.concat(
+                [tail, pdf], ignore_index=True
+            )
+            # Slice-and-compare, never shift(): shift() widens int64 to
+            # float64 (NaN fill), which silently corrupts 60-bit
+            # fingerprints past 2^53.
+            a_rows = cur.iloc[:-1].reset_index(drop=True)
+            b_rows = cur.iloc[1:].reset_index(drop=True)
+            if len(a_rows):
+                same = (
+                    (a_rows[bucket_cols].values == b_rows[bucket_cols].values)
+                    .all(axis=1)
+                )
+                out = pd.DataFrame(
+                    {
+                        "id_a": a_rows[id_col],
+                        "id_b": b_rows[id_col],
+                        **{f"{c}_a": a_rows[c] for c in carry},
+                        **{f"{c}_b": b_rows[c] for c in carry},
+                    }
+                )[same]
+                yield out
+            tail = cur.tail(1)
+
+    within = sorted_df.mapInPandas(link_batches, schema=out_schema)
+
+    # Fragment endpoints: one (lo, hi) row pair per bucket PER
+    # PARTITION it spans — O(buckets + partitions) rows, driver-safe.
+    row_struct = F.struct(F.col(id_col).alias("id"), *carry)
+    frags = (
+        sorted_df.groupBy(
+            F.spark_partition_id().alias("_pid"), *bucket_cols
+        )
+        .agg(
+            F.min_by(row_struct, F.col(id_col)).alias("_lo"),
+            F.max_by(row_struct, F.col(id_col)).alias("_hi"),
+        )
+        .collect()
+    )
+    by_bucket: dict[tuple, list] = {}
+    for r in frags:
+        by_bucket.setdefault(tuple(r[c] for c in bucket_cols), []).append(r)
+    stitch_rows = []
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["_pid"])
+        for a, b in zip(rs, rs[1:]):
+            stitch_rows.append(
+                (
+                    a["_hi"]["id"],
+                    b["_lo"]["id"],
+                    *[a["_hi"][c] for c in carry],
+                    *[b["_lo"][c] for c in carry],
+                )
+            )
+    if not stitch_rows:
+        return within
+    return within.unionByName(
+        sess.createDataFrame(stitch_rows, out_schema)
+    )
 
 
 def lsh_bucket_width_stats(

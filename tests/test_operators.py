@@ -235,6 +235,46 @@ class TestHotBucketGuard:
         # the full 20-doc hot bucket
         assert sorted(r.width for r in stats if r.width == self.HOT) == [self.HOT] * 4
 
+    def test_distributed_chain_is_partitioning_invariant(self, spark):
+        """The chain pass must never hold a hot bucket in one task: it
+        range-partitions on (bucket, id), links within partitions via
+        Arrow batches, and stitches partition boundaries from fragment
+        endpoints. Pin that the emitted pair set is EXACTLY the global
+        consecutive-id walk — across partition boundaries AND Arrow
+        batch boundaries — and that buckets never cross-link."""
+        from iceberg_rs_spark.operators.dedup import _chain_pairs_distributed
+
+        n = 500
+        keyed = spark.range(n).select(
+            F.lit(0).alias("_band_idx"),
+            # two interleaved hot buckets: even ids vs odd ids
+            (F.col("id") % 2).cast("string").alias("_band_sig"),
+            F.col("id").alias("doc_id"),
+            # a 60-bit carry value: pins that no float64 widening
+            # corrupts values past 2^53 on any internal path
+            (F.col("id") + F.lit((1 << 59) + 7)).alias("_fp"),
+        )
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key, "10000")
+        spark.conf.set(key, "37")  # force many batches per partition
+        try:
+            pairs = _chain_pairs_distributed(
+                keyed, "doc_id", ["_band_idx", "_band_sig"], ["_fp"]
+            ).collect()
+        finally:
+            spark.conf.set(key, old)
+        got = sorted((r.id_a, r.id_b) for r in pairs)
+        expect = sorted(
+            [(i, i + 2) for i in range(0, n - 2, 2)]
+            + [(i, i + 2) for i in range(1, n - 2, 2)]
+        )
+        assert got == expect
+        base = (1 << 59) + 7
+        assert all(
+            r._fp_a == r.id_a + base and r._fp_b == r.id_b + base
+            for r in pairs
+        )
+
     def test_simhash_guard_chain_passes_verify_and_connects(self, spark):
         both = self._hot_corpus(spark)
         capped = D.simhash_near_dup_pairs(
