@@ -275,6 +275,44 @@ class TestHotBucketGuard:
             for r in pairs
         )
 
+    def test_distributed_chain_randomized_differential(self, spark):
+        """Seeded random bucket layouts (skewed widths, empty-ish
+        buckets, singletons) vs a Python oracle: the chain must emit
+        exactly the consecutive-sorted-id walk of every bucket,
+        whatever the layout."""
+        import random
+
+        from iceberg_rs_spark.operators.dedup import _chain_pairs_distributed
+
+        for seed in (11, 23, 47):
+            rng = random.Random(seed)
+            n_buckets = rng.randint(2, 9)
+            rows = []
+            for doc in range(rng.randint(40, 300)):
+                # skew: bucket 0 is hot, the rest thin; some docs in
+                # several buckets, some in none
+                for b in range(n_buckets):
+                    p = 0.8 if b == 0 else 0.1
+                    if rng.random() < p:
+                        rows.append((b, f"sig{b}", doc))
+            expect = set()
+            by_bucket: dict[int, list[int]] = {}
+            for b, _s, doc in rows:
+                by_bucket.setdefault(b, []).append(doc)
+            for ids in by_bucket.values():
+                ids.sort()
+                expect.update(zip(ids, ids[1:]))
+            keyed = spark.createDataFrame(
+                rows, "_band_idx int, _band_sig string, doc_id long"
+            ).repartition(7)  # scramble the input layout
+            got = {
+                (r.id_a, r.id_b)
+                for r in _chain_pairs_distributed(
+                    keyed, "doc_id", ["_band_idx", "_band_sig"], []
+                ).collect()
+            }
+            assert got == expect, f"seed {seed}"
+
     def test_simhash_guard_chain_passes_verify_and_connects(self, spark):
         both = self._hot_corpus(spark)
         capped = D.simhash_near_dup_pairs(
