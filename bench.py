@@ -141,6 +141,38 @@ def io_calibration(
     return best
 
 
+def settled_start_samples(
+    cpu_ref: "float | None",
+    io_ref: "float | None",
+    retries: int = 2,
+    sleep_s: float = 10.0,
+    _cpu=None,
+    _io=None,
+    _sleep=None,
+) -> "tuple[float, float]":
+    """The start probe with settle-retries: sample both channels, and
+    while either breaches its gate, sleep and keep each channel's MIN
+    across resamples (the idle references are mins too). Transient
+    residual heat from a just-exited job clears within a retry; a
+    genuinely hot box stays hot through every sleep and still trips
+    the verdict downstream. The _cpu/_io/_sleep seams exist for the
+    policy tests — production callers pass none of them."""
+    cpu_fn = _cpu or cpu_calibration
+    io_fn = _io or io_calibration
+    sleep_fn = _sleep or time.sleep
+    cpu, io = cpu_fn(), io_fn()
+    for _ in range(retries):
+        if not (
+            ambient_verdict(cpu, cpu_ref)[0]
+            or ambient_verdict(io, io_ref, AMBIENT_IO_DEGRADED_RATIO)[0]
+        ):
+            break
+        sleep_fn(sleep_s)
+        cpu = min(cpu, cpu_fn())
+        io = min(io, io_fn())
+    return cpu, io
+
+
 def ambient_verdict(
     calib_sec: float,
     reference_sec: "float | None",
@@ -377,17 +409,7 @@ def main() -> None:
     # settle every driver recording would start degraded and gate flags
     # would never be recorded. A genuinely hot box stays hot through
     # 20 s and still trips.
-    calib_start = cpu_calibration()
-    io_start = io_calibration()
-    for _ in range(2):
-        if not (
-            ambient_verdict(calib_start, _calib_ref)[0]
-            or ambient_verdict(io_start, _io_ref, AMBIENT_IO_DEGRADED_RATIO)[0]
-        ):
-            break
-        time.sleep(10)
-        calib_start = min(calib_start, cpu_calibration())
-        io_start = min(io_start, io_calibration())
+    calib_start, io_start = settled_start_samples(_calib_ref, _io_ref)
     load_start = os.getloadavg()
     spark = get_spark(app_name="iceberg_rs_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -2099,7 +2099,15 @@ class Table:
         writes: only files last modified BEFORE it are removed — real
         deployments pass now minus a safety window, because a
         concurrent writer's files are orphans only until its commit
-        lands. ``dry_run`` lists without deleting.
+        lands. The ``None`` default sweeps REGARDLESS of age and is
+        only safe when no writer is live: a concurrent append's data
+        files exist unreferenced for the whole write duration, and
+        sweeping them makes the about-to-land snapshot reference
+        deleted files (Iceberg defaults this window to 3 days for
+        exactly that reason; the commit protocol itself tolerates
+        losing its metadata TMP to a sweep — _write_metadata_version
+        rewrites and retries — but data files have no such retry).
+        ``dry_run`` lists without deleting.
 
         Referenced-set construction reads every snapshot's manifest
         (metadata, not data); the directory walk is driver-side here —

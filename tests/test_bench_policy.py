@@ -170,6 +170,52 @@ class TestAmbientSentinel:
         assert 0 < t < 5.0
 
 
+class TestSettledStartSamples:
+    """The start probe's settle-retry: the maiden r11 run showed the
+    sentinel catching a just-exited job's residual heat (start 1.31x,
+    end 0.94x, sweep pristine) — since the driver runs the drive and
+    bench back-to-back, a retry-free start probe would mark every
+    driver recording degraded and gate flags would never be recorded."""
+
+    REF_CPU, REF_IO = 0.167, 0.10
+
+    def _run(self, cpu_seq, io_seq):
+        sleeps = []
+        cpu_it, io_it = iter(cpu_seq), iter(io_seq)
+        cpu, io = bench.settled_start_samples(
+            self.REF_CPU,
+            self.REF_IO,
+            _cpu=lambda: next(cpu_it),
+            _io=lambda: next(io_it),
+            _sleep=sleeps.append,
+        )
+        return cpu, io, sleeps
+
+    def test_clean_start_samples_once_and_never_sleeps(self):
+        cpu, io, sleeps = self._run([0.17], [0.11])
+        assert (cpu, io) == (0.17, 0.11) and sleeps == []
+
+    def test_transient_heat_clears_after_one_settle(self):
+        # the r11 shape: hot first cpu sample, idle resample
+        cpu, io, sleeps = self._run([0.22, 0.16], [0.11, 0.12])
+        assert cpu == 0.16 and io == 0.11 and len(sleeps) == 1
+
+    def test_persistent_heat_keeps_breaching_samples(self):
+        cpu, io, sleeps = self._run([0.23, 0.22, 0.24], [0.11, 0.12, 0.13])
+        assert cpu == 0.22  # min of the hot samples — still > 1.2x ref
+        assert len(sleeps) == 2
+        assert bench.ambient_verdict(cpu, self.REF_CPU)[0]
+
+    def test_io_breach_alone_triggers_settle(self):
+        cpu, io, sleeps = self._run([0.16, 0.17], [0.30, 0.09])
+        assert io == 0.09 and len(sleeps) == 1
+
+    def test_min_is_kept_across_resamples(self):
+        # a resample can only improve the recorded sample, never worsen
+        cpu, io, sleeps = self._run([0.22, 0.25, 0.21], [0.11, 0.2, 0.3])
+        assert cpu == 0.21 and io == 0.11
+
+
 class TestWarmup:
     def test_warmup_runs_end_to_end(self, spark):
         """bench.warmup is the recording's single point of failure: an
