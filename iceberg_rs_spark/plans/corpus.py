@@ -50,6 +50,9 @@ PRIORITY: list[str] = [
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
     # row first), then everything else.
+    "table_vacuum_lifecycle_audit",
+    "table_wap_publish",
+    "table_zorder_rewrite",
     "pipeline_lsh_scurve_planner",
     "sim_rank_correlation_kendall",
     "text_containment_pairs",
@@ -100,9 +103,6 @@ PRIORITY: list[str] = [
     "table_snapshots_metadata",
     "table_time_travel",
     "table_typed_columns_roundtrip",
-    "table_vacuum_lifecycle_audit",
-    "table_wap_publish",
-    "table_zorder_rewrite",
     "text_repetition_signals",
     "ts_gapfill_interpolate",
     "stream_trending_topk",
