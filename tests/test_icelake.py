@@ -1080,7 +1080,23 @@ class TestCommitCrashAtomicity:
     _latest_version picks the newest version file by existence alone,
     so a half-written one would brick every subsequent read AND commit
     of the table, permanently (the pre-r10 O_CREAT|O_EXCL write had
-    exactly this window)."""
+    exactly this window).
+
+    Parameterized over BOTH commit backends (VERDICT r11 #2): the
+    POSIX-link local backend and the object-store conditional-PUT CAS
+    fake — crash atomicity is a property of the protocol, not of the
+    link primitive."""
+
+    @pytest.fixture(autouse=True, params=["local", "objectstore"])
+    def commit_backend(self, request, monkeypatch):
+        if request.param == "objectstore":
+            from iceberg_rs_spark.sources import icelake as lake
+            from tests.object_store_fake import ObjectStoreFakeBackend
+
+            monkeypatch.setattr(
+                lake, "DEFAULT_COMMIT_BACKEND", ObjectStoreFakeBackend()
+            )
+        return request.param
 
     def _meta_files(self, t):
         """Version files + tmp litter only — a failed commit may
@@ -1095,7 +1111,7 @@ class TestCommitCrashAtomicity:
         )
 
     def test_crash_at_claim_leaves_table_readable_and_writable(
-        self, catalog, spark, events_df, monkeypatch
+        self, catalog, spark, events_df, monkeypatch, commit_backend
     ):
         import os as osmod
 
@@ -1103,25 +1119,53 @@ class TestCommitCrashAtomicity:
         t.append(events_df.limit(10))
         before_files = self._meta_files(t)
         before_rows = t.to_df().count()
-        real_link = osmod.link
-        blow = {"armed": True}
+        if commit_backend == "local":
+            # die INSIDE the claim primitive itself
+            real_link = osmod.link
+            blow = {"armed": True}
 
-        def dying_link(src, dst, **kw):
-            if blow["armed"]:
-                blow["armed"] = False
-                raise OSError("simulated writer death at the claim step")
-            return real_link(src, dst, **kw)
+            def dying_link(src, dst, **kw):
+                if blow["armed"]:
+                    blow["armed"] = False
+                    raise OSError("simulated writer death at the claim step")
+                return real_link(src, dst, **kw)
 
-        monkeypatch.setattr(osmod, "link", dying_link)
+            monkeypatch.setattr(osmod, "link", dying_link)
+        else:
+            # die mid-PUT: after the staging upload, before the atomic
+            # visibility swap — the object-store equivalent of dying
+            # inside the link
+            from iceberg_rs_spark.sources import icelake as lake
+
+            lake.DEFAULT_COMMIT_BACKEND.die_before_swap_once = True
         with pytest.raises(OSError, match="simulated"):
             t.append(events_df.limit(20).subtract(events_df.limit(10)))
-        monkeypatch.undo()
-        # no truncated version file, no tmp litter, table fully intact
-        assert self._meta_files(t) == before_files
+        if commit_backend == "local":
+            # (undo also clears the autouse backend patch — local only;
+            # the objectstore die-once flag is self-clearing)
+            monkeypatch.undo()
+            # no truncated version file, no tmp litter, table intact
+            assert self._meta_files(t) == before_files
+        else:
+            # an object store MAY leave a staged-upload object behind
+            # (there is no finally to run on a dead writer) but never a
+            # visible version object; the litter is sweepable
+            after = self._meta_files(t)
+            assert [n for n in after if n.endswith(".metadata.json")] == [
+                n for n in before_files if n.endswith(".metadata.json")
+            ]
+            assert all(".tmp." in n for n in set(after) - set(before_files))
         assert t.to_df().count() == before_rows
         # and the next commit proceeds normally
         t.append(events_df.limit(20).subtract(events_df.limit(10)))
         assert t.to_df().count() == 20
+        if commit_backend == "objectstore":
+            import os
+
+            t.remove_orphan_files()
+            assert not [
+                n for n in self._meta_files(t) if ".tmp." in n
+            ], "sweep must collect the crashed PUT's staging litter"
 
     def test_crash_during_json_write_leaves_no_version_file(
         self, catalog, spark, events_df, monkeypatch
@@ -1393,6 +1437,126 @@ class TestCommitBackendSeam:
         t.append(events_df.limit(20).subtract(events_df.limit(10)))
         monkeypatch.undo()
         assert synced_dirs, "claim must fsync the metadata directory"
+
+
+class TestObjectStoreBackend:
+    """Targeted object-store failure surfaces (VERDICT r11 #2): the
+    three races an S3/REST catalog has and POSIX link does not —
+    a racer winning the conditional-PUT CAS with a REAL competing
+    commit, the staged upload swept mid-claim, and a successful claim
+    followed by a stale LIST on the writer's next version resolution.
+    The chaos-armed randomized sweep (TestRandomizedLifecycleDifferential
+    param objectstore-chaos) covers the interaction space; these pin
+    each race in isolation with its exact convergence path."""
+
+    @pytest.fixture()
+    def fake(self, monkeypatch):
+        from iceberg_rs_spark.sources import icelake as lake
+        from tests.object_store_fake import ObjectStoreFakeBackend
+
+        fake = ObjectStoreFakeBackend()
+        monkeypatch.setattr(lake, "DEFAULT_COMMIT_BACKEND", fake)
+        return fake
+
+    def test_cas_conflict_reapplies_on_top_of_real_racer_commit(
+        self, catalog, events_df, fake
+    ):
+        """Unlike the seam test's phantom conflict, the racer here
+        lands a REAL competing commit at the contested version — the
+        loser's retry must re-read THAT document, re-apply its updater
+        on top (keeping the racer's property), and land at the next
+        version. No lost update on either side."""
+        from iceberg_rs_spark.sources.icelake import _latest_version
+
+        t = catalog.create_table("db.oss_conflict", events_df.schema)
+        t.append(events_df.limit(10))
+        v_before = _latest_version(t.location)
+        fake.lose_next = True
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert fake.conflicts_injected == 1
+        # racer's version + our retried version
+        assert _latest_version(t.location) == v_before + 2
+        md = t.metadata
+        assert "chaos-racer" in md.properties, "racer's commit was lost"
+        assert t.to_df().count() == 20
+
+    def test_swept_staged_upload_rewrites_without_burning_a_retry(
+        self, catalog, events_df, fake
+    ):
+        t = catalog.create_table("db.oss_swept", events_df.schema)
+        t.set_properties(**{"commit.retry.num-retries": "0"})
+        t.append(events_df.limit(10))
+        fake.sweep_next = True
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert fake.sweeps_injected == 1
+        assert t.to_df().count() == 20
+
+    def test_crash_mid_put_leaves_no_torn_visible_object(
+        self, catalog, events_df, fake
+    ):
+        """An object PUT is all-or-nothing: a writer dying between the
+        staged upload and the visibility swap must leave the version
+        key absent (never a prefix a reader could resolve), the table
+        fully readable AND writable, and only sweepable litter."""
+        import os
+
+        from iceberg_rs_spark.sources.icelake import _latest_version
+
+        t = catalog.create_table("db.oss_torn", events_df.schema)
+        t.append(events_df.limit(10))
+        v_before = _latest_version(t.location)
+        fake.die_before_swap_once = True
+        with pytest.raises(OSError, match="mid-PUT"):
+            t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert _latest_version(t.location) == v_before
+        assert t.to_df().count() == 10
+        litter = [
+            n
+            for n in os.listdir(os.path.join(t.location, "metadata"))
+            if ".tmp." in n
+        ]
+        assert litter, "the staged PUT must remain as invisible litter"
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        assert t.to_df().count() == 20
+        t.remove_orphan_files()
+        assert not [
+            n
+            for n in os.listdir(os.path.join(t.location, "metadata"))
+            if ".tmp." in n
+        ]
+
+    def test_stale_list_after_successful_claim_converges(
+        self, catalog, events_df, fake, monkeypatch
+    ):
+        """Claim succeeds but the writer's next LIST is stale (the
+        eventual-consistency read-after-list gap): version resolution
+        returns N-1, the commit plans against the stale base, the CAS
+        at vN correctly fails (the store itself is strong), and the
+        conflict retry re-resolves — by then the listing has caught up
+        — landing at v(N+1) with NO duplicated or lost snapshot."""
+        from iceberg_rs_spark.sources import icelake as lake
+
+        t = catalog.create_table("db.oss_stale", events_df.schema)
+        t.append(events_df.limit(10))
+        v_real = lake._latest_version(t.location)
+        snaps_before = len(t.metadata.snapshots)
+        real_lv = lake._latest_version
+        stale = {"left": 2}  # md0 read + first loop resolution
+
+        def stale_latest_version(location):
+            v = real_lv(location)
+            if stale["left"] > 0 and v == v_real:
+                stale["left"] -= 1
+                return v - 1
+            return v
+
+        monkeypatch.setattr(lake, "_latest_version", stale_latest_version)
+        t.append(events_df.limit(20).subtract(events_df.limit(10)))
+        monkeypatch.undo()
+        assert stale["left"] == 0, "staleness never bit"
+        assert lake._latest_version(t.location) == v_real + 1
+        assert len(t.metadata.snapshots) == snaps_before + 1
+        assert t.to_df().count() == 20
 
 
 class TestMergeOnReadDeletes:
@@ -2439,9 +2603,38 @@ class TestRandomizedLifecycleDifferential:
     Keys are unique by construction (merge on a duplicate key is the
     one place CoW and MoR semantics legitimately diverge — CoW join
     fan-out vs equality-delete collapse — and Iceberg's
-    identifier-field contract assumes uniqueness anyway)."""
+    identifier-field contract assumes uniqueness anyway).
+
+    Parameterized over BOTH commit backends (VERDICT r11 #2): the
+    whole sweep runs once on the POSIX-link local backend and once on
+    the object-store conditional-PUT CAS fake with deterministic chaos
+    armed — every 5th claim loses the CAS to a racer that lands a REAL
+    competing property-only commit, every 7th finds its staged upload
+    swept by a concurrent orphan sweep. The dict oracle must still
+    match after every commit, which certifies the CommitBackend
+    contract is *sufficient* for object-store failure surfaces, not
+    just locally satisfied."""
 
     SCHEMA = "id long, grp long, val long"
+
+    @pytest.fixture(autouse=True, params=["local", "objectstore-chaos"])
+    def lifecycle_backend(self, request, monkeypatch):
+        if request.param == "local":
+            yield request.param
+            return
+        from iceberg_rs_spark.sources import icelake as lake
+        from tests.object_store_fake import ObjectStoreFakeBackend
+
+        fake = ObjectStoreFakeBackend(lose_every=5, sweep_every=7)
+        monkeypatch.setattr(lake, "DEFAULT_COMMIT_BACKEND", fake)
+        yield request.param
+        # vacuity: the chaos must actually have fired during the sweep,
+        # or a refactor that stops routing commits through the backend
+        # hollows this parameterization silently
+        assert fake.puts_committed > 0
+        assert fake.conflicts_injected + fake.sweeps_injected > 0, (
+            "chaos injection never fired"
+        )
 
     def _df(self, spark, rows):
         return spark.createDataFrame(rows, self.SCHEMA)
