@@ -210,6 +210,11 @@ def _bucketed_pairs(
     # NOT a count window: Window.partitionBy(bucket) would materialize
     # every row of the hot bucket in ONE task — the exact single-point
     # regime the guard exists to survive.
+    # The armed path references `keyed` three times (widths aggregate,
+    # small-bucket join side, big-bucket chain input); barrier it so
+    # the upstream banding pipeline is derived once, not per reference
+    # (ADVICE r11 #1 — Catalyst does not reuse subtrees across these).
+    keyed = barrier(keyed)
     widths = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bw"))
     wide = keyed.join(widths, bucket_cols)
     small = wide.where(F.col("_bw") <= max_bucket_width).drop("_bw")
@@ -472,8 +477,19 @@ def near_dup_pairs_minhash(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.6,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verify → pairs over threshold.
+
+    ``max_bucket_width`` (default off) arms the hot-bucket guard on
+    the candidate generator (VERDICT r11 #5 — the composed purge
+    pipelines must survive a boilerplate-heavy corpus). Because the
+    Jaccard gate verifies pairs individually, capped buckets emit a
+    sorted-id CHAIN whose links are all template-variant pairs — on a
+    genuine boilerplate cluster every chain link is near-identical and
+    passes the gate, so downstream clustering still collapses the
+    cluster; account for what the cap forgoes with
+    :func:`lsh_bucket_width_stats`.
 
     Both the shingle relation and the candidate set are materialized
     once behind a :func:`barrier` (spill-safe persist). Shingles feed
@@ -488,7 +504,14 @@ def near_dup_pairs_minhash(
     sh = barrier(shingle_rows(df, id_col, text_col, shingle_k))
     cands = barrier(
         minhash_candidate_pairs(
-            df, id_col, text_col, num_hashes, bands, shingle_k, shingle_rows_df=sh
+            df,
+            id_col,
+            text_col,
+            num_hashes,
+            bands,
+            shingle_k,
+            shingle_rows_df=sh,
+            max_bucket_width=max_bucket_width,
         )
     )
     jac = jaccard_pairs(df, cands, id_col, text_col, shingle_k, shingle_rows_df=sh)

@@ -569,7 +569,9 @@ def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("pipeline", "dedup", "clustering", "composed"),
 )
-def pipeline_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_dedup_purge(
+    spark: SparkSession, sf_dir: str, max_bucket_width: int | None = None
+) -> DataFrame:
     """The APPLY step of near-duplicate dedup, end to end: MinHash-LSH
     candidate pairs → exact-Jaccard verify (≥0.6) → connected
     components → keep each cluster's minimum id, purge the rest →
@@ -587,6 +589,11 @@ def pipeline_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         shingle_k=SHINGLE_K,
         threshold=0.6,
+        # default off: organic fixtures need no cap and the corpus
+        # query's oracle is the exact all-pairs purge; a boilerplate-
+        # heavy deployment arms it (VERDICT r11 #5) and accepts the
+        # chain semantics documented on near_dup_pairs_minhash
+        max_bucket_width=max_bucket_width,
     ).select("id_a", "id_b")
     comp = D.connected_components(near)
     purged = comp.where(F.col("node") != F.col("component")).select(
