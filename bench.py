@@ -80,6 +80,54 @@ AMBIENT_DEGRADED_RATIO = 1.20
 CALIBRATION_ITERS = 4000
 CALIBRATION_ROUNDS = 5
 
+#: Evidence-based threshold (VERDICT r11 #4): the static 1.20 gate sat
+#: only ~6% above observed idle wander (1.137 at the r11 driver run's
+#: end), a narrow band where a noisy-but-not-degraded box fires flags
+#: against inflated samples. Every CLEAN sweep now appends its start
+#: and end calibration samples to ``calibration_samples`` in
+#: BENCH_BASELINE.json (a rolling idle distribution, newest-kept cap
+#: below); once at least MIN_IDLE_SAMPLES are recorded the CPU gate is
+#: derived from the distribution itself — p99 of the idle ratios times
+#: a margin — instead of the static constant. Clamped to
+#: [1.20, 1.35]: the floor IS the static gate, so evidence can only
+#: WIDEN it (a threshold under 1.20 adds no detection value against
+#: the >=25% failure mode but adds false-flag risk — the r12 seed base
+#: derives 1.184, exactly the trap); the ceiling keeps a drifting-hot
+#: "idle" history from blunting the gate past the failure mode it
+#: exists to catch.
+MIN_IDLE_SAMPLES = 5
+IDLE_SAMPLES_CAP = 40
+DERIVED_THRESHOLD_MARGIN = 1.05
+DERIVED_THRESHOLD_FLOOR = AMBIENT_DEGRADED_RATIO
+DERIVED_THRESHOLD_CEIL = 1.35
+
+
+def derived_cpu_threshold(
+    samples_sec: "list[float]",
+    reference_sec: "float | None",
+    fallback: float = AMBIENT_DEGRADED_RATIO,
+) -> "tuple[float, int]":
+    """(threshold, n_samples_used) for the CPU ambient gate. With a
+    pinned reference and >= MIN_IDLE_SAMPLES recorded clean-sweep
+    samples, the gate is p99(sample/reference) * margin, clamped; with
+    fewer, the static ``fallback``. p99 over a small n is the max by
+    interpolation — exactly right for "just above everything idle ever
+    measured"."""
+    if not reference_sec or reference_sec <= 0:
+        return fallback, 0
+    ratios = sorted(s / reference_sec for s in samples_sec if s and s > 0)
+    if len(ratios) < MIN_IDLE_SAMPLES:
+        return fallback, len(ratios)
+    # linear-interpolation p99 (n is small, so this is ~the max)
+    k = 0.99 * (len(ratios) - 1)
+    lo, hi = int(k), min(int(k) + 1, len(ratios) - 1)
+    p99 = ratios[lo] + (ratios[hi] - ratios[lo]) * (k - lo)
+    t = max(
+        DERIVED_THRESHOLD_FLOOR,
+        min(DERIVED_THRESHOLD_CEIL, p99 * DERIVED_THRESHOLD_MARGIN),
+    )
+    return round(t, 3), len(ratios)
+
 
 def cpu_calibration(
     iters: int = CALIBRATION_ITERS, rounds: int = CALIBRATION_ROUNDS
@@ -119,7 +167,15 @@ def io_calibration(
     """Best-of-``rounds`` wall time of ``cycles`` create+write(4K)+
     fsync+unlink cycles in a private temp dir — the small-metadata-file
     commit pattern the table family lives on, so ambient journal/disk
-    contention shows up here even when the CPU loop stays clean."""
+    contention shows up here even when the CPU loop stays clean.
+
+    The probe dir comes from ``tempfile.mkdtemp`` DELIBERATELY (ADVICE
+    r11 #3): the benched table family's Catalog working dirs are
+    themselves ``tempfile.mkdtemp`` dirs (plans/tables.py), so deriving
+    both from the same API keeps the probe on the same filesystem as
+    the writes it stands in for — including under a TMPDIR override,
+    where a REPO-rooted probe would silently decouple. Pinned by
+    TestAmbientSentinel.test_io_probe_shares_fs_with_table_workdirs."""
     import shutil
     import tempfile
 
@@ -146,6 +202,7 @@ def settled_start_samples(
     io_ref: "float | None",
     retries: int = 2,
     sleep_s: float = 10.0,
+    cpu_limit: float = AMBIENT_DEGRADED_RATIO,
     _cpu=None,
     _io=None,
     _sleep=None,
@@ -163,7 +220,7 @@ def settled_start_samples(
     cpu, io = cpu_fn(), io_fn()
     for _ in range(retries):
         if not (
-            ambient_verdict(cpu, cpu_ref)[0]
+            ambient_verdict(cpu, cpu_ref, cpu_limit)[0]
             or ambient_verdict(io, io_ref, AMBIENT_IO_DEGRADED_RATIO)[0]
         ):
             break
@@ -378,6 +435,19 @@ def warmup(spark, sf_dir: str) -> None:
             "win_gaps_islands_streaks",
             "pipeline_lsh_scurve_planner",
             "sim_rank_correlation_kendall",
+            # r12 profile: 4.2s first execution vs ~3.0s steady state —
+            # the 64-term unrolled int-dot trees compile once; the
+            # steady-state residual vs the 2.47s pin (~1.2x) is fixed
+            # planning overhead on a 50k-pair broadcast, not execution
+            "sim_quantized_grouped_topk",
+            # r12 watch-list profile (VERDICT r11 #3), first vs steady:
+            # typed_columns 3.31->0.72, variant 0.64->0.35 (under pin!),
+            # survival_km 0.97->0.63, make_datetime flat — pre-compile
+            # the three with a first-execution cliff; the steady-state
+            # residual over the round-2 pins is handled by repins_r12
+            "table_typed_columns_roundtrip",
+            "fn_variant_semistructured",
+            "events_survival_km",
         ):
             try:
                 CORPUS[warm_q].builder(spark, warm_sf).collect()
@@ -392,13 +462,19 @@ def main() -> None:
     # settle-retry; queries are re-read further down with the rest of
     # the pin file.
     _calib_ref = _io_ref = None
+    _idle_samples: list = []
     try:
         with open(os.path.join(REPO, "BENCH_BASELINE.json")) as f:
             _pins_peek = json.load(f)
         _calib_ref = _pins_peek.get("calibration_sec")
         _io_ref = _pins_peek.get("io_calibration_sec")
+        _idle_samples = _pins_peek.get("calibration_samples") or []
     except (OSError, json.JSONDecodeError):
         pass
+    # Evidence-based CPU gate (VERDICT r11 #4): derived from the
+    # recorded idle distribution once it holds enough samples; the
+    # static constant until then.
+    cpu_limit, _n_idle = derived_cpu_threshold(_idle_samples, _calib_ref)
     # Ambient-load sentinel, sample 1: before Spark starts, so the
     # calibration loop has the box to itself the way the idle-box
     # reference did. A breaching start sample gets up to two
@@ -409,7 +485,9 @@ def main() -> None:
     # settle every driver recording would start degraded and gate flags
     # would never be recorded. A genuinely hot box stays hot through
     # 20 s and still trips.
-    calib_start, io_start = settled_start_samples(_calib_ref, _io_ref)
+    calib_start, io_start = settled_start_samples(
+        _calib_ref, _io_ref, cpu_limit=cpu_limit
+    )
     load_start = os.getloadavg()
     spark = get_spark(app_name="iceberg_rs_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -575,12 +653,17 @@ def main() -> None:
     # Ambient-load sentinel, sample 2: degradation that began mid-sweep
     # (the r10 shape — the driver run went hot partway through the box's
     # day) is invisible to a start-only probe. Degraded if EITHER
-    # sample breaches; both are recorded.
+    # sample breaches; both are recorded. The sweep is done, so Spark
+    # is stopped FIRST (ADVICE r11 #2): the idle reference was pinned
+    # with no Spark JVM alive, and sampling next to a live JVM's GC /
+    # background threads biases ratio_end upward — exactly the thin
+    # margin the derived threshold exists to widen.
+    spark.stop()
     calib_end = cpu_calibration()
     io_end = io_calibration()
     load_end = os.getloadavg()
-    deg_start, ratio_start = ambient_verdict(calib_start, calib_ref)
-    deg_end, ratio_end = ambient_verdict(calib_end, calib_ref)
+    deg_start, ratio_start = ambient_verdict(calib_start, calib_ref, cpu_limit)
+    deg_end, ratio_end = ambient_verdict(calib_end, calib_ref, cpu_limit)
     io_deg_start, io_ratio_start = ambient_verdict(
         io_start, io_ref, AMBIENT_IO_DEGRADED_RATIO
     )
@@ -594,7 +677,13 @@ def main() -> None:
         "reference_sec": calib_ref,
         "ratio_start": ratio_start,
         "ratio_end": ratio_end,
-        "threshold": AMBIENT_DEGRADED_RATIO,
+        "threshold": cpu_limit,
+        "threshold_source": (
+            f"derived(p99 of {_n_idle} idle samples x "
+            f"{DERIVED_THRESHOLD_MARGIN})"
+            if _n_idle >= MIN_IDLE_SAMPLES
+            else f"static({AMBIENT_DEGRADED_RATIO})"
+        ),
         "io_start_sec": round(io_start, 4),
         "io_end_sec": round(io_end, 4),
         "io_reference_sec": io_ref,
@@ -609,7 +698,7 @@ def main() -> None:
         print(
             f"BENCH AMBIENT-DEGRADED: cpu {ambient['calibration_start_sec']}s/"
             f"{ambient['calibration_end_sec']}s (ratios {ratio_start}/"
-            f"{ratio_end}, gate {AMBIENT_DEGRADED_RATIO}) io "
+            f"{ratio_end}, gate {cpu_limit}) io "
             f"{ambient['io_start_sec']}s/{ambient['io_end_sec']}s (ratios "
             f"{io_ratio_start}/{io_ratio_end}, gate "
             f"{AMBIENT_IO_DEGRADED_RATIO}) vs idle references "
@@ -664,17 +753,50 @@ def main() -> None:
     new_pins = {
         name: t for name, t in timings.items() if name not in pinned and t > 0
     }
+    # Self-pinning a missing calibration reference is gated on a cheap
+    # independent idleness signal (ADVICE r11 #4): with no reference
+    # there IS no sentinel verdict, so a hot box's inflated samples
+    # would otherwise be baked in as "idle" forever. loadavg is crude
+    # but free and not derived from the samples being pinned.
+    box_idle = max(load_start[0], load_end[0]) < 2.0
     pin_calib = calib_ref is None and pinned
     pin_io = io_ref is None and pinned
-    if (new_pins or pin_calib or pin_io) and pinned and not ambient_degraded:
+    if (pin_calib or pin_io) and not box_idle:
+        print(
+            f"BENCH PIN-SKIPPED: calibration reference missing but "
+            f"loadavg {load_start[0]}/{load_end[0]} >= 2.0 — refusing to "
+            "self-pin from a possibly-hot box; re-run idle or pin from "
+            "measured idle samples",
+            file=sys.stderr,
+        )
+        pin_calib = pin_io = False
+    # Every CLEAN sweep's calibration samples join the rolling idle
+    # distribution the derived threshold reads (VERDICT r11 #4) —
+    # newest IDLE_SAMPLES_CAP kept per channel.
+    append_samples = pinned and not ambient_degraded
+    if (new_pins or pin_calib or pin_io or append_samples) and pinned and not ambient_degraded:
         pinned.update(new_pins)
         with open(pin_path) as f:
             pin_doc = json.load(f)
         pin_doc["queries"] = dict(sorted(pinned.items()))
         if pin_calib:
             pin_doc["calibration_sec"] = round(min(calib_start, calib_end), 4)
+            print(
+                "BENCH PIN-UNVERIFIED: calibration_sec self-pinned from "
+                "this run (loadavg-sane but not independently verified "
+                "idle); the driver should re-pin from idle samples",
+                file=sys.stderr,
+            )
         if pin_io:
             pin_doc["io_calibration_sec"] = round(min(io_start, io_end), 4)
+        if append_samples:
+            for key, vals in (
+                ("calibration_samples", (calib_start, calib_end)),
+                ("io_calibration_samples", (io_start, io_end)),
+            ):
+                cur = pin_doc.get(key) or []
+                cur.extend(round(v, 4) for v in vals)
+                pin_doc[key] = cur[-IDLE_SAMPLES_CAP:]
         with open(pin_path, "w") as f:
             json.dump(pin_doc, f, indent=1)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -169,6 +169,110 @@ class TestAmbientSentinel:
         t = bench.io_calibration(cycles=20, rounds=2)
         assert 0 < t < 5.0
 
+    def test_io_probe_shares_fs_with_table_workdirs(self, monkeypatch):
+        """ADVICE r11 #3: the io probe must measure the filesystem the
+        benched table family actually writes to. Both the probe dir and
+        the Catalog working dirs (plans/tables.py) derive from
+        tempfile.mkdtemp, so they move TOGETHER under a TMPDIR override
+        — pin that the probe goes through that API (a REPO-rooted probe
+        would silently decouple)."""
+        import tempfile
+
+        used = []
+        real = tempfile.mkdtemp
+
+        def spying_mkdtemp(*a, **kw):
+            d = real(*a, **kw)
+            used.append(d)
+            return d
+
+        monkeypatch.setattr(tempfile, "mkdtemp", spying_mkdtemp)
+        bench.io_calibration(cycles=5, rounds=1)
+        assert used, "io_calibration must allocate via tempfile.mkdtemp"
+        import os
+
+        assert all(
+            os.path.dirname(d.rstrip("/")) == tempfile.gettempdir()
+            for d in used
+        )
+
+
+class TestDerivedThreshold:
+    """VERDICT r11 #4: the CPU gate derived from the recorded rolling
+    idle distribution (p99 x margin) instead of the bare static
+    constant, with the static value as both the <5-sample fallback and
+    the floor — evidence can only WIDEN the gate, never tighten it
+    below the proven 1.20 (a lower gate adds no detection value
+    against the >=25% failure mode, only false-flag risk)."""
+
+    REF = 0.167
+
+    def test_fallback_below_min_samples(self):
+        t, n = bench.derived_cpu_threshold([0.17, 0.18, 0.19], self.REF)
+        assert t == bench.AMBIENT_DEGRADED_RATIO and n == 3
+
+    def test_fallback_without_reference(self):
+        for ref in (None, 0, -1.0):
+            t, n = bench.derived_cpu_threshold([0.17] * 10, ref)
+            assert t == bench.AMBIENT_DEGRADED_RATIO and n == 0
+
+    def test_tight_idle_base_floors_at_the_static_gate(self):
+        # the r12 seed shape: idle ratios 1.01-1.14 -> p99*1.05 ~ 1.19,
+        # below the floor — the derived gate must not tighten past 1.20
+        samples = [0.1803, 0.1898, 0.1756, 0.1686, 0.1763,
+                   0.1768, 0.1682, 0.1888, 0.1824, 0.1828]
+        t, n = bench.derived_cpu_threshold(samples, self.REF)
+        assert t == bench.AMBIENT_DEGRADED_RATIO and n == 10
+
+    def test_wide_idle_wander_widens_the_gate(self):
+        # a box whose clean sweeps genuinely wander to 1.22x idle: the
+        # gate follows the evidence above the static constant
+        samples = [0.17, 0.18, 0.19, 0.20, 0.2037, 0.17]
+        t, n = bench.derived_cpu_threshold(samples, self.REF)
+        assert bench.AMBIENT_DEGRADED_RATIO < t <= bench.DERIVED_THRESHOLD_CEIL
+        assert n == 6
+
+    def test_hot_history_is_ceilinged(self):
+        # a drifting-hot "idle" base must not blunt the gate past the
+        # failure mode the sentinel exists to catch
+        samples = [0.30] * 8
+        t, _ = bench.derived_cpu_threshold(samples, self.REF)
+        assert t == bench.DERIVED_THRESHOLD_CEIL
+
+    def test_nonpositive_samples_are_ignored(self):
+        t, n = bench.derived_cpu_threshold([0.17, 0, -1.0, None and 0] + [0.18] * 2, self.REF)
+        assert n == 3 and t == bench.AMBIENT_DEGRADED_RATIO
+
+    def test_baseline_seed_derives_the_static_gate(self):
+        """The committed BENCH_BASELINE.json seed (>=5 recorded idle
+        samples) must actually drive the derivation — and today it
+        floors at exactly the static gate."""
+        import json
+        import os
+
+        with open(os.path.join(bench.REPO, "BENCH_BASELINE.json")) as f:
+            doc = json.load(f)
+        samples = doc.get("calibration_samples") or []
+        assert len(samples) >= bench.MIN_IDLE_SAMPLES
+        t, n = bench.derived_cpu_threshold(samples, doc["calibration_sec"])
+        assert n == len(samples)
+        assert bench.AMBIENT_DEGRADED_RATIO <= t <= bench.DERIVED_THRESHOLD_CEIL
+
+    def test_settle_honors_custom_cpu_limit(self):
+        """The start probe must gate on the DERIVED limit, not the
+        static constant: a 1.25x start sample settles under the static
+        gate but is clean under a derived 1.30 gate."""
+        sleeps = []
+        cpu, io = bench.settled_start_samples(
+            0.167,
+            0.10,
+            cpu_limit=1.30,
+            _cpu=lambda: 0.209,  # 1.25x
+            _io=lambda: 0.11,
+            _sleep=sleeps.append,
+        )
+        assert cpu == 0.209 and sleeps == []
+
 
 class TestSettledStartSamples:
     """The start probe's settle-retry: the maiden r11 run showed the
