@@ -656,19 +656,6 @@ def quantized_topk(
     from pyspark.sql import Window
 
     groups = list(group_cols or [])
-    emb = quantize_int8(embeddings, vec_col, "qa").select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("qa"),
-        norm(F.col(vec_col)).alias("_na"),
-        *[F.col(g) for g in groups],
-    )
-    qry = quantize_int8(queries, query_vec_col, "qb").select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        F.col("qb"),
-        norm(F.col(query_vec_col)).alias("_nb"),
-    )
 
     def int_dot(a, b):
         terms = [
@@ -680,6 +667,38 @@ def quantized_topk(
             out = out + t
         return out
 
+    # The quantized self-norms are hoisted to the join INPUTS (r12
+    # profile of sim_quantized_grouped_topk): inside the joined select
+    # each per-pair row would re-evaluate int_dot(qa,qa) once per query
+    # and int_dot(qb,qb) once per embedding row — 3x64 unrolled integer
+    # terms per pair instead of the 64 the cross score actually needs.
+    # sqrt over the same exact integer keeps the result bit-identical.
+    emb = (
+        quantize_int8(embeddings, vec_col, "qa")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("qa"),
+            norm(F.col(vec_col)).alias("_na"),
+            *[F.col(g) for g in groups],
+        )
+        .withColumn(
+            "_qna", F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+        )
+    )
+    qry = (
+        quantize_int8(queries, query_vec_col, "qb")
+        .select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.col("qb"),
+            norm(F.col(query_vec_col)).alias("_nb"),
+        )
+        .withColumn(
+            "_qnb", F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+        )
+    )
+
     joined = emb.join(F.broadcast(qry))
     scored = joined.select(
         F.col(query_id_col),
@@ -687,10 +706,7 @@ def quantized_topk(
         F.col(id_col),
         (
             int_dot(F.col("qa"), F.col("qb"))
-            / (
-                F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
-                * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
-            )
+            / (F.col("_qna") * F.col("_qnb"))
         ).alias("qcos"),
         (
             dot(F.col(vec_col), F.col(query_vec_col))
