@@ -448,6 +448,10 @@ def warmup(spark, sf_dir: str) -> None:
             "table_typed_columns_roundtrip",
             "fn_variant_semistructured",
             "events_survival_km",
+            # flagged 2.08x on the first r12 canonical sweep; isolated
+            # profile 1.23s first -> 0.87-0.97s steady (re-pinned to
+            # its history median alongside)
+            "ts_anomaly_robust_mad",
         ):
             try:
                 CORPUS[warm_q].builder(spark, warm_sf).collect()
