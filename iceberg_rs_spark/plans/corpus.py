@@ -53,34 +53,34 @@ PRIORITY: list[str] = [
     "table_vacuum_lifecycle_audit",
     "table_wap_publish",
     "table_zorder_rewrite",
-    "pipeline_lsh_scurve_planner",
-    "sim_rank_correlation_kendall",
-    "text_containment_pairs",
     "dedup_component_size_profile",
-    "dedup_lsh_quality_eval",
-    "dedup_exact_content_hash",
-    "dedup_simhash_fingerprints",
     "dedup_connected_components",
+    "dedup_exact_content_hash",
+    "dedup_lsh_quality_eval",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_matrix",
+    "dedup_simhash_fingerprints",
     "dedup_simhash_near_pairs",
-    "pipeline_training_data",
-    "sim_embedding_high_pairs",
-    "sim_knn_classify",
-    "sim_pq_topk",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "stream_ingest_icelake",
-    "stream_stateful_user_sessions",
-    "stream_stream_abandoned_clicks",
     "pipeline_dedup_purge",
+    "pipeline_training_data",
     "sim_ann_agreement",
     "sim_ann_agreement_ivf",
     "sim_ann_agreement_pq",
+    "sim_embedding_high_pairs",
+    "sim_knn_classify",
+    "sim_pq_topk",
     "sim_quantized_grouped_topk",
     "sim_quantized_topk",
     "sim_silhouette_by_label",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "text_containment_pairs",
+    "pipeline_lsh_scurve_planner",
+    "sim_rank_correlation_kendall",
+    "stream_ingest_icelake",
+    "stream_stateful_user_sessions",
+    "stream_stream_abandoned_clicks",
     "stream_cdc_upsert_icelake",
     "table_add_files_name_mapping",
     "table_branch_diff_audit",
