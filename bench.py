@@ -197,6 +197,45 @@ def io_calibration(
     return best
 
 
+#: Mid-sweep io sampling (r12): the endpoint probes are blind to a
+#: disk-contention episode that starts after the start sample and ends
+#: before the end sample — observed r12: a sweep with 55 retimes, a
+#: 2.2x pin flag, and family-scattered 1.6-1.9x prev flags whose start
+#: AND end channels both read clean. A cheap one-round io probe every
+#: MIDSWEEP_EVERY queries records the trace; two CONSECUTIVE mid-sweep
+#: breaches of the io gate mark the run degraded (one can be the
+#: probe's own noise — idle spread is ~1.5x even at min-of-4, far more
+#: at one round, hence consecutive and min-of-2-rounds).
+MIDSWEEP_EVERY = 30
+MIDSWEEP_IO_CYCLES = 50
+MIDSWEEP_IO_ROUNDS = 2
+
+#: Retime-storm heuristic (r12, same episode): 55 of 295 queries
+#: needing an outlier re-time is box noise no matter what the endpoint
+#: probes say — clean recordings show 0-18. Past this count the run is
+#: marked degraded; a real code regression concentrates in the touched
+#: family, it does not scatter re-times across half the corpus.
+RETIME_STORM_THRESHOLD = 25
+
+
+def midsweep_verdict(
+    io_samples: "list[float]",
+    io_ref: "float | None",
+    limit: float = AMBIENT_IO_DEGRADED_RATIO,
+) -> bool:
+    """True when two CONSECUTIVE mid-sweep io samples breach the io
+    gate — the mid-sweep episode detector. Fails open without a
+    reference, like the endpoint channels."""
+    if not io_ref or io_ref <= 0:
+        return False
+    streak = 0
+    for s in io_samples:
+        streak = streak + 1 if s / io_ref > limit else 0
+        if streak >= 2:
+            return True
+    return False
+
+
 def settled_start_samples(
     cpu_ref: "float | None",
     io_ref: "float | None",
@@ -547,7 +586,22 @@ def main() -> None:
     # BENCH_FULL.json every round without a second 8-minute sweep.
     audit_flagged: dict[str, dict] = {}
     audit_cartesians = 0
+    midsweep: list[dict] = []
+    _qi = 0
     for name, spec in sorted(CORPUS.items()):
+        # Mid-sweep io probe BETWEEN timed sections (never inside one):
+        # the endpoint channels cannot see an episode that starts and
+        # ends inside the sweep.
+        if _qi and _qi % MIDSWEEP_EVERY == 0:
+            _ms = io_calibration(MIDSWEEP_IO_CYCLES, MIDSWEEP_IO_ROUNDS)
+            midsweep.append(
+                {
+                    "after_query": _qi,
+                    "io_sec": round(_ms, 4),
+                    "io_ratio": round(_ms / _io_ref, 3) if _io_ref else None,
+                }
+            )
+        _qi += 1
         t0 = time.perf_counter()
         try:
             df = spec.builder(spark, sf_dir)
@@ -674,7 +728,18 @@ def main() -> None:
     io_deg_end, io_ratio_end = ambient_verdict(
         io_end, io_ref, AMBIENT_IO_DEGRADED_RATIO
     )
-    ambient_degraded = deg_start or deg_end or io_deg_start or io_deg_end
+    midsweep_degraded = midsweep_verdict(
+        [m["io_sec"] for m in midsweep], io_ref
+    )
+    retime_storm = len(retimed) >= RETIME_STORM_THRESHOLD
+    ambient_degraded = (
+        deg_start
+        or deg_end
+        or io_deg_start
+        or io_deg_end
+        or midsweep_degraded
+        or retime_storm
+    )
     ambient = {
         "calibration_start_sec": round(calib_start, 4),
         "calibration_end_sec": round(calib_end, 4),
@@ -696,8 +761,28 @@ def main() -> None:
         "io_threshold": AMBIENT_IO_DEGRADED_RATIO,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
+        "midsweep": midsweep,
+        "midsweep_degraded": midsweep_degraded,
+        "retime_count": len(retimed),
+        "retime_storm": retime_storm,
+        "retime_storm_threshold": RETIME_STORM_THRESHOLD,
         "degraded": ambient_degraded,
     }
+    if midsweep_degraded:
+        print(
+            "BENCH MIDSWEEP-DEGRADED: >=2 consecutive mid-sweep io "
+            f"samples over {AMBIENT_IO_DEGRADED_RATIO}x the {io_ref}s "
+            f"reference — trace {[m['io_ratio'] for m in midsweep]}",
+            file=sys.stderr,
+        )
+    if retime_storm:
+        print(
+            f"BENCH RETIME-STORM: {len(retimed)} queries needed an "
+            f"outlier re-time (threshold {RETIME_STORM_THRESHOLD}; "
+            "clean recordings show 0-18) — box noise the endpoint "
+            "probes missed; run marked degraded",
+            file=sys.stderr,
+        )
     if ambient_degraded:
         print(
             f"BENCH AMBIENT-DEGRADED: cpu {ambient['calibration_start_sec']}s/"

@@ -197,6 +197,41 @@ class TestAmbientSentinel:
         )
 
 
+class TestMidsweepSentinel:
+    """r12: the endpoint probes are blind to a disk episode that starts
+    and ends INSIDE the sweep (observed: 55 retimes + a 2.2x pin flag
+    with both endpoint channels clean). The mid-sweep io trace detects
+    it; two CONSECUTIVE breaches mark the run degraded — one can be the
+    one-round probe's own noise."""
+
+    REF = 0.10
+
+    def test_two_consecutive_breaches_degrade(self):
+        assert bench.midsweep_verdict([0.11, 0.26, 0.27, 0.12], self.REF)
+
+    def test_single_spike_is_probe_noise(self):
+        assert not bench.midsweep_verdict(
+            [0.11, 0.26, 0.12, 0.27, 0.11], self.REF
+        )
+
+    def test_clean_trace_is_clean(self):
+        assert not bench.midsweep_verdict([0.09, 0.12, 0.15, 0.2], self.REF)
+
+    def test_fails_open_without_reference(self):
+        for ref in (None, 0, -1.0):
+            assert not bench.midsweep_verdict([9.9, 9.9, 9.9], ref)
+
+    def test_boundary_is_exclusive(self):
+        at = bench.AMBIENT_IO_DEGRADED_RATIO * self.REF
+        assert not bench.midsweep_verdict([at, at, at], self.REF)
+
+    def test_retime_storm_threshold_sits_above_observed_clean_max(self):
+        """Clean recordings show 0-18 re-times (r12 observed max on a
+        noisy-but-accepted run: 18; the retired storm run: 55) — the
+        threshold must separate the two."""
+        assert 18 < bench.RETIME_STORM_THRESHOLD <= 55
+
+
 class TestDerivedThreshold:
     """VERDICT r11 #4: the CPU gate derived from the recorded rolling
     idle distribution (p99 x margin) instead of the bare static
