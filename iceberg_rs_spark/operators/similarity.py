@@ -667,12 +667,27 @@ def quantized_topk(
             out = out + t
         return out
 
+    def int_self_dot_hof(a):
+        # HOF form for the PER-ROW self-norms only: a 64-term unrolled
+        # tree costs ~1s of Catalyst planning per occurrence (measured
+        # r12: 3 trees ~3.1s steady, 1 tree ~1.9s, 0 trees ~1.0s at
+        # bench scale), while HOF evaluation is interpreted per element
+        # — the right trade exactly where evaluation count is O(rows),
+        # not O(pairs). The cross dot below stays unrolled: it runs
+        # once per (row x query) pair and codegen register arithmetic
+        # is what survives a billion-pair batch. Same exact integer
+        # either way — bit-identical under the sqrt.
+        return F.aggregate(
+            F.zip_with(a, a, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
     # The quantized self-norms are hoisted to the join INPUTS (r12
     # profile of sim_quantized_grouped_topk): inside the joined select
     # each per-pair row would re-evaluate int_dot(qa,qa) once per query
     # and int_dot(qb,qb) once per embedding row — 3x64 unrolled integer
     # terms per pair instead of the 64 the cross score actually needs.
-    # sqrt over the same exact integer keeps the result bit-identical.
     emb = (
         quantize_int8(embeddings, vec_col, "qa")
         .select(
@@ -683,7 +698,7 @@ def quantized_topk(
             *[F.col(g) for g in groups],
         )
         .withColumn(
-            "_qna", F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+            "_qna", F.sqrt(int_self_dot_hof(F.col("qa")).cast("double"))
         )
     )
     qry = (
@@ -695,7 +710,7 @@ def quantized_topk(
             norm(F.col(query_vec_col)).alias("_nb"),
         )
         .withColumn(
-            "_qnb", F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+            "_qnb", F.sqrt(int_self_dot_hof(F.col("qb")).cast("double"))
         )
     )
 
