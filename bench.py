@@ -491,6 +491,10 @@ def warmup(spark, sf_dir: str) -> None:
             # profile 1.23s first -> 0.87-0.97s steady (re-pinned to
             # its history median alongside)
             "ts_anomaly_robust_mad",
+            # came within 0.026s of the hard gate on the r12 canonical
+            # sweep (1.93x of a pin all 12 later recordings exceed);
+            # profile 0.54s first -> 0.31-0.43s steady, re-pinned too
+            "win_time_range_rolling",
         ):
             try:
                 CORPUS[warm_q].builder(spark, warm_sf).collect()
