@@ -49,7 +49,252 @@ PRIORITY: list[str] = [
     # hand RECERT + --lead first, then the never-driver-certified
     # backlog family-grouped, then git-derived re-cert candidates
     # (implementation changed since their last green row; oldest
-    # row first), then everything else.
+    # row first), then everything else — certified names ordered
+    # oldest-last-green-row first so the driver window cyclically
+    # refreshes stale certifications (VERDICT r12 ask #1).
+    "text_winnowing_fingerprints",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "text_pii_redaction",
+    "pipeline_decontaminate_ngrams",
+    "text_boilerplate_ngrams",
+    "join_bloom_prefilter",
+    "events_rolling_active_users",
+    "events_sessionization_batch",
+    "events_attribution_last_touch",
+    "pipeline_scd2_intervals",
+    "pipeline_ngram_lm_quality",
+    "pipeline_stratified_sample",
+    "pipeline_domain_cap",
+    "events_path_transitions",
+    "text_tfidf_keywords",
+    "text_zipf_token_curve",
+    "multimodal_pixel_dedup",
+    "fn_bitwise_family",
+    "fn_trig_family",
+    "agg_histogram_numeric",
+    "agg_higher_moments",
+    "events_rfm_segments",
+    "events_anomaly_daily_zscore",
+    "sim_centroid_per_label",
+    "pipeline_mixture_weights",
+    "join_pit_dimension",
+    "graph_pagerank_trade",
+    "quality_expectations",
+    "agg_heavy_hitters_mg",
+    "pipeline_vocab_coverage",
+    "dedup_url_canonical",
+    "fn_string_distance",
+    "graph_triangle_count",
+    "ts_downsample_m4",
+    "ts_exp_decay_features",
+    "pipeline_filter_funnel",
+    "dedup_cluster_survivorship",
+    "udf_arrow_python_scalar",
+    "agg_smoothed_rate_ranking",
+    "events_funnel_daily",
+    "events_inactivity_churn",
+    "events_ab_test_lift",
+    "events_market_basket_lift",
+    "events_gini_concentration",
+    "events_rate_change_ztest",
+    "events_bot_detection",
+    "events_user_entropy",
+    "events_dau_mau_stickiness",
+    "events_survival_km",
+    "events_session_depth_curve",
+    "events_time_to_convert",
+    "events_ltv_cohort_curve",
+    "events_new_vs_returning_daily",
+    "events_hour_of_day_profile",
+    "agg_benford_first_digit",
+    "agg_countmin_heavy_terms",
+    "agg_pmi_type_dayofweek",
+    "agg_bool_count_if_family",
+    "agg_grouping_id_labeled",
+    "agg_arg_min_max_family",
+    "agg_kmv_distinct_estimate",
+    "agg_linear_counting_distinct",
+    "agg_mom_growth",
+    "agg_chi_square_independence",
+    "agg_theil_decomposition",
+    "agg_trimmed_winsorized_mean",
+    "agg_hhi_concentration",
+    "agg_share_of_parent_rollup",
+    "ts_seasonal_naive_backtest",
+    "ts_anomaly_robust_mad",
+    "ts_ohlc_bars",
+    "ts_autocorrelation_lags",
+    "ts_cusum_changepoint",
+    "ts_weekday_seasonal_index",
+    "text_vocab_growth_heaps",
+    "fn_variant_semistructured",
+    "fn_collation_ci_grouping",
+    "fn_try_error_safe",
+    "fn_url_parse_family",
+    "fn_encoding_family",
+    "fn_make_datetime_family",
+    "fn_string_inspection_family",
+    "fn_char_byte_family",
+    "win_gaps_islands_streaks",
+    "win_time_range_rolling",
+    "win_running_distinct_types",
+    "win_rolling_median_daily",
+    "win_max_drawdown_curve",
+    "win_decile_transition_matrix",
+    "sim_hybrid_rrf_fusion",
+    "sim_mmr_rerank",
+    "sim_ranking_metrics_ndcg",
+    "sim_threshold_sweep",
+    "sim_vector_stats_profile",
+    "text_code_detection",
+    "text_rake_phrases",
+    "text_js_divergence_lang",
+    "text_term_burstiness",
+    "text_tfidf_doc_similarity",
+    "pipeline_doc_chunking",
+    "pipeline_span_corruption",
+    "pipeline_bpe_pair_merges",
+    "pipeline_conversation_assembly",
+    "pipeline_dataset_card_by_source",
+    "pipeline_importance_resampling",
+    "pipeline_padding_waste_report",
+    "pipeline_doc_feature_vector",
+    "pipeline_epoch_shuffle_batches",
+    "graph_label_propagation",
+    "graph_bfs_shortest_hops",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_peel",
+    "graph_reciprocity_profile",
+    "join_bucketed_colocate",
+    "join_dynamic_partition_pruning",
+    "join_null_safe_keys",
+    "join_interval_coalesce_union",
+    "sub_in_exists_family",
+    "sub_quantified_all_any",
+    "ingest_orc_roundtrip",
+    "ts_cross_correlation_leadlag",
+    "agg_collect_sorted",
+    "agg_cube_orders",
+    "agg_decimal_exact",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_pivot_status_by_priority",
+    "agg_rollup_revenue",
+    "agg_stats_by_nation",
+    "fn_cast_matrix",
+    "fn_conditional_null",
+    "fn_datetime_family",
+    "fn_epoch_transforms",
+    "fn_map_ops",
+    "fn_map_struct_json",
+    "fn_regex_family",
+    "fn_string_family",
+    "join_anti_inactive_1995",
+    "join_asof_purchase_after_signup",
+    "join_cross_region_nation",
+    "join_full_outer_daily_activity",
+    "join_inner_customer_totals",
+    "join_interval_overlap_orders",
+    "join_left_missing_side",
+    "join_range_size_buckets",
+    "join_semi_big_spenders",
+    "join_theta_late_shipments",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "setop_drop_duplicates",
+    "setop_except_all",
+    "setop_except_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "sort_four_null_orderings",
+    "sub_scalar_correlated",
+    "win_first_last_nth",
+    "win_lag_lead_order_gaps",
+    "win_moving_avg",
+    "win_range_frame_balance",
+    "win_rank_family",
+    "win_running_totals",
+    "win_topk_per_group",
+    "agg_dispersion_variants",
+    "fn_array_family2",
+    "fn_array_generators",
+    "fn_conditional_null2",
+    "fn_datetime_family2",
+    "fn_hash_portable",
+    "fn_json_family2",
+    "fn_map_family2",
+    "fn_null_safe_equality",
+    "fn_string_family2",
+    "fn_struct_inline",
+    "ingest_csv_json_parquet",
+    "multimodal_decode_features",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_language_id",
+    "text_stats_profile",
+    "text_token_counts_by_lang",
+    "udf_grouped_agg_median",
+    "udf_grouped_map_zscore",
+    "udf_map_in_arrow_bytes",
+    "udf_scalar_pandas_bucket",
+    "udf_scalar_python_classify",
+    "udf_udtf_sequence",
+    "agg_corr_covar",
+    "agg_percentiles_regression",
+    "fn_array_hof_family",
+    "fn_math_family",
+    "fn_unpivot_melt",
+    "join_lateral_topn",
+    "multimodal_audio_features",
+    "multimodal_resize_thumbnail",
+    "multimodal_video_frame_sample",
+    "pipeline_sequence_packing",
+    "pipeline_train_test_split",
+    "prepare_training_corpus",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q13_customer_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "text_repetition_signals",
+    "ts_gapfill_interpolate",
+    "stream_trending_topk",
+    "agg_weighted_percentiles",
+    "events_concurrent_peak",
+    "events_powerlaw_rank_fit",
+    "events_revenue_pareto_deciles",
+    "pipeline_curriculum_stages",
+    "stream_windowed_distinct_users",
+    "win_skyline_pareto_frontier",
+    "join_asof_tolerance_left",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_tumbling_window",
+    "table_snapshots_metadata",
+    "table_time_travel",
+    "table_typed_columns_roundtrip",
     "table_vacuum_lifecycle_audit",
     "table_wap_publish",
     "table_zorder_rewrite",
@@ -100,249 +345,6 @@ PRIORITY: list[str] = [
     "table_scan_pushdown",
     "table_schema_evolution_scan",
     "table_snapshot_ancestry",
-    "table_snapshots_metadata",
-    "table_time_travel",
-    "table_typed_columns_roundtrip",
-    "text_repetition_signals",
-    "ts_gapfill_interpolate",
-    "stream_trending_topk",
-    "agg_weighted_percentiles",
-    "events_concurrent_peak",
-    "events_powerlaw_rank_fit",
-    "events_revenue_pareto_deciles",
-    "pipeline_curriculum_stages",
-    "stream_windowed_distinct_users",
-    "win_skyline_pareto_frontier",
-    "join_asof_tolerance_left",
-    "stream_dedup_event_ids",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_static_enrichment",
-    "stream_stream_click_purchase",
-    "stream_tumbling_window",
-    "udf_map_in_arrow_bytes",
-    "udf_scalar_pandas_bucket",
-    "udf_scalar_python_classify",
-    "udf_udtf_sequence",
-    "agg_corr_covar",
-    "agg_percentiles_regression",
-    "fn_array_hof_family",
-    "fn_math_family",
-    "fn_unpivot_melt",
-    "join_lateral_topn",
-    "multimodal_audio_features",
-    "multimodal_resize_thumbnail",
-    "multimodal_video_frame_sample",
-    "pipeline_sequence_packing",
-    "pipeline_train_test_split",
-    "prepare_training_corpus",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines_by_status",
-    "q13_customer_order_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "sort_four_null_orderings",
-    "sub_scalar_correlated",
-    "win_first_last_nth",
-    "win_lag_lead_order_gaps",
-    "win_moving_avg",
-    "win_range_frame_balance",
-    "win_rank_family",
-    "win_running_totals",
-    "win_topk_per_group",
-    "agg_dispersion_variants",
-    "fn_array_family2",
-    "fn_array_generators",
-    "fn_conditional_null2",
-    "fn_datetime_family2",
-    "fn_hash_portable",
-    "fn_json_family2",
-    "fn_map_family2",
-    "fn_null_safe_equality",
-    "fn_string_family2",
-    "fn_struct_inline",
-    "ingest_csv_json_parquet",
-    "multimodal_decode_features",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_language_id",
-    "text_stats_profile",
-    "text_token_counts_by_lang",
-    "udf_grouped_agg_median",
-    "udf_grouped_map_zscore",
-    "sub_in_exists_family",
-    "sub_quantified_all_any",
-    "ingest_orc_roundtrip",
-    "ts_cross_correlation_leadlag",
-    "agg_collect_sorted",
-    "agg_cube_orders",
-    "agg_decimal_exact",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_multi_distinct",
-    "agg_pivot_status_by_priority",
-    "agg_rollup_revenue",
-    "agg_stats_by_nation",
-    "fn_cast_matrix",
-    "fn_conditional_null",
-    "fn_datetime_family",
-    "fn_epoch_transforms",
-    "fn_map_ops",
-    "fn_map_struct_json",
-    "fn_regex_family",
-    "fn_string_family",
-    "join_anti_inactive_1995",
-    "join_asof_purchase_after_signup",
-    "join_cross_region_nation",
-    "join_full_outer_daily_activity",
-    "join_inner_customer_totals",
-    "join_interval_overlap_orders",
-    "join_left_missing_side",
-    "join_range_size_buckets",
-    "join_semi_big_spenders",
-    "join_theta_late_shipments",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "setop_drop_duplicates",
-    "setop_except_all",
-    "setop_except_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "text_vocab_growth_heaps",
-    "fn_variant_semistructured",
-    "fn_collation_ci_grouping",
-    "fn_try_error_safe",
-    "fn_url_parse_family",
-    "fn_encoding_family",
-    "fn_make_datetime_family",
-    "fn_string_inspection_family",
-    "fn_char_byte_family",
-    "win_gaps_islands_streaks",
-    "win_time_range_rolling",
-    "win_running_distinct_types",
-    "win_rolling_median_daily",
-    "win_max_drawdown_curve",
-    "win_decile_transition_matrix",
-    "sim_hybrid_rrf_fusion",
-    "sim_mmr_rerank",
-    "sim_ranking_metrics_ndcg",
-    "sim_threshold_sweep",
-    "sim_vector_stats_profile",
-    "text_code_detection",
-    "text_rake_phrases",
-    "text_js_divergence_lang",
-    "text_term_burstiness",
-    "text_tfidf_doc_similarity",
-    "pipeline_doc_chunking",
-    "pipeline_span_corruption",
-    "pipeline_bpe_pair_merges",
-    "pipeline_conversation_assembly",
-    "pipeline_dataset_card_by_source",
-    "pipeline_importance_resampling",
-    "pipeline_padding_waste_report",
-    "pipeline_doc_feature_vector",
-    "pipeline_epoch_shuffle_batches",
-    "graph_label_propagation",
-    "graph_bfs_shortest_hops",
-    "graph_jaccard_link_prediction",
-    "graph_kcore_peel",
-    "graph_reciprocity_profile",
-    "join_bucketed_colocate",
-    "join_dynamic_partition_pruning",
-    "join_null_safe_keys",
-    "join_interval_coalesce_union",
-    "udf_arrow_python_scalar",
-    "agg_smoothed_rate_ranking",
-    "events_funnel_daily",
-    "events_inactivity_churn",
-    "events_ab_test_lift",
-    "events_market_basket_lift",
-    "events_gini_concentration",
-    "events_rate_change_ztest",
-    "events_bot_detection",
-    "events_user_entropy",
-    "events_dau_mau_stickiness",
-    "events_survival_km",
-    "events_session_depth_curve",
-    "events_time_to_convert",
-    "events_ltv_cohort_curve",
-    "events_new_vs_returning_daily",
-    "events_hour_of_day_profile",
-    "agg_benford_first_digit",
-    "agg_countmin_heavy_terms",
-    "agg_pmi_type_dayofweek",
-    "agg_bool_count_if_family",
-    "agg_grouping_id_labeled",
-    "agg_arg_min_max_family",
-    "agg_kmv_distinct_estimate",
-    "agg_linear_counting_distinct",
-    "agg_mom_growth",
-    "agg_chi_square_independence",
-    "agg_theil_decomposition",
-    "agg_trimmed_winsorized_mean",
-    "agg_hhi_concentration",
-    "agg_share_of_parent_rollup",
-    "ts_seasonal_naive_backtest",
-    "ts_anomaly_robust_mad",
-    "ts_ohlc_bars",
-    "ts_autocorrelation_lags",
-    "ts_cusum_changepoint",
-    "ts_weekday_seasonal_index",
-    "text_winnowing_fingerprints",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "text_pii_redaction",
-    "pipeline_decontaminate_ngrams",
-    "text_boilerplate_ngrams",
-    "join_bloom_prefilter",
-    "events_rolling_active_users",
-    "events_sessionization_batch",
-    "events_attribution_last_touch",
-    "pipeline_scd2_intervals",
-    "pipeline_ngram_lm_quality",
-    "pipeline_stratified_sample",
-    "pipeline_domain_cap",
-    "events_path_transitions",
-    "text_tfidf_keywords",
-    "text_zipf_token_curve",
-    "multimodal_pixel_dedup",
-    "fn_bitwise_family",
-    "fn_trig_family",
-    "agg_histogram_numeric",
-    "agg_higher_moments",
-    "events_rfm_segments",
-    "events_anomaly_daily_zscore",
-    "sim_centroid_per_label",
-    "pipeline_mixture_weights",
-    "join_pit_dimension",
-    "graph_pagerank_trade",
-    "quality_expectations",
-    "agg_heavy_hitters_mg",
-    "pipeline_vocab_coverage",
-    "dedup_url_canonical",
-    "fn_string_distance",
-    "graph_triangle_count",
-    "ts_downsample_m4",
-    "ts_exp_decay_features",
-    "pipeline_filter_funnel",
-    "dedup_cluster_survivorship",
     "agg_approx_sketches",
     "fn_hash_engine_specific",
 ]

@@ -538,7 +538,13 @@ def rotation(lead: "list[str] | None" = None) -> list[str]:
        the backlog leaves and drain over subsequent rounds.
     4. Everything else: never-certified rows-only queries first
        (ADVICE r6 #1 — so they can eventually receive their weaker
-       driver check), then certified names in prior order.
+       driver check), then certified names ordered by the AGE of
+       their last green driver row — oldest round first (VERDICT r12
+       ask #1: with the backlog and re-cert queues both empty, the
+       window's marginal value is staleness refresh, so the driver
+       re-certifies the corpus cyclically, ~6 rounds per full cycle).
+       Certified terminal rows-only names keep their place at the very
+       end (they can never receive a hash upgrade).
     """
     from iceberg_rs_spark.plans import corpus
 
@@ -578,6 +584,10 @@ def rotation(lead: "list[str] | None" = None) -> list[str]:
         key=lambda n: (
             n in certified,
             corpus.CORPUS[n].oracle is None,
+            # oldest last-green row first (cyclic staleness refresh);
+            # within one round keep the prior relative order so family
+            # grouping survives the rotation
+            greens.get(n, "") if n in certified else "",
             cur_order.get(n, 10**6),
         )
     )
@@ -609,7 +619,9 @@ def write_priority(names: list[str], path: "str | None" = None) -> None:
     lines.append("    # hand RECERT + --lead first, then the never-driver-certified")
     lines.append("    # backlog family-grouped, then git-derived re-cert candidates")
     lines.append("    # (implementation changed since their last green row; oldest")
-    lines.append("    # row first), then everything else.")
+    lines.append("    # row first), then everything else — certified names ordered")
+    lines.append("    # oldest-last-green-row first so the driver window cyclically")
+    lines.append("    # refreshes stale certifications (VERDICT r12 ask #1).")
     for n in names:
         lines.append(f'    "{n}",')
     lines.append("]")

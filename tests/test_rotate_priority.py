@@ -89,6 +89,31 @@ class TestRotation:
         oracle_flags = [corpus.CORPUS[n].oracle is None for n in cert_rest]
         assert oracle_flags == sorted(oracle_flags)
 
+    def test_certified_tail_is_age_ordered(self):
+        """VERDICT r12 ask #1: once the backlog and re-cert queues are
+        empty, the window's value is staleness refresh — the certified
+        (oracle-backed) tail must be ordered by the age of each name's
+        LAST green driver row, oldest round first, so the driver
+        re-certifies the corpus cyclically (~6 rounds per full cycle)."""
+        from scripts.rotate_priority import _last_green_rounds, derived_recert
+
+        corpus = _load_corpus_module()
+        cert = certified_names()
+        greens = _last_green_rounds()
+        rot = rotation([])
+        skip = set(getattr(corpus, "RECERT", [])) | set(derived_recert())
+        cert_tail = [
+            n
+            for n in rot
+            if n in cert
+            and n not in skip
+            and corpus.CORPUS[n].oracle is not None
+        ]
+        rounds = [greens[n] for n in cert_tail]
+        assert rounds == sorted(rounds), (
+            "certified tail not age-ordered (oldest green row must lead)"
+        )
+
     def test_stale_priority_head_fails_ci(self):
         """VERDICT r6 ask #2: a stale PRIORITY head must FAIL CI, not
         print a log line. Whenever the never-certified backlog is
