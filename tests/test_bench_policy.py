@@ -232,6 +232,125 @@ class TestMidsweepSentinel:
         assert 18 < bench.RETIME_STORM_THRESHOLD <= 55
 
 
+class TestRetimeStormCorroboration:
+    """ADVICE r12 #1: a retime count past the threshold alone must NOT
+    suppress flags — a real regression in shared code (barrier(),
+    quantize, session config) can slow >25 queries across families and
+    would suppress its own flags as 'box noise'. The storm verdict now
+    needs corroboration: an independent ambient-channel breach, or
+    family-scattered retimes whose retries did NOT reproduce the
+    slowdown. VERDICT r12 ask #6: the threshold itself is derived from
+    the recorded clean-sweep retime-count distribution, floor = the
+    static constant."""
+
+    @staticmethod
+    def _retimed(n, families=8, retry_fast=True):
+        out = {}
+        for i in range(n):
+            fam = f"fam{i % families}"
+            out[f"{fam}_q{i}"] = {
+                "first": 3.0,
+                "retry": 0.9 if retry_fast else 2.8,
+                "accepted": True,
+                "trigger": "pin",
+            }
+        return out
+
+    @staticmethod
+    def _pins(retimed):
+        return {n: 1.0 for n in retimed}
+
+    def test_below_threshold_is_not_even_a_candidate(self):
+        retimed = self._retimed(5)
+        storm, info = bench.retime_storm_verdict(
+            retimed, self._pins(retimed), {}, channel_breach=False
+        )
+        assert not storm and not info["candidate"]
+
+    def test_channel_breach_corroborates(self):
+        retimed = self._retimed(30)
+        storm, info = bench.retime_storm_verdict(
+            retimed, self._pins(retimed), {}, channel_breach=True
+        )
+        assert storm and info["corroborated_by"] == "ambient-channel"
+
+    def test_scattered_one_offs_corroborate(self):
+        # the r12 disk-episode shape: retimes scattered across many
+        # families, every retry back at steady state
+        retimed = self._retimed(30, families=10, retry_fast=True)
+        storm, info = bench.retime_storm_verdict(
+            retimed, self._pins(retimed), {}, channel_breach=False
+        )
+        assert storm and "scatter" in info["corroborated_by"]
+
+    def test_reproduced_slowdown_keeps_flags(self):
+        # the shared-code-regression shape the advice names: >threshold
+        # retimes, scattered, but the retries are SLOW TOO — candidate
+        # recorded, flags kept (no storm)
+        retimed = self._retimed(30, families=10, retry_fast=False)
+        storm, info = bench.retime_storm_verdict(
+            retimed, self._pins(retimed), {}, channel_breach=False
+        )
+        assert not storm
+        assert info["candidate"]
+        assert info["corroborated_by"] is None
+        assert info["one_off_fraction"] < bench.RETIME_STORM_ONEOFF_FRACTION
+
+    def test_concentrated_family_keeps_flags(self):
+        # one family, even with fast retries: a touched-family
+        # regression pattern, not scatter — no suppression without a
+        # channel breach
+        retimed = self._retimed(30, families=1, retry_fast=True)
+        storm, info = bench.retime_storm_verdict(
+            retimed, self._pins(retimed), {}, channel_breach=False
+        )
+        assert not storm and info["candidate"]
+
+    def test_prev_reference_counts_for_reproduction(self):
+        # a not-yet-pinned query's reproduction check falls back to the
+        # previous recording, mirroring the retime trigger itself
+        retimed = self._retimed(30, families=10, retry_fast=False)
+        prev = {n: 1.0 for n in retimed}
+        storm, info = bench.retime_storm_verdict(
+            retimed, {}, prev, channel_breach=False
+        )
+        assert not storm and info["one_off_fraction"] < 0.5
+
+    def test_derived_threshold_fallback_below_min_samples(self):
+        t, n = bench.derived_retime_storm_threshold([0, 1, 2])
+        assert t == bench.RETIME_STORM_THRESHOLD and n == 3
+
+    def test_derived_threshold_floors_at_static_from_seed_history(self):
+        # the 22 committed clean sweeps through r12: p99*1.3 ~ 12,
+        # below the static floor — the derived bar must not TIGHTEN
+        seed = [1, 0, 10, 0, 1, 2, 2, 4, 0, 0, 0,
+                1, 1, 1, 0, 6, 1, 0, 0, 0, 3, 0]
+        t, n = bench.derived_retime_storm_threshold(seed)
+        assert t == bench.RETIME_STORM_THRESHOLD and n == 22
+
+    def test_derived_threshold_widens_with_evidence(self):
+        t, _ = bench.derived_retime_storm_threshold([22] * 10)
+        assert bench.RETIME_STORM_THRESHOLD < t <= bench.RETIME_STORM_CEIL
+
+    def test_derived_threshold_ceiling(self):
+        t, _ = bench.derived_retime_storm_threshold([100] * 10)
+        assert t == bench.RETIME_STORM_CEIL
+
+    def test_baseline_file_carries_the_seed_distribution(self):
+        """The committed BENCH_BASELINE.json must hold the clean-sweep
+        retime counts the derived threshold reads (VERDICT r12 ask #6),
+        enough of them to activate the derived path."""
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(bench.__file__), "BENCH_BASELINE.json")
+        doc = json.load(open(path))
+        samples = doc.get("retime_count_samples")
+        assert samples and len(samples) >= bench.MIN_RETIME_SAMPLES
+        t, _ = bench.derived_retime_storm_threshold(samples)
+        assert t >= bench.RETIME_STORM_THRESHOLD
+
+
 class TestDerivedThreshold:
     """VERDICT r11 #4: the CPU gate derived from the recorded rolling
     idle distribution (p99 x margin) instead of the bare static
