@@ -676,9 +676,14 @@ def quantized_topk(
         # not O(pairs). The cross dot below stays unrolled: it runs
         # once per (row x query) pair and codegen register arithmetic
         # is what survives a billion-pair batch. Same exact integer
-        # either way — bit-identical under the sqrt.
+        # either way — bit-identical under the sqrt. The slice pins the
+        # summed range to elements 1..dim, exactly the elements the
+        # unrolled cross dot reads (ADVICE r12: an input vector longer
+        # than dim would otherwise fold its tail into the self-norm but
+        # not the cross score, changing qcos for over-length inputs).
+        head = F.slice(a, 1, dim)
         return F.aggregate(
-            F.zip_with(a, a, lambda x, y: x.cast("long") * y.cast("long")),
+            F.zip_with(head, head, lambda x, y: x.cast("long") * y.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )

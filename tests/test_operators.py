@@ -1094,6 +1094,53 @@ class TestQuantization:
         recall = len(exact & quant) / len(exact)
         assert recall >= 0.9, f"quantized top-5 recall {recall}"
 
+    def test_quantized_topk_selfnorm_range_matches_cross_dot(self, spark):
+        """ADVICE r12: the HOF self-norm must sum exactly elements
+        1..dim — the same range the unrolled cross dot reads — so for
+        an input vector LONGER than dim, qcos equals the Python oracle
+        that quantizes over the FULL array (the documented grid:
+        scale = max|x|/127, q = floor(x/scale + 0.5)) but takes BOTH
+        the dot product and the norms over elements 1..dim only. The
+        pre-fix self-norm folded the tail into the norms but not the
+        cross score, deflating qcos for over-length inputs."""
+        import math
+
+        from pyspark.sql import Row
+
+        from iceberg_rs_spark.operators.similarity import quantized_topk
+
+        dim = 4
+        base = {
+            1: [0.9, 0.1, -0.4, 0.2, 5.0, -5.0],
+            2: [0.1, 0.8, 0.3, -0.5, 5.0, -5.0],
+            3: [-0.6, 0.2, 0.7, 0.1, 5.0, -5.0],
+        }
+        qvec = [0.5, 0.5, 0.0, -0.1]
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in base.items()]
+        )
+        q = spark.createDataFrame([Row(query_id=0, query_vec=qvec)])
+
+        def quant(v):
+            scale = max(abs(x) for x in v) / 127.0
+            return [
+                max(-127, min(127, math.floor(x / scale + 0.5))) for x in v
+            ]
+
+        qb = quant(qvec)
+        got = {
+            r.vec_id: r.qcos
+            for r in quantized_topk(emb, q, k=3, dim=dim).collect()
+        }
+        assert set(got) == set(base)
+        for i, v in base.items():
+            qa = quant(v)
+            num = sum(a * b for a, b in zip(qa[:dim], qb[:dim]))
+            den = math.sqrt(sum(a * a for a in qa[:dim])) * math.sqrt(
+                sum(b * b for b in qb[:dim])
+            )
+            assert got[i] == pytest.approx(num / den, rel=1e-12, abs=1e-12)
+
 
 class TestWinnowing:
     def test_staged_matches_unstaged_reference(self, spark, sf_dir):
@@ -1338,6 +1385,140 @@ class TestBfsHops:
     def test_isolated_source_returns_only_itself(self, spark):
         got = self._hops(spark, [(7, 8)], source=0, rounds=3)
         assert got == {0: 0}
+
+
+class TestSkewSafeWedges:
+    """VERDICT r12 ask #3: the graph wedge shapes are Σdeg² — a
+    power-law hub is the graph analog of the dedup hot bucket. The
+    degree-ordered orientation must keep triangle results EXACT while
+    killing the hub's wedge fan-out; the common-neighbour cap must be
+    auditable via hub_exclusion_stats, never silent."""
+
+    @staticmethod
+    def _naive_triangles(spark, edges):
+        # the pre-r13 u<v wedge reference implementation
+        import itertools
+
+        nbrs: dict = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        tris = set()
+        for a, b, c in itertools.combinations(sorted(nbrs), 3):
+            if b in nbrs[a] and c in nbrs[a] and c in nbrs[b]:
+                tris.add((a, b, c))
+        return tris
+
+    def _edges_df(self, spark, edges):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.createDataFrame(edges, "u long, v long")
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def test_oriented_triangles_exact_on_random_graphs(self, spark):
+        """Each triangle exactly once, same set as the brute-force
+        reference, across seeds — orientation must not change results."""
+        import random
+
+        from iceberg_rs_spark.operators.graph import triangles_degree_oriented
+
+        for seed in (7, 23):
+            rng = random.Random(seed)
+            edges = {
+                tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)
+            }
+            df = self._edges_df(spark, sorted(edges))
+            got = [
+                tuple(sorted((r["a"], r["b"], r["c"])))
+                for r in triangles_degree_oriented(df).collect()
+            ]
+            want = self._naive_triangles(spark, edges)
+            assert len(got) == len(set(got)), "triangle emitted twice"
+            assert set(got) == want
+
+    def test_hub_generates_no_oriented_wedges(self, spark):
+        """A star (hub + leaves, no leaf-leaf edges) has zero
+        triangles; under orientation the hub has out-degree 0, so the
+        wedge stage emits nothing — the quadratic regime is closed at
+        the intermediate, not just filtered at the output."""
+        from iceberg_rs_spark.operators.graph import triangles_degree_oriented
+
+        star = [(50, i) for i in range(40)]
+        df = self._edges_df(spark, star)
+        assert triangles_degree_oriented(df).count() == 0
+
+    def test_common_neighbor_pairs_uncapped_matches_bruteforce(self, spark):
+        from iceberg_rs_spark.operators.graph import common_neighbor_pairs
+
+        edges = [(0, 2), (1, 2), (0, 3), (1, 3), (4, 2)]
+        adj_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        adj = spark.createDataFrame(adj_rows, "node long, nbr long")
+        got = {
+            (r["a"], r["b"]): r["common"]
+            for r in common_neighbor_pairs(adj).collect()
+        }
+        # 0,1 share {2,3}; 0,4 share {2}; 1,4 share {2}; 2,3 share {0,1}
+        assert got == {(0, 1): 2, (0, 4): 1, (1, 4): 1, (2, 3): 2}
+
+    def test_cap_excludes_hub_with_exact_accounting(self, spark):
+        from iceberg_rs_spark.operators.graph import (
+            common_neighbor_pairs,
+            hub_exclusion_stats,
+        )
+
+        # hub 100 adjacent to 0..9 (degree 10), plus organic wedge via 50
+        edges = [(100, i) for i in range(10)] + [(0, 50), (1, 50)]
+        adj_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        adj = spark.createDataFrame(adj_rows, "node long, nbr long")
+        capped = {
+            (r["a"], r["b"]): r["common"]
+            for r in common_neighbor_pairs(
+                adj, max_neighbor_degree=5
+            ).collect()
+        }
+        # hub-MEDIATED pairs gone (the 45 pairs among 0..9 whose only
+        # shared neighbour is hub 100); wedges through low-degree
+        # shared neighbours survive — including (50, 100), which share
+        # {0, 1}: the cap is on the SHARED neighbour's degree, a hub as
+        # an endpoint still gets scored
+        assert capped == {(0, 1): 1, (50, 100): 2}
+        stats = hub_exclusion_stats(adj, 5).collect()
+        assert [(r["hub"], r["degree"], r["forgone_wedges"]) for r in stats] == [
+            (100, 10, 45)
+        ]
+        # uncapped: the hub's C(10,2)=45 pairs (0-1 among them, which
+        # also shares 50) plus (50, 100)
+        uncapped = common_neighbor_pairs(adj).collect()
+        assert len(uncapped) == 46
+
+    def test_capped_total_plus_forgone_bounds_uncapped(self, spark):
+        """The accounting identity the probe relies on: forgone_wedges
+        counts pair-generation events, so capped pairs + forgone >=
+        uncapped pairs (equality when no pair shares both a hub and a
+        non-hub neighbour)."""
+        import random
+
+        from iceberg_rs_spark.operators.graph import (
+            common_neighbor_pairs,
+            hub_exclusion_stats,
+        )
+
+        rng = random.Random(11)
+        edges = {tuple(sorted(rng.sample(range(40), 2))) for _ in range(100)}
+        edges |= {(i, 99) for i in range(20)}  # hub 99
+        adj_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        adj = spark.createDataFrame(adj_rows, "node long, nbr long")
+        cap = 10
+        uncapped = common_neighbor_pairs(adj).count()
+        capped = common_neighbor_pairs(adj, max_neighbor_degree=cap).count()
+        forgone = sum(
+            r["forgone_wedges"]
+            for r in hub_exclusion_stats(adj, cap).collect()
+        )
+        assert capped < uncapped <= capped + forgone
 
 
 class TestKCore:
