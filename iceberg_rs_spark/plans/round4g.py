@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_rs_spark.operators import graph as G
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
@@ -95,19 +96,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
-        )
-    )
+    # Degree-ordered orientation (VERDICT r12 ask #3): same triangle
+    # set as the u<v wedge join, each exactly once, but a power-law
+    # hub generates ZERO wedges instead of deg² — the oracle keeps the
+    # naive u<v SQL as the semantic spec while the Spark plan carries
+    # the skew-safe shape (alpha~=1 vs alpha~=2 on the 20%-hub probe,
+    # BASELINE.md r13).
+    tris = G.triangles_degree_oriented(edges)
     members = (
         tris.select(F.col("a").alias("node"))
         .unionAll(tris.select(F.col("b").alias("node")))

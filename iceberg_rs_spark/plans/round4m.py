@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
+from iceberg_rs_spark.operators import graph as G
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
@@ -324,13 +325,12 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         undirected.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    x = adj.select(F.col("node").alias("xa"), F.col("nbr").alias("m"))
-    y = adj.select(F.col("node").alias("yb"), F.col("nbr").alias("m2"))
-    wedges = (
-        x.join(y, (F.col("m") == F.col("m2")) & (F.col("xa") < F.col("yb")))
-        .groupBy(F.col("xa").alias("a"), F.col("yb").alias("b"))
-        .agg(F.countDistinct("m").alias("common"))
-    )
+    # Shared wedge generator (VERDICT r12 ask #3): uncapped here — the
+    # nation graph is dimension-bounded — but the same code path
+    # carries the hub-exclusion guard (max_neighbor_degree) that the
+    # skew probe arms for power-law graphs, so a 100-TB caller flips
+    # one argument instead of rewriting the join.
+    wedges = G.common_neighbor_pairs(adj)
     cands = (
         wedges.join(
             undirected.withColumnRenamed("a", "ea").withColumnRenamed("b", "eb"),
