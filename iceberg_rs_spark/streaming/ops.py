@@ -77,7 +77,7 @@ def replay_to_icelake(
     stream_df: DataFrame,
     table,
     state_partitions: int = 8,
-) -> None:
+) -> StreamingQuery:
     """Stream sink into the icelake table layer: each micro-batch is
     one atomic append commit (``foreachBatch``), replayed to
     completion with ``availableNow``.
@@ -112,6 +112,9 @@ def replay_to_icelake(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # terminated query handle: recentProgress carries the per-batch
+    # metrics the state-size probe reads (scripts/streaming_state_probe.py)
+    return q
 
 
 def replay_cdc_to_icelake(
@@ -120,7 +123,7 @@ def replay_cdc_to_icelake(
     keys: list[str],
     order: list[str],
     state_partitions: int = 8,
-) -> None:
+) -> StreamingQuery:
     """CDC upsert sink: stream → merge-on-read table commits.
 
     Each micro-batch first collapses to its LAST row per key (ROW_NUMBER
@@ -172,6 +175,8 @@ def replay_cdc_to_icelake(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # terminated query handle for per-batch metrics (see replay_to_icelake)
+    return q
 
 
 def tumbling_window_agg(
