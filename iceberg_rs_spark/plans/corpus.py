@@ -52,6 +52,32 @@ PRIORITY: list[str] = [
     # row first), then everything else — certified names ordered
     # oldest-last-green-row first so the driver window cyclically
     # refreshes stale certifications (VERDICT r12 ask #1).
+    "graph_triangle_count",
+    "graph_jaccard_link_prediction",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_trending_topk",
+    "stream_tumbling_window",
+    "stream_windowed_distinct_users",
+    "sim_ann_agreement",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "sim_embedding_high_pairs",
+    "sim_knn_classify",
+    "sim_pq_topk",
+    "sim_quantized_grouped_topk",
+    "sim_quantized_topk",
+    "sim_silhouette_by_label",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "stream_cdc_upsert_icelake",
+    "stream_ingest_icelake",
+    "stream_stateful_user_sessions",
+    "stream_stream_abandoned_clicks",
     "text_winnowing_fingerprints",
     "events_funnel_conversion",
     "events_cohort_retention",
@@ -85,7 +111,6 @@ PRIORITY: list[str] = [
     "pipeline_vocab_coverage",
     "dedup_url_canonical",
     "fn_string_distance",
-    "graph_triangle_count",
     "ts_downsample_m4",
     "ts_exp_decay_features",
     "pipeline_filter_funnel",
@@ -163,7 +188,6 @@ PRIORITY: list[str] = [
     "pipeline_epoch_shuffle_batches",
     "graph_label_propagation",
     "graph_bfs_shortest_hops",
-    "graph_jaccard_link_prediction",
     "graph_kcore_peel",
     "graph_reciprocity_profile",
     "join_bucketed_colocate",
@@ -277,21 +301,13 @@ PRIORITY: list[str] = [
     "q9_product_profit",
     "text_repetition_signals",
     "ts_gapfill_interpolate",
-    "stream_trending_topk",
     "agg_weighted_percentiles",
     "events_concurrent_peak",
     "events_powerlaw_rank_fit",
     "events_revenue_pareto_deciles",
     "pipeline_curriculum_stages",
-    "stream_windowed_distinct_users",
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
-    "stream_dedup_event_ids",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_static_enrichment",
-    "stream_stream_click_purchase",
-    "stream_tumbling_window",
     "table_snapshots_metadata",
     "table_time_travel",
     "table_typed_columns_roundtrip",
@@ -308,25 +324,9 @@ PRIORITY: list[str] = [
     "dedup_simhash_near_pairs",
     "pipeline_dedup_purge",
     "pipeline_training_data",
-    "sim_ann_agreement",
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
-    "sim_embedding_high_pairs",
-    "sim_knn_classify",
-    "sim_pq_topk",
-    "sim_quantized_grouped_topk",
-    "sim_quantized_topk",
-    "sim_silhouette_by_label",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
     "text_containment_pairs",
     "pipeline_lsh_scurve_planner",
     "sim_rank_correlation_kendall",
-    "stream_ingest_icelake",
-    "stream_stateful_user_sessions",
-    "stream_stream_abandoned_clicks",
-    "stream_cdc_upsert_icelake",
     "table_add_files_name_mapping",
     "table_branch_diff_audit",
     "table_branch_tag_reads",
