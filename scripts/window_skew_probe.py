@@ -1,0 +1,115 @@
+"""Per-key window-skew probe for the events family (r13 audit).
+
+The dedup hot bucket (guarded r10) and the graph hub (guarded r13)
+have a third sibling: ``Window.partitionBy(user_id)`` — the shape
+behind the sessionization / gaps-and-islands / per-user running
+aggregates in the events family. A bot user holding a constant
+fraction of all events serializes that user's entire history into ONE
+task: wall clock degrades from volume/cores toward hot_share*volume
+on a single core, and no join strategy, AQE skew hint, or salting
+fixes it (sessions need a total order per key; AQE skew handling
+covers joins and aggregations, not window sort-within-partition).
+
+This probe synthesizes the regime — same row count, uniform keys vs
+one user owning ~20% of events — and times the canonical
+sessionization window plan (lag -> gap flag -> running sum) on both,
+at 1x and 4x volume. It quantifies the exposure; the candidate fix
+(chunked two-pass prefix-sum sessionization, the pattern already used
+by operators/packing.py and the weighted-percentile rewrite) is a
+future-round operator change and deliberately NOT made here.
+
+    python scripts/window_skew_probe.py [--rows 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N_USERS = 10_000
+HOT_SHARE = 0.2
+GAP_S = 1_800
+
+
+def synth(spark, rows: int, hot: bool):
+    """Deterministic (event_id, user_id, ts) stream; ``hot`` routes
+    ~HOT_SHARE of all rows to user 0, the rest uniform."""
+    df = spark.range(rows).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_USERS)).alias("u"),
+        (F.lit(1_700_000_000) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(30 * 86_400)))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    if hot:
+        takeover = F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(1_000_000))
+        df = df.withColumn(
+            "u",
+            F.when(takeover < int(HOT_SHARE * 1_000_000), F.lit(0)).otherwise(
+                F.col("u")
+            ),
+        )
+    return df
+
+
+def sessionize_count(df):
+    """The canonical per-user gaps-and-islands window plan."""
+    w = Window.partitionBy("u").orderBy("ts", "event_id")
+    gaps = df.withColumn(
+        "new_s",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+                F.lit(GAP_S + 1),
+            )
+            > GAP_S
+        ).cast("int"),
+    )
+    return (
+        gaps.groupBy("u")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n"))
+        .agg(F.sum("n_sessions"), F.sum("n"))
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    from iceberg_rs_spark.operators.dedup import barrier
+    from iceberg_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="window-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"rows_1x": args.rows, "n_users": N_USERS, "hot_share": HOT_SHARE}
+    for scale in (1, 4):
+        rows = args.rows * scale
+        for arm in ("uniform", "hot"):
+            df = barrier(synth(spark, rows, hot=(arm == "hot")))
+            df.count()  # materialize input outside the timed section
+            # warm the plan shape once at tiny size
+            sessionize_count(df.limit(1000)).collect()
+            t0 = time.perf_counter()
+            sessionize_count(df).collect()
+            out[f"{arm}_x{scale}_sec"] = round(time.perf_counter() - t0, 3)
+            df.unpersist()
+        out[f"skew_penalty_x{scale}"] = round(
+            out[f"hot_x{scale}_sec"] / out[f"uniform_x{scale}_sec"], 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
