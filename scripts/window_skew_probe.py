@@ -11,12 +11,15 @@ fixes it (sessions need a total order per key; AQE skew handling
 covers joins and aggregations, not window sort-within-partition).
 
 This probe synthesizes the regime — same row count, uniform keys vs
-one user owning ~20% of events — and times the canonical
-sessionization window plan (lag -> gap flag -> running sum) on both,
-at 1x and 4x volume. It quantifies the exposure; the candidate fix
-(chunked two-pass prefix-sum sessionization, the pattern already used
-by operators/packing.py and the weighted-percentile rewrite) is a
-future-round operator change and deliberately NOT made here.
+one user owning ~20% of events — and times, at 1x and 4x volume:
+
+  - the canonical per-key window plan (lag -> gap flag -> sum), and
+  - operators/sessionize.py's session_counts_distributed, the chunked
+    range-partition + edge-stitch plan (no per-key window anywhere),
+
+on both arms. The window plan's hot arm degrades toward
+cores x hot-share; the chunked plan must stay flat (and agree with
+the window plan's totals, asserted in-probe).
 
     python scripts/window_skew_probe.py [--rows 2000000]
 """
@@ -93,19 +96,41 @@ def main() -> None:
     spark = get_spark(app_name="window-skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"rows_1x": args.rows, "n_users": N_USERS, "hot_share": HOT_SHARE}
+    from iceberg_rs_spark.operators.sessionize import (
+        session_counts_distributed,
+    )
+
+    def chunked_count(df):
+        return session_counts_distributed(
+            df, gap=f"{GAP_S} seconds", user_col="u", ts_col="ts",
+            id_col="event_id",
+        ).agg(F.sum("n_sessions"), F.sum("n_events"))
+
     for scale in (1, 4):
         rows = args.rows * scale
         for arm in ("uniform", "hot"):
             df = barrier(synth(spark, rows, hot=(arm == "hot")))
             df.count()  # materialize input outside the timed section
-            # warm the plan shape once at tiny size
+            # warm both plan shapes once at tiny size
             sessionize_count(df.limit(1000)).collect()
+            chunked_count(df.limit(1000)).collect()
             t0 = time.perf_counter()
-            sessionize_count(df).collect()
+            win = sessionize_count(df).collect()[0]
             out[f"{arm}_x{scale}_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            chk = chunked_count(df).collect()[0]
+            out[f"{arm}_x{scale}_chunked_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            assert tuple(win) == tuple(chk), (arm, scale, win, chk)
             df.unpersist()
         out[f"skew_penalty_x{scale}"] = round(
             out[f"hot_x{scale}_sec"] / out[f"uniform_x{scale}_sec"], 2
+        )
+        out[f"skew_penalty_x{scale}_chunked"] = round(
+            out[f"hot_x{scale}_chunked_sec"]
+            / out[f"uniform_x{scale}_chunked_sec"],
+            2,
         )
     print(json.dumps(out))
     spark.stop()
