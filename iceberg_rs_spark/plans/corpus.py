@@ -52,56 +52,6 @@ PRIORITY: list[str] = [
     # row first), then everything else — certified names ordered
     # oldest-last-green-row first so the driver window cyclically
     # refreshes stale certifications (VERDICT r12 ask #1).
-    "graph_triangle_count",
-    "graph_jaccard_link_prediction",
-    "stream_dedup_event_ids",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "stream_static_enrichment",
-    "stream_stream_click_purchase",
-    "stream_trending_topk",
-    "stream_tumbling_window",
-    "stream_windowed_distinct_users",
-    "sim_ann_agreement",
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
-    "sim_embedding_high_pairs",
-    "sim_knn_classify",
-    "sim_pq_topk",
-    "sim_quantized_grouped_topk",
-    "sim_quantized_topk",
-    "sim_silhouette_by_label",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "stream_cdc_upsert_icelake",
-    "stream_ingest_icelake",
-    "stream_stateful_user_sessions",
-    "stream_stream_abandoned_clicks",
-    "text_winnowing_fingerprints",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "text_pii_redaction",
-    "pipeline_decontaminate_ngrams",
-    "text_boilerplate_ngrams",
-    "join_bloom_prefilter",
-    "events_rolling_active_users",
-    "events_sessionization_batch",
-    "events_attribution_last_touch",
-    "pipeline_scd2_intervals",
-    "pipeline_ngram_lm_quality",
-    "pipeline_stratified_sample",
-    "pipeline_domain_cap",
-    "events_path_transitions",
-    "text_tfidf_keywords",
-    "text_zipf_token_curve",
-    "multimodal_pixel_dedup",
-    "fn_bitwise_family",
-    "fn_trig_family",
-    "agg_histogram_numeric",
-    "agg_higher_moments",
-    "events_rfm_segments",
-    "events_anomaly_daily_zscore",
     "sim_centroid_per_label",
     "pipeline_mixture_weights",
     "join_pit_dimension",
@@ -345,6 +295,56 @@ PRIORITY: list[str] = [
     "table_scan_pushdown",
     "table_schema_evolution_scan",
     "table_snapshot_ancestry",
+    "graph_triangle_count",
+    "graph_jaccard_link_prediction",
+    "stream_dedup_event_ids",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "stream_static_enrichment",
+    "stream_stream_click_purchase",
+    "stream_trending_topk",
+    "stream_tumbling_window",
+    "stream_windowed_distinct_users",
+    "sim_ann_agreement",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "sim_embedding_high_pairs",
+    "sim_knn_classify",
+    "sim_pq_topk",
+    "sim_quantized_grouped_topk",
+    "sim_quantized_topk",
+    "sim_silhouette_by_label",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "stream_cdc_upsert_icelake",
+    "stream_ingest_icelake",
+    "stream_stateful_user_sessions",
+    "stream_stream_abandoned_clicks",
+    "text_winnowing_fingerprints",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "text_pii_redaction",
+    "pipeline_decontaminate_ngrams",
+    "text_boilerplate_ngrams",
+    "join_bloom_prefilter",
+    "events_rolling_active_users",
+    "events_sessionization_batch",
+    "events_attribution_last_touch",
+    "pipeline_scd2_intervals",
+    "pipeline_ngram_lm_quality",
+    "pipeline_stratified_sample",
+    "pipeline_domain_cap",
+    "events_path_transitions",
+    "text_tfidf_keywords",
+    "text_zipf_token_curve",
+    "multimodal_pixel_dedup",
+    "fn_bitwise_family",
+    "fn_trig_family",
+    "agg_histogram_numeric",
+    "agg_higher_moments",
+    "events_rfm_segments",
+    "events_anomaly_daily_zscore",
     "agg_approx_sketches",
     "fn_hash_engine_specific",
 ]
