@@ -41,6 +41,7 @@ __all__ = [
     "ntile_global",
     "running_sum_global",
     "running_max_global",
+    "prefix_scan_keyed",
 ]
 
 
@@ -208,6 +209,166 @@ def running_sum_global(
     res = res.drop(*offs)
     res._icelake_packing_cache = getattr(out, "_icelake_packing_cache", None)
     res._icelake_prefix_totals = getattr(out, "_icelake_prefix_totals", {})
+    return res
+
+
+def prefix_scan_keyed(
+    df: DataFrame,
+    key_cols,
+    order_by,
+    weight_col,
+    out_col="running_sum",
+    num_partitions: "int | None" = None,
+    count_col: "str | None" = None,
+) -> DataFrame:
+    """Per-KEY running sum(s) — ``SUM(w) OVER (PARTITION BY key
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — without a per-key
+    window anywhere in the plan (VERDICT r13 ask #5: the
+    generalization of ``operators/sessionize.py``'s chunked pattern to
+    the whole per-key running-aggregate family).
+
+    ``Window.partitionBy(key)`` serializes each key's history into one
+    task, and ``packing.with_global_offset(group_cols=key)`` — the
+    right plan for LOW-cardinality groups — collects one totals row
+    per (partition, group), which is O(distinct keys): data-sized for
+    a per-user key at 100 TB. This operator keeps the driver traffic
+    at O(num_partitions) regardless of key cardinality:
+
+    1. range-partition on ``(key..., order...)`` — a hot key spans
+       many partitions, each holding a contiguous slice of its
+       timeline (the skew guard), while small keys pack contiguously;
+    2. per-(partition, key) totals are aggregated DISTRIBUTED
+       (map-side partial combine), then reduced to one row per
+       partition — first key, last key, and each one's in-partition
+       totals via ``min_by``/``max_by`` — before crossing to the
+       driver: two boundary aggregates per partition, metadata, never
+       one row per key;
+    3. the driver walks partitions in range order stitching the at
+       most ONE key that straddles each boundary (the RangePartitioner
+       contract: partition i's keys precede partition i+1's), and
+       broadcasts back at most one offset row per partition;
+    4. a partition-LOCAL window (``partitionBy(_pid, key...)`` — every
+       chunk bounded by partition size, so its implied shuffle is
+       skew-free) finishes each slice, plus the broadcast offset.
+
+    Null weights follow SQL SUM: a running value is NULL only while
+    every weight seen so far for that key is NULL (the null/non-null
+    combine is applied identically driver-side and in the final
+    expression). Null KEYS form one ordinary group (struct min/max and
+    the null-safe offset join order NULL first, same as the range
+    partitioner).
+
+    ``weight_col``/``out_col`` may be matching lists — all scans share
+    the one range partition, one totals pass, and one local window.
+    ``count_col`` additionally emits the per-key running row COUNT
+    (a constant-1 weight riding the same passes). ``order_by`` must
+    reach a per-key-unique tiebreak for deterministic output, same as
+    the SQL side. Differential-pinned against the native per-key
+    window plan (random, hot-key, null, and multi-weight arms) in
+    tests/test_distwin.py; scale curve measured by the prefix arm of
+    scripts/window_skew_probe.py."""
+    from pyspark.storagelevel import StorageLevel
+
+    from iceberg_rs_spark.operators.packing import _PERSISTED, _resolve_partitions
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in _order_list(order_by)
+    ]
+    multi = not isinstance(weight_col, str)
+    weights = list(weight_col) if multi else [weight_col]
+    outs = list(out_col) if multi else [out_col]
+    if len(weights) != len(outs):
+        raise ValueError("weight_col and out_col lengths differ")
+    work = df
+    if count_col is not None:
+        work = work.withColumn("_psk_one", F.lit(1).cast("long"))
+        weights.append("_psk_one")
+        outs.append(count_col)
+
+    num_partitions = _resolve_partitions(work, num_partitions)
+    ranged = work.repartitionByRange(
+        num_partitions, *[F.col(k) for k in keys], *order_exprs
+    ).withColumn("_pid", F.spark_partition_id())
+    # Same barrier rationale as with_global_offset: the boundary pass
+    # and the final pass must see identical partition contents.
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(ranged)
+
+    kstruct = F.struct(*[F.col(k) for k in keys])
+    per_key = ranged.groupBy("_pid", *keys).agg(
+        *[F.sum(w).alias(f"_t{i}") for i, w in enumerate(weights)]
+    )
+    tstruct = F.struct(*[F.col(f"_t{i}") for i in range(len(weights))])
+    edges = (
+        per_key.groupBy("_pid")
+        .agg(
+            F.min(kstruct).alias("_lo"),
+            F.max(kstruct).alias("_hi"),
+            F.min_by(tstruct, kstruct).alias("_lo_t"),
+            F.max_by(tstruct, kstruct).alias("_hi_t"),
+        )
+        .collect()
+    )
+    edges.sort(key=lambda r: r["_pid"])
+
+    def _combine(a, b):  # SQL SUM null semantics, element-wise
+        return tuple(
+            y if x is None else (x if y is None else x + y)
+            for x, y in zip(a, b)
+        )
+
+    carry_key: "tuple | None" = None
+    carry: "tuple | None" = None
+    corrections = []  # one row per chain-continuing partition, max
+    for e in edges:
+        lo, hi = tuple(e["_lo"]), tuple(e["_hi"])
+        hi_t = tuple(e["_hi_t"])
+        if carry_key is not None and lo == carry_key:
+            corrections.append((int(e["_pid"]), *lo, *carry))
+            if hi == carry_key:
+                carry = _combine(carry, hi_t)
+                continue
+        carry_key, carry = hi, hi_t
+
+    ttypes = dict(per_key.dtypes)
+    ktypes = dict(work.select(*keys).dtypes)
+    corr_schema = ", ".join(
+        ["_pid int"]
+        + [f"{k} {ktypes[k]}" for k in keys]
+        + [f"_pso{i} {ttypes[f'_t{i}']}" for i in range(len(weights))]
+    )
+    off_df = work.sparkSession.createDataFrame(corrections, corr_schema)
+    cond = F.col(f"_l._pid") == F.col("_r._pid")
+    for k in keys:
+        cond = cond & F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+    joined = ranged.alias("_l").join(
+        F.broadcast(off_df).alias("_r"), cond, "left"
+    ).select(
+        *[F.col(f"_l.{c}") for c in ranged.columns],
+        *[F.col(f"_r._pso{i}") for i in range(len(weights))],
+    )
+    win = (
+        Window.partitionBy("_pid", *keys)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    res = joined
+    for i, (w, oc) in enumerate(zip(weights, outs)):
+        local = F.sum(w).over(win)
+        off = F.col(f"_pso{i}")
+        res = res.withColumn(
+            oc,
+            F.when(off.isNull() & local.isNull(), F.lit(None)).otherwise(
+                F.coalesce(off, F.lit(0)) + F.coalesce(local, F.lit(0))
+            ),
+        )
+    res = res.drop("_pid", *[f"_pso{i}" for i in range(len(weights))])
+    if count_col is not None:
+        res = res.withColumn(count_col, F.col(count_col).cast("long")).drop(
+            "_psk_one"
+        )
+    res._icelake_packing_cache = ranged
     return res
 
 

@@ -226,11 +226,18 @@ def triangles_degree_oriented(
     (rank-min, rank-mid, rank-max) under the (degree, id) rank — the
     same exactly-once guarantee the u<v wedge method gives, so per-node
     triangle counts and clustering coefficients are bit-identical.
+    Self-loops are filtered before orientation (a (u,u) row would give
+    src=dst with equal ranks and could pair with a real out-edge into a
+    degenerate left_semi-confirmable wedge, fabricating a triangle
+    {u,u,w} — ADVICE r13 #2), so the exactly-once guarantee holds for
+    any input edge list, loops included, not just pre-cleaned ones.
     Three shuffles, all on node ids: degree aggregation, wedge
     self-join on the wedge apex, closing-edge equi-join.
     """
     e = barrier(
-        edges.select(F.col(u).alias("u"), F.col(v).alias("v")).distinct()
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
     )
     deg = (
         e.select(F.col("u").alias("node"))

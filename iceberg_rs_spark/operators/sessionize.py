@@ -170,20 +170,24 @@ def session_counts_window(
 ) -> DataFrame:
     """The classic per-key window plan — the differential reference
     (and the right plan when per-key volume is bounded: one shuffle,
-    no driver round-trip)."""
+    no driver round-trip). Gaps compare EXACT fractional seconds
+    (timestamp cast to double = epoch seconds incl. microseconds), the
+    same comparison ``session_counts_distributed`` runs — whole-second
+    ``unix_timestamp`` truncation would merge a ``gap + 0.5s`` split
+    the distributed plan keeps (ADVICE r13 #1)."""
     import pandas as pd
 
     from pyspark.sql import Window
 
     gap_s = float(pd.Timedelta(gap).total_seconds())
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ts_d = F.col(ts_col).cast("double")
     flagged = events.withColumn(
         "_new",
         (
             F.coalesce(
-                F.unix_timestamp(ts_col)
-                - F.unix_timestamp(F.lag(ts_col).over(w)),
-                F.lit(gap_s + 1),
+                ts_d - F.lag(ts_d).over(w),
+                F.lit(gap_s + 1.0),
             )
             > gap_s
         ).cast("long"),

@@ -52,6 +52,9 @@ PRIORITY: list[str] = [
     # row first), then everything else — certified names ordered
     # oldest-last-green-row first so the driver window cyclically
     # refreshes stale certifications (VERDICT r12 ask #1).
+    "events_sessionization_distributed",
+    "graph_jaccard_link_prediction",
+    "graph_triangle_count",
     "sim_centroid_per_label",
     "pipeline_mixture_weights",
     "join_pit_dimension",
@@ -295,8 +298,6 @@ PRIORITY: list[str] = [
     "table_scan_pushdown",
     "table_schema_evolution_scan",
     "table_snapshot_ancestry",
-    "graph_triangle_count",
-    "graph_jaccard_link_prediction",
     "stream_dedup_event_ids",
     "stream_session_windows",
     "stream_sliding_window",

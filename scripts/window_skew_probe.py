@@ -85,6 +85,37 @@ def sessionize_count(df):
     )
 
 
+def prefix_native(df):
+    """The canonical per-key running-count window plan (the shape the
+    whole per-user running-aggregate family shares); checksum-reduced
+    so both arms compare equal work."""
+    w = (
+        Window.partitionBy("u")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("w1", F.lit(1).cast("long"))
+        .withColumn("rs", F.sum("w1").over(w))
+        .agg(F.sum("rs").alias("chk"), F.count("*").alias("n"))
+    )
+
+
+def prefix_chunked(df):
+    """operators/distwin.py::prefix_scan_keyed — the r14 chunked
+    per-key prefix scan (range partition + boundary stitch)."""
+    from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+    out = prefix_scan_keyed(
+        df.withColumn("w1", F.lit(1).cast("long")),
+        "u",
+        ["ts", "event_id"],
+        "w1",
+        "rs",
+    )
+    return out.agg(F.sum("rs").alias("chk"), F.count("*").alias("n"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
@@ -123,6 +154,24 @@ def main() -> None:
                 time.perf_counter() - t0, 3
             )
             assert tuple(win) == tuple(chk), (arm, scale, win, chk)
+            # r14 prefix-sum arm (VERDICT r13 ask #5): the per-key
+            # running aggregate, native window vs prefix_scan_keyed
+            prefix_native(df.limit(1000)).collect()
+            prefix_chunked(df.limit(1000)).collect()
+            t0 = time.perf_counter()
+            pw = prefix_native(df).collect()[0]
+            out[f"{arm}_x{scale}_prefix_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            pc = prefix_chunked(df).collect()[0]
+            out[f"{arm}_x{scale}_prefix_chunked_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            assert tuple(pw) == tuple(pc), (arm, scale, pw, pc)
+            from iceberg_rs_spark.operators import packing
+
+            packing.release_caches()
             df.unpersist()
         out[f"skew_penalty_x{scale}"] = round(
             out[f"hot_x{scale}_sec"] / out[f"uniform_x{scale}_sec"], 2
@@ -130,6 +179,16 @@ def main() -> None:
         out[f"skew_penalty_x{scale}_chunked"] = round(
             out[f"hot_x{scale}_chunked_sec"]
             / out[f"uniform_x{scale}_chunked_sec"],
+            2,
+        )
+        out[f"skew_penalty_x{scale}_prefix"] = round(
+            out[f"hot_x{scale}_prefix_sec"]
+            / out[f"uniform_x{scale}_prefix_sec"],
+            2,
+        )
+        out[f"skew_penalty_x{scale}_prefix_chunked"] = round(
+            out[f"hot_x{scale}_prefix_chunked_sec"]
+            / out[f"uniform_x{scale}_prefix_chunked_sec"],
             2,
         )
     print(json.dumps(out))

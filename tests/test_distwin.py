@@ -256,6 +256,155 @@ class TestGroupedRunningSum:
         assert _same(got, exp)
 
 
+class TestPrefixScanKeyed:
+    """VERDICT r13 ask #5: the sessionize chunked pattern generalized
+    to per-key running aggregates. The native per-key window plan is
+    the semantic oracle; prefix_scan_keyed must reproduce it
+    bit-for-bit under any partition count (range boundaries move, so
+    every arm exercises the boundary stitch), while driver traffic
+    stays at one boundary row per partition and no window in the plan
+    is partitioned by the bare key."""
+
+    @staticmethod
+    def _native(df, keys, order, w_map):
+        win = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df
+        for oc, w in w_map.items():
+            out = out.withColumn(oc, F.sum(w).over(win))
+        return out
+
+    def test_matches_native_random(self, base, spark):
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        w_df = base.withColumn("w", (F.col("v") * 100).cast("long"))
+        exp = self._native(w_df, ["k"], ["v", "id"], {"s": "w"}).select(
+            "id", "s"
+        )
+        for parts in (3, 17, 64):
+            got = prefix_scan_keyed(
+                w_df, "k", [F.col("v"), F.col("id")], "w", "s",
+                num_partitions=parts,
+            ).select("id", "s")
+            assert _same(got, exp), f"mismatch at num_partitions={parts}"
+
+    def test_hot_key_chain_stitches(self, spark):
+        """One key holding ~half the rows, forced across many small
+        range partitions: every boundary the hot key straddles needs a
+        carried-offset correction, including runs of whole partitions
+        owned by the key."""
+        rng = random.Random(23)
+        rows = [(i, 0, rng.random()) for i in range(900)] + [
+            (1000 + i, 1 + rng.randint(0, 20), rng.random())
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id long, k int, v double")
+        w_df = df.withColumn("w", F.lit(1).cast("long"))
+        exp = self._native(w_df, ["k"], ["id"], {"s": "w"}).select("id", "s")
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        for parts in (8, 48):
+            got = prefix_scan_keyed(
+                w_df, "k", ["id"], "w", "s", num_partitions=parts
+            ).select("id", "s")
+            assert _same(got, exp)
+
+    def test_null_keys_and_null_weights_sql_semantics(self, spark):
+        """NULL keys form one group; a running sum is NULL only while
+        every weight seen so far in its key is NULL — both matching
+        the native window bit-for-bit, across the stitch."""
+        rows = []
+        for i in range(200):
+            k = None if i % 3 == 0 else i % 5
+            w = None if i % 4 < 2 else i  # leading nulls per key
+            rows.append((i, k, w))
+        df = spark.createDataFrame(rows, "id long, k int, w long")
+        exp = self._native(df, ["k"], ["id"], {"s": "w"}).select("id", "s")
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        got = prefix_scan_keyed(
+            df, "k", ["id"], "w", "s", num_partitions=16
+        ).select("id", "s")
+        assert _same(got, exp)
+
+    def test_multi_weight_and_count_share_one_pass(self, base, spark):
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        w_df = base.withColumn("w1", F.lit(1).cast("long")).withColumn(
+            "w2", (F.col("v") * 10).cast("long")
+        )
+        got = prefix_scan_keyed(
+            w_df,
+            "k",
+            [F.col("v"), F.col("id")],
+            ["w1", "w2"],
+            ["s1", "s2"],
+            num_partitions=11,
+            count_col="n",
+        ).select("id", "s1", "s2", "n")
+        win = (
+            Window.partitionBy("k")
+            .orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        exp = w_df.select(
+            "id",
+            F.sum("w1").over(win).alias("s1"),
+            F.sum("w2").over(win).alias("s2"),
+            F.count("*").over(win).alias("n"),
+        )
+        assert _same(got, exp)
+
+    def test_multikey_composite(self, spark):
+        rng = random.Random(11)
+        rows = [
+            (i, rng.randint(0, 3), rng.randint(0, 3), rng.random())
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "id long, a int, b int, v double")
+        w_df = df.withColumn("w", F.lit(2).cast("long"))
+        exp = self._native(w_df, ["a", "b"], ["v", "id"], {"s": "w"}).select(
+            "id", "s"
+        )
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        got = prefix_scan_keyed(
+            w_df, ["a", "b"], [F.col("v"), F.col("id")], "w", "s",
+            num_partitions=13,
+        ).select("id", "s")
+        assert _same(got, exp)
+
+    def test_no_bare_key_window_in_plan(self, base):
+        """The plan contract: every Window node's partition spec
+        includes the range-partition id — a hot key can never
+        serialize into one task."""
+        import re
+
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        w_df = base.withColumn("w", F.lit(1).cast("long"))
+        plan = (
+            prefix_scan_keyed(w_df, "k", ["id"], "w", "s", num_partitions=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "_pid" in spec, f"bare-key window spec: {spec}"
+
+    def test_empty_input(self, spark):
+        from iceberg_rs_spark.operators.distwin import prefix_scan_keyed
+
+        df = spark.createDataFrame([], "id long, k int, w long")
+        assert (
+            prefix_scan_keyed(df, "k", ["id"], "w", "s", num_partitions=4).count()
+            == 0
+        )
+
+
 class TestConfDerivedDefault:
     """num_partitions=None derives from spark.sql.shuffle.partitions
     (VERDICT r5 #3): parallelism follows the cluster's shuffle sizing,

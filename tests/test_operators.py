@@ -1439,6 +1439,29 @@ class TestSkewSafeWedges:
             assert len(got) == len(set(got)), "triangle emitted twice"
             assert set(got) == want
 
+    def test_self_loops_cannot_fabricate_triangles(self, spark):
+        """ADVICE r13 #2: a (u,u) row must not survive into the
+        orientation — it would orient to src=dst with equal ranks and
+        pair with a real out-edge into a degenerate wedge the closing
+        left_semi join can confirm, fabricating a 'triangle' {u,u,w}.
+        With loops filtered, a loop-augmented graph counts exactly the
+        triangles of the loop-free graph."""
+        from pyspark.sql import functions as F
+
+        from iceberg_rs_spark.operators.graph import triangles_degree_oriented
+
+        # one real triangle {0,1,2} plus loops on every node incl. a
+        # loop-only node 9; loops also on both endpoints of the real
+        # edges so equal-rank orientation is exercised
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        loops = [(n, n) for n in (0, 1, 2, 3, 9)]
+        df = spark.createDataFrame(sorted(edges + loops), "u long, v long")
+        got = [
+            tuple(sorted((r["a"], r["b"], r["c"])))
+            for r in triangles_degree_oriented(df).collect()
+        ]
+        assert got == [(0, 1, 2)]
+
     def test_hub_generates_no_oriented_wedges(self, spark):
         """A star (hub + leaves, no leaf-leaf edges) has zero
         triangles; under orientation the hub has out-degree 0, so the

@@ -874,6 +874,23 @@ class TestKnnPlan:
         assert "ArrowEvalPython" in final  # cosine_arrow_exact scoring
 
 
+class TestSessionizationDistributedPlan:
+    def test_no_per_key_window_anywhere(self, spark, sf_dir):
+        """VERDICT r13 ask #2's plan gate for corpus entry #296: the
+        whole point of the chunked sessionizer is that no
+        ``Window.partitionBy`` node exists — a hot key must never
+        serialize into one task. The plan is range-partition →
+        MapInPandas partials → hash aggregation; the per-user rollup
+        must partial-combine map-side."""
+        plan = final_plan(
+            CORPUS["events_sessionization_distributed"].builder(spark, sf_dir)
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" not in final
+        assert "MapInPandas" in final
+        assert "partial" in plan.lower()
+
+
 class TestGlobalWindowWhitelist:
     """VERDICT r4 #3's repo-wide gate: every unpartitioned
     ``Window.orderBy(`` in plans/ source must be on this explicit

@@ -103,6 +103,38 @@ class TestSessionizeDistributed:
         assert got[6] == (6, 6)
         assert got == _counts(session_counts_window(df, gap="2 hours"))
 
+    def test_subsecond_gaps_agree_between_plans(self, spark):
+        """ADVICE r13 #1: the window plan's gap must be exact
+        fractional seconds, not unix_timestamp whole-second
+        truncation. A gap of gap+0.5s SPLITS and a gap of gap-0.5s
+        (and exactly gap, with fractional components) MERGES — in
+        BOTH plans, identically."""
+        gap = dt.timedelta(minutes=30)
+        half = dt.timedelta(milliseconds=500)
+        rows = [
+            # user 7: chains split by gap + 0.5s — truncation would
+            # read the gap as exactly 1800s and merge them all
+            (7, T0),
+            (7, T0 + gap + half),
+            (7, T0 + 2 * (gap + half)),
+            # user 8: gap - 0.5s merges; fractional starting offset
+            (8, T0 + half),
+            (8, T0 + half + gap - half),
+            # user 9: EXACTLY gap apart with fractional endpoints —
+            # one session (FIXTURES rule 10 at sub-second resolution)
+            (9, T0 + half),
+            (9, T0 + half + gap),
+        ]
+        df = _events_df(spark, rows)
+        win = _counts(session_counts_window(df, gap="30 minutes"))
+        dist = _counts(
+            session_counts_distributed(df, gap="30 minutes", num_partitions=5)
+        )
+        assert win == dist
+        assert win[7] == (3, 3)
+        assert win[8] == (1, 2)
+        assert win[9] == (1, 2)
+
     def test_single_row_users_and_default_partitions(self, spark):
         df = _events_df(spark, [(u, T0) for u in range(5)])
         got = _counts(session_counts_distributed(df))
