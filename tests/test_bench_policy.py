@@ -317,7 +317,7 @@ class TestRetimeStormCorroboration:
         assert not storm and info["one_off_fraction"] < 0.5
 
     def test_derived_threshold_fallback_below_min_samples(self):
-        t, n = bench.derived_retime_storm_threshold([0, 1, 2])
+        t, n, _c = bench.derived_retime_storm_threshold([0, 1, 2])
         assert t == bench.RETIME_STORM_THRESHOLD and n == 3
 
     def test_derived_threshold_floors_at_static_from_seed_history(self):
@@ -325,15 +325,15 @@ class TestRetimeStormCorroboration:
         # below the static floor — the derived bar must not TIGHTEN
         seed = [1, 0, 10, 0, 1, 2, 2, 4, 0, 0, 0,
                 1, 1, 1, 0, 6, 1, 0, 0, 0, 3, 0]
-        t, n = bench.derived_retime_storm_threshold(seed)
+        t, n, _c = bench.derived_retime_storm_threshold(seed)
         assert t == bench.RETIME_STORM_THRESHOLD and n == 22
 
     def test_derived_threshold_widens_with_evidence(self):
-        t, _ = bench.derived_retime_storm_threshold([22] * 10)
+        t, _, _c = bench.derived_retime_storm_threshold([22] * 10)
         assert bench.RETIME_STORM_THRESHOLD < t <= bench.RETIME_STORM_CEIL
 
     def test_derived_threshold_ceiling(self):
-        t, _ = bench.derived_retime_storm_threshold([100] * 10)
+        t, _, _c = bench.derived_retime_storm_threshold([100] * 10)
         assert t == bench.RETIME_STORM_CEIL
 
     def test_baseline_file_carries_the_seed_distribution(self):
@@ -347,7 +347,7 @@ class TestRetimeStormCorroboration:
         doc = json.load(open(path))
         samples = doc.get("retime_count_samples")
         assert samples and len(samples) >= bench.MIN_RETIME_SAMPLES
-        t, _ = bench.derived_retime_storm_threshold(samples)
+        t, _, _c = bench.derived_retime_storm_threshold(samples)
         assert t >= bench.RETIME_STORM_THRESHOLD
 
 
@@ -362,12 +362,12 @@ class TestDerivedThreshold:
     REF = 0.167
 
     def test_fallback_below_min_samples(self):
-        t, n = bench.derived_cpu_threshold([0.17, 0.18, 0.19], self.REF)
+        t, n, _c = bench.derived_cpu_threshold([0.17, 0.18, 0.19], self.REF)
         assert t == bench.AMBIENT_DEGRADED_RATIO and n == 3
 
     def test_fallback_without_reference(self):
         for ref in (None, 0, -1.0):
-            t, n = bench.derived_cpu_threshold([0.17] * 10, ref)
+            t, n, _c = bench.derived_cpu_threshold([0.17] * 10, ref)
             assert t == bench.AMBIENT_DEGRADED_RATIO and n == 0
 
     def test_tight_idle_base_floors_at_the_static_gate(self):
@@ -375,14 +375,14 @@ class TestDerivedThreshold:
         # below the floor — the derived gate must not tighten past 1.20
         samples = [0.1803, 0.1898, 0.1756, 0.1686, 0.1763,
                    0.1768, 0.1682, 0.1888, 0.1824, 0.1828]
-        t, n = bench.derived_cpu_threshold(samples, self.REF)
+        t, n, _c = bench.derived_cpu_threshold(samples, self.REF)
         assert t == bench.AMBIENT_DEGRADED_RATIO and n == 10
 
     def test_wide_idle_wander_widens_the_gate(self):
         # a box whose clean sweeps genuinely wander to 1.22x idle: the
         # gate follows the evidence above the static constant
         samples = [0.17, 0.18, 0.19, 0.20, 0.2037, 0.17]
-        t, n = bench.derived_cpu_threshold(samples, self.REF)
+        t, n, _c = bench.derived_cpu_threshold(samples, self.REF)
         assert bench.AMBIENT_DEGRADED_RATIO < t <= bench.DERIVED_THRESHOLD_CEIL
         assert n == 6
 
@@ -390,11 +390,11 @@ class TestDerivedThreshold:
         # a drifting-hot "idle" base must not blunt the gate past the
         # failure mode the sentinel exists to catch
         samples = [0.30] * 8
-        t, _ = bench.derived_cpu_threshold(samples, self.REF)
+        t, _, _c = bench.derived_cpu_threshold(samples, self.REF)
         assert t == bench.DERIVED_THRESHOLD_CEIL
 
     def test_nonpositive_samples_are_ignored(self):
-        t, n = bench.derived_cpu_threshold([0.17, 0, -1.0, None and 0] + [0.18] * 2, self.REF)
+        t, n, _c = bench.derived_cpu_threshold([0.17, 0, -1.0, None and 0] + [0.18] * 2, self.REF)
         assert n == 3 and t == bench.AMBIENT_DEGRADED_RATIO
 
     def test_baseline_seed_derives_the_static_gate(self):
@@ -408,7 +408,7 @@ class TestDerivedThreshold:
             doc = json.load(f)
         samples = doc.get("calibration_samples") or []
         assert len(samples) >= bench.MIN_IDLE_SAMPLES
-        t, n = bench.derived_cpu_threshold(samples, doc["calibration_sec"])
+        t, n, _c = bench.derived_cpu_threshold(samples, doc["calibration_sec"])
         assert n == len(samples)
         assert bench.AMBIENT_DEGRADED_RATIO <= t <= bench.DERIVED_THRESHOLD_CEIL
 
@@ -472,6 +472,221 @@ class TestSettledStartSamples:
         # a resample can only improve the recorded sample, never worsen
         cpu, io, sleeps = self._run([0.22, 0.25, 0.21], [0.11, 0.2, 0.3])
         assert cpu == 0.21 and io == 0.11
+
+
+class TestThresholdSourceLabel:
+    """ADVICE r13 #3: the audit trail must not call a clamped gate
+    evidence-derived — the current retime seed derives ~12, floored at
+    the static 25, and used to be labeled 'derived(...)'."""
+
+    def test_floored_retime_seed_reports_static_floor(self):
+        seed = [1, 0, 10, 0, 1, 2, 2, 4, 0, 0, 0,
+                1, 1, 1, 0, 6, 1, 0, 0, 0, 3, 0]
+        t, n, clamp = bench.derived_retime_storm_threshold(seed)
+        assert t == bench.RETIME_STORM_THRESHOLD and clamp == "floor"
+        label = bench._threshold_source_label(
+            n, bench.MIN_RETIME_SAMPLES, clamp, "p99...", t, bench.RETIME_STORM_CEIL
+        )
+        assert label.startswith(f"static-floor({bench.RETIME_STORM_THRESHOLD})")
+
+    def test_ceilinged_reports_static_ceil(self):
+        t, n, clamp = bench.derived_retime_storm_threshold([100] * 10)
+        assert clamp == "ceil"
+        label = bench._threshold_source_label(
+            n, bench.MIN_RETIME_SAMPLES, clamp, "p99...",
+            bench.RETIME_STORM_THRESHOLD, bench.RETIME_STORM_CEIL,
+        )
+        assert label.startswith(f"static-ceil({bench.RETIME_STORM_CEIL})")
+
+    def test_genuinely_derived_reports_derived(self):
+        t, n, clamp = bench.derived_retime_storm_threshold([22] * 10)
+        assert clamp is None
+        label = bench._threshold_source_label(
+            n, bench.MIN_RETIME_SAMPLES, clamp, "p99...",
+            bench.RETIME_STORM_THRESHOLD, bench.RETIME_STORM_CEIL,
+        )
+        assert label.startswith("derived(")
+
+    def test_below_min_samples_reports_static(self):
+        label = bench._threshold_source_label(
+            2, 5, None, "p99...", 25, 60
+        )
+        assert label == "static(25)"
+
+    def test_cpu_clamp_matches_label_contract(self):
+        # the r12 tight-idle seed shape floors at the static CPU gate
+        samples = [0.1803, 0.1898, 0.1756, 0.1686, 0.1763,
+                   0.1768, 0.1682, 0.1888, 0.1824, 0.1828]
+        t, n, clamp = bench.derived_cpu_threshold(samples, 0.167)
+        assert t == bench.AMBIENT_DEGRADED_RATIO and clamp == "floor"
+
+
+class TestSettleGate:
+    """VERDICT r13 ask #3: the 300.6 s residual-heat episode (5-min
+    start loadavg 7.8, 1-min channels clean) becomes code — a
+    pin-eligible sweep refuses to start over the derived 5-min bar,
+    settling in bounded steps instead of recording-then-retiring."""
+
+    def test_derived_bar_fallback_below_min_samples(self):
+        bar, n, clamp = bench.derived_load5_bar([1.1, 1.4])
+        assert bar == bench.LOAD5_STATIC_BAR and n == 2
+
+    def test_seed_derives_above_floor_and_splits_good_from_bad(self):
+        # the r14 seed: every committed clean 5-min start passes,
+        # every degraded/retired start breaches
+        seed = [1.07, 1.35, 1.39, 2.02]
+        bar, n, clamp = bench.derived_load5_bar(seed)
+        assert bench.LOAD5_STATIC_BAR <= bar <= bench.LOAD5_CEIL
+        assert all(s <= bar for s in seed)
+        for bad in (3.44, 3.86, 5.3, 7.8):
+            assert bad > bar
+
+    def test_bar_floors_at_static(self):
+        bar, _, clamp = bench.derived_load5_bar([0.1, 0.2, 0.1, 0.2])
+        assert bar == bench.LOAD5_STATIC_BAR and clamp == "floor"
+
+    def test_bar_is_ceilinged(self):
+        bar, _, clamp = bench.derived_load5_bar([9.0] * 6)
+        assert bar == bench.LOAD5_CEIL and clamp == "ceil"
+
+    def test_baseline_carries_the_seed(self):
+        import json
+        import os
+
+        with open(os.path.join(bench.REPO, "BENCH_BASELINE.json")) as f:
+            doc = json.load(f)
+        samples = doc.get("loadavg5_start_samples") or []
+        assert len(samples) >= bench.MIN_LOAD5_SAMPLES
+        bar, n, _ = bench.derived_load5_bar(samples)
+        assert bench.LOAD5_STATIC_BAR <= bar <= bench.LOAD5_CEIL
+
+    def test_clean_start_never_sleeps(self):
+        sleeps = []
+        breached, audit = bench.settle_gate_wait(
+            2.6, _loadavg=lambda: (0.5, 1.2, 2.0), _sleep=sleeps.append
+        )
+        assert not breached and sleeps == [] and audit["slept_s"] == 0
+
+    def test_transient_heat_settles_and_clears(self):
+        readings = iter([(3.0, 4.0, 3.0), (2.0, 3.1, 2.8), (1.0, 1.8, 2.5)])
+        sleeps = []
+        breached, audit = bench.settle_gate_wait(
+            2.6, _loadavg=lambda: next(readings), _sleep=sleeps.append
+        )
+        assert not breached
+        assert len(sleeps) == 2
+        assert audit["initial_load5"] == 4.0 and audit["final_load5"] == 1.8
+
+    def test_persistent_heat_breaches_after_budget(self):
+        sleeps = []
+        breached, audit = bench.settle_gate_wait(
+            2.6, _loadavg=lambda: (3.0, 3.5, 3.0), _sleep=sleeps.append
+        )
+        assert breached and len(sleeps) == bench.SETTLE_RETRIES
+
+    def test_hopeless_heat_skips_the_sleeps(self):
+        """A 5-min loadavg that exponential decay cannot bring under
+        the bar within the whole budget must not burn 3 minutes of
+        driver wall time first."""
+        sleeps = []
+        breached, audit = bench.settle_gate_wait(
+            2.6, _loadavg=lambda: (8.0, 7.8, 6.0), _sleep=sleeps.append
+        )
+        assert breached and sleeps == []
+
+
+class TestNormalizedWall:
+    """VERDICT r13 ask #6: cross-round wall-clock comparisons start
+    from a box-adjusted number."""
+
+    def test_idle_box_passes_through(self):
+        v, mean = bench.normalized_wall(300.0, 1.0, 1.0)
+        assert v == 300.0 and mean == 1.0
+
+    def test_hot_box_is_deflated(self):
+        # the r13 shape: ~10% uniform inflation on both endpoints
+        v, mean = bench.normalized_wall(318.0, 1.10, 1.10)
+        assert mean == 1.10 and abs(v - 289.09) < 0.01
+
+    def test_single_available_ratio_used_alone(self):
+        v, mean = bench.normalized_wall(300.0, None, 1.2)
+        assert mean == 1.2 and v == 250.0
+
+    def test_no_reference_passes_raw(self):
+        v, mean = bench.normalized_wall(300.0, None, None)
+        assert v == 300.0 and mean is None
+
+
+class TestPinLedger:
+    """VERDICT r13 ask #4: the 4-round re-pin governance watch becomes
+    an enforced invariant — one auditable machine-readable ledger with
+    an evidence bar no future upward re-pin can slip under."""
+
+    VALID_BASES = {
+        "changed-implementation-first-recording",
+        "history-median",
+        "post-warmup-steady",
+    }
+
+    @staticmethod
+    def _ledger():
+        import json
+        import os
+
+        with open(os.path.join(bench.REPO, "BENCH_BASELINE.json")) as f:
+            doc = json.load(f)
+        return doc, doc.get("pin_ledger")
+
+    def test_ledger_exists_and_covers_all_repin_keys(self):
+        doc, ledger = self._ledger()
+        assert ledger, "pin_ledger missing from BENCH_BASELINE.json"
+        queries = {e["query"] for e in ledger}
+        # every query named in the legacy repins_r11/r12/r13 records
+        # must appear in the consolidated ledger
+        for q in ("multimodal_audio_features", "udf_arrow_python_scalar"):
+            assert q in queries
+        for q in doc["repins_r12"]["repins"]:
+            assert q in queries
+        for q in ("ts_anomaly_robust_mad", "win_time_range_rolling",
+                  "table_vacuum_lifecycle_audit"):
+            assert q in queries
+
+    def test_every_entry_is_well_formed(self):
+        _, ledger = self._ledger()
+        for e in ledger:
+            assert e["basis"] in self.VALID_BASES, e
+            assert e["direction"] in ("up", "down"), e
+            assert e["direction"] == ("up" if e["new"] > e["old"] else "down")
+            assert abs(e["gate_widening"] - e["new"] / e["old"]) < 0.01, e
+            assert isinstance(e["round"], int) and e["round"] >= 2
+
+    def test_upward_history_median_entries_meet_the_evidence_bar(self):
+        """An upward re-pin permanently widens the 2x hard gate: it
+        needs >=10 committed clean-sweep samples (or an explicit judge
+        sanction recorded for the pre-bar r11 entries). A future entry
+        below the bar fails CI here."""
+        _, ledger = self._ledger()
+        for e in ledger:
+            if e["direction"] != "up" or e["basis"] != "history-median":
+                continue
+            if e["n_history_samples"] < 10:
+                assert e.get("sanction"), (
+                    f"{e['query']}: upward history-median re-pin with "
+                    f"{e['n_history_samples']} samples and no sanction"
+                )
+
+    def test_current_pins_match_ledger_heads(self):
+        """The latest ledger entry per query must equal the live pin —
+        a hand-edited pin without a ledger entry is the drift this
+        file exists to kill."""
+        doc, ledger = self._ledger()
+        latest = {}
+        for e in ledger:  # chronological; later entries win
+            latest[e["query"]] = e["new"]
+        for q, pinned_new in latest.items():
+            assert abs(doc["queries"][q] - pinned_new) < 1e-6, (
+                f"{q}: pin {doc['queries'][q]} != ledger head {pinned_new}"
+            )
 
 
 class TestWarmup:
