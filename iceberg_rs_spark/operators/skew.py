@@ -76,3 +76,43 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
     )
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
+def spread_by_range(
+    df: DataFrame, *order_cols, num_partitions: "int | None" = None
+) -> DataFrame:
+    """Range-repartition a NARROW relation by its final presentation
+    order BEFORE per-row-heavy projections (r14, guide §2.5 input
+    skew / §2.4).
+
+    Two problems with ``heavy_select(scan).orderBy(k)`` that this
+    helper fixes at once:
+
+    1. A small single-file scan arrives as ONE partition (the sf0.1
+       documents fixture is one 1.5 MB parquet split), serializing
+       every downstream per-row expression on one core. At real scale
+       the scan has many splits and the repartition is a cheap
+       constant-factor reshuffle of the narrow input.
+    2. A terminal ``orderBy`` is a range exchange whose partitioner
+       SAMPLES its child — i.e. the heavy projection is evaluated a
+       second time just to pick range bounds. Range-partitioning the
+       narrow input first and finishing with
+       ``sortWithinPartitions(k)`` keeps the exact same total order
+       (range partitions are globally ordered; the local sort orders
+       within) while sampling only the narrow scan and evaluating the
+       heavy projection exactly once.
+
+    Partition count defaults to ``spark.sql.shuffle.partitions`` —
+    the knob the cluster sizes for every other shuffle — never a
+    dev-box literal (same rationale as packing._resolve_partitions).
+    Callers MUST pair this with ``sortWithinPartitions`` on the same
+    key prefix when the query's declared output is ordered.
+    """
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            num_partitions = int(df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartitionByRange(num_partitions, *[F.col(c) if isinstance(c, str) else c for c in order_cols])

@@ -68,6 +68,42 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(normalize(col)) == 0, F.lit(0)).otherwise(F.size(t)).cast("long")
 
 
+def token_count_from_tokens(w: Column) -> Column:
+    """:func:`token_count` over a staged token-array column. The raw
+    column is not needed: ``normalize`` is empty iff the token array
+    is exactly ``[""]`` (split of "" yields one empty pseudo-token,
+    and a trimmed non-empty normalization never produces an empty
+    token), so the empty-document guard reads the array itself."""
+    empty = (F.size(w) == 1) & (F.element_at(w, 1) == F.lit(""))
+    return F.when(empty, F.lit(0)).otherwise(F.size(w)).cast("long")
+
+
+def stopword_ratio_from_tokens(w: Column) -> Column:
+    """:func:`stopword_ratio` over a staged token-array column
+    (guide §4: interpreted HOF lambdas re-evaluate outer expressions,
+    so passing ``tokens(col)`` inline re-tokenizes per reference —
+    stage the array once and share it)."""
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(w) > 0, stop / F.size(w)).otherwise(F.lit(0.0))
+
+
+def avg_word_len_from_tokens(w: Column) -> Column:
+    """:func:`avg_word_len` over a staged token-array column."""
+    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score_from_tokens(col: Column, w: Column) -> Column:
+    """:func:`quality_score` with the stopword term read from a staged
+    token array (the length/punctuation terms still read the raw
+    column — they are single regex/length expressions, not
+    token-array re-derivations)."""
+    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio_from_tokens(w) * 5, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 10)
+    return len_score * 0.4 + stop_score * 0.3 + punct_penalty * 0.3
+
+
 def approx_bpe_token_count(col: Column) -> Column:
     """BPE-ish estimate: word-piece splits on 4-char chunks — a
     deterministic stand-in for a real tokenizer's token count."""
@@ -75,6 +111,15 @@ def approx_bpe_token_count(col: Column) -> Column:
         tokens(col),
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def approx_bpe_token_count_from_tokens(w: Column) -> Column:
+    """:func:`approx_bpe_token_count` over a staged token-array column."""
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("long"),
     )
 
 
@@ -152,74 +197,107 @@ def min_shingle_fingerprint(col: Column, k: int = 3, seed: int = 0) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats with the normalization STAGED once (r14,
+    guide §4.1/§1.2 per-task work): the naive form evaluates
+    ``tokens(c)`` — lower + two regex passes + split — once per metric
+    (~6× per row; interpreted HOF references defeat codegen
+    subexpression elimination). Staging ``_norm``/``_w`` as columns
+    makes every metric an attribute read; measured 1.45-1.74 s →
+    0.96-1.09 s steady-state on the sf0.1 documents fixture, identical
+    output."""
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(
+        F.col(id_col), c.alias(text_col), normalize(c).alias("_norm")
+    ).withColumn("_w", F.split(F.col("_norm"), " "))
+    w = F.col("_w")
+    return staged.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
+        F.when(F.length("_norm") == 0, F.lit(0))
+        .otherwise(F.size(w))
+        .cast("long")
+        .alias("n_tokens"),
         F.length(c).cast("long").alias("n_chars_actual"),
-        F.round(avg_word_len(c), 4).alias("avg_word_len"),
-        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(avg_word_len_from_tokens(w), 4).alias("avg_word_len"),
+        F.round(stopword_ratio_from_tokens(w), 4).alias("stopword_ratio"),
         F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(quality_score(c), 4).alias("quality"),
-        fingerprint(c).alias("fingerprint"),
+        F.round(quality_score_from_tokens(c, w), 4).alias("quality"),
+        h60(F.col("_norm")).alias("fingerprint"),
     )
+
+
+def _top_gram_frac(w: Column, k: int) -> Column:
+    """Mass fraction of the most frequent word k-gram, computed
+    PER ROW: sort the k-gram array, then one O(grams) pass finds the
+    longest run of equal adjacent grams (= the max multiplicity —
+    exactly ``MAX(c)`` of the grouped count). ``max_run / n_grams`` is
+    the same value the explode → count → max/sum rollup produced."""
+    g = F.array_sort(shingles_of_tokens(w, k))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        # first element: x == NULL prev is NULL -> otherwise(1)
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    best = F.aggregate(g, acc0, merge, lambda acc: acc["best"])
+    return F.when(F.size(g) > 0, best / F.size(g)).otherwise(F.lit(0.0))
 
 
 def repetition_signals(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_trigrams: bool = True,
 ) -> DataFrame:
     """Gopher/MassiveText-style repetition quality signals per document:
     duplicate-word fraction (1 - distinct/total tokens) plus the mass
-    fraction of the single most frequent word bigram and trigram.
+    fraction of the single most frequent word bigram (and trigram).
 
-    The duplicate-word fraction is a pure column expression. The
-    top-n-gram fractions need per-gram counts, so the n-grams explode
-    into (doc, k, gram) rows — bigrams and trigrams TOGETHER in one
-    generator pass — then two keyed aggregations (count per gram, then
-    max/total per doc) roll them back up. One explode and two shuffles
-    on the doc key total, pivoted by k in the second aggregate; at
-    100 TB this is the shape that works — per-doc HOF counting of
-    distinct grams would be O(grams²) per row in interpreted lambdas,
-    and a driver-side counter would not be distributed at all."""
+    All three signals are PER-ROW column expressions (r14, guide
+    §2.4 "remove shuffles outright"): the top-n-gram fraction is the
+    max multiplicity over the row's own grams, found by sorting the
+    gram array and taking the longest equal-adjacent run — O(g log g)
+    native sort + O(g) interpreted pass per row, NOT the O(g²)
+    distinct-count HOF this operator's earlier explode shape was
+    guarding against. The previous explode → two keyed aggregations →
+    join shape shuffled every gram of the corpus twice; this one
+    shuffles nothing — per-doc signals stay embarrassingly parallel at
+    any scale (callers spread single-file scans first, see
+    ``skew.spread_by_range``). Measured on sf0.1: 3.9-5.4 s → 1.5 s
+    steady-state for the full text_repetition_signals query, identical
+    output including the gram-free (< k tokens) and NULL-text edges.
+
+    ``include_trigrams=False`` skips the trigram signal for callers
+    that only gate on the bigram fraction (prepare_training_corpus) —
+    the trigram column was ~half the gram work and its value was
+    dropped unread."""
     c = F.col(text_col)
     staged = df.select(F.col(id_col), tokens(c).alias("w"))
-    base = staged.select(
-        id_col,
-        F.size("w").alias("n_tok"),
+    w = F.col("w")
+    cols = [
+        F.col(id_col),
+        F.size(w).alias("n_tok"),
         F.when(
-            F.size("w") > 0,
-            1.0 - F.size(F.array_distinct("w")) / F.size("w"),
+            F.size(w) > 0,
+            1.0 - F.size(F.array_distinct(w)) / F.size(w),
         )
         .otherwise(F.lit(0.0))
         .alias("dup_word_frac"),
-    )
-    grams = staged.select(
-        id_col,
-        F.explode(
-            F.concat(
-                F.transform(
-                    shingles_of_tokens(F.col("w"), 2),
-                    lambda g: F.struct(F.lit(2).alias("k"), g.alias("g")),
-                ),
-                F.transform(
-                    shingles_of_tokens(F.col("w"), 3),
-                    lambda g: F.struct(F.lit(3).alias("k"), g.alias("g")),
-                ),
-            )
-        ).alias("kg"),
-    ).select(id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
-    per_gram = grams.groupBy(id_col, "k", "g").agg(F.count("*").alias("c"))
-    per_doc = (
-        per_gram.groupBy(id_col)
-        .pivot("k", [2, 3])
-        .agg((F.max("c") / F.sum("c")).alias("frac"))
-        .withColumnsRenamed({"2": "top_bigram_frac", "3": "top_trigram_frac"})
-    )
-    return (
-        base.join(per_doc, id_col, "left")
-        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
-        .withColumn("top_trigram_frac", F.coalesce("top_trigram_frac", F.lit(0.0)))
-    )
+        _top_gram_frac(w, 2).alias("top_bigram_frac"),
+    ]
+    if include_trigrams:
+        cols.append(_top_gram_frac(w, 3).alias("top_trigram_frac"))
+    return staged.select(*cols)
 
 
 def winnowing_fingerprints(

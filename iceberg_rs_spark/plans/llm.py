@@ -18,6 +18,7 @@ from iceberg_rs_spark.operators import multimodal as M
 from iceberg_rs_spark.operators import packing as P
 from iceberg_rs_spark.operators import similarity as S
 from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.sources.fixtures import load_table
@@ -642,18 +643,36 @@ _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
 def text_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics: token count, char count, average word
     length, stopword ratio, punctuation ratio, content fingerprint —
-    all JVM-side column expressions (operators/text.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    return docs.select(
+    all JVM-side column expressions (operators/text.py).
+
+    r14 shape (guide §4.1/§2.5): normalization is staged ONCE as a
+    column instead of re-derived per metric, and the narrow scan is
+    range-partitioned by the output order BEFORE the heavy projection
+    (single-file scan = one partition; a terminal orderBy would also
+    re-evaluate the projection in its range-sampling pass), finished
+    with sortWithinPartitions — the identical total order, one
+    evaluation. Measured 2.0-2.2 s → ~0.8 s at sf0.1."""
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
-        T.token_count(c).alias("n_tokens"),
+    )
+    c = F.col("text")
+    staged = docs.select(
+        "doc_id", c.alias("text"), T.normalize(c).alias("_norm")
+    ).withColumn("_w", F.split(F.col("_norm"), " "))
+    w = F.col("_w")
+    return staged.select(
+        "doc_id",
+        F.when(F.length("_norm") == 0, F.lit(0))
+        .otherwise(F.size(w))
+        .cast("long")
+        .alias("n_tokens"),
         F.length(c).cast("long").alias("n_chars_actual"),
-        rhalf(T.avg_word_len(c), 4).alias("avg_word_len"),
-        rhalf(T.stopword_ratio(c), 4).alias("stopword_ratio"),
+        rhalf(T.avg_word_len_from_tokens(w), 4).alias("avg_word_len"),
+        rhalf(T.stopword_ratio_from_tokens(w), 4).alias("stopword_ratio"),
         rhalf(T.punct_ratio(c), 4).alias("punct_ratio"),
-        T.fingerprint(c).alias("fingerprint"),
-    ).orderBy("doc_id")
+        h60(F.col("_norm")).alias("fingerprint"),
+    ).sortWithinPartitions("doc_id")
 
 
 #: domain "language" marker sets drawn from the fixture vocabulary so
@@ -721,12 +740,16 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token accounting per language tag: whitespace
     tokens + a BPE-ish estimate (4-char pieces)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("lang", "text"), "lang"
+    )
     c = F.col("text")
-    per_doc = docs.select(
+    staged = docs.select("lang", T.tokens(c).alias("_w"), c.alias("text"))
+    w = F.col("_w")
+    per_doc = staged.select(
         "lang",
-        T.token_count(c).alias("n_tok"),
-        T.approx_bpe_token_count(c).alias("n_bpe"),
+        T.token_count_from_tokens(w).alias("n_tok"),
+        T.approx_bpe_token_count_from_tokens(w).alias("n_bpe"),
     )
     return (
         per_doc.groupBy("lang")
@@ -805,11 +828,27 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = D.exact_dedup(docs.unionByName(copies))
     c = F.col("text")
-    feat = deduped.select(
-        "doc_id",
-        T.token_count(c).alias("n_tok"),
-        T.quality_score(c).alias("q"),
-        T.detect_language(c, DOMAIN_MARKERS).alias("lang_guess"),
+    # r14 (guide §4.1/§2.5): tokens staged once (token_count /
+    # quality_score / detect_language on the raw column each re-derived
+    # the token array inside interpreted HOFs — ~8 normalize passes per
+    # row), and the survivor side spread off the 1-2 scan partitions
+    # the broadcast semi-join preserves. 4.65-4.84 s → 3.49-3.67 s
+    # measured at sf0.1, identical output.
+    staged = spread_by_range(deduped, "doc_id").select(
+        "doc_id", "text", T.tokens(c).alias("_w")
+    )
+    w = F.col("_w")
+    # barrier: stops the q/lang predicate being pushed below this
+    # projection (alias substitution would re-derive the token array
+    # inside interpreted filter-HOFs per reference — see
+    # prepare_training_corpus for the measured cliff)
+    feat = D.barrier(
+        staged.select(
+            "doc_id",
+            T.token_count_from_tokens(w).alias("n_tok"),
+            T.quality_score_from_tokens(c, w).alias("q"),
+            T.detect_language_from_tokens(w, DOMAIN_MARKERS).alias("lang_guess"),
+        )
     )
     kept = feat.where((F.col("q") >= 0.5) & (F.col("lang_guess") != "und"))
     return (
@@ -903,11 +942,16 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction plus top-bigram/-trigram mass fraction per document, with
     the keep/drop verdict a pretraining pipeline would apply
     (thresholds sit at the fixture's median so both classes are
-    populated). The n-gram counting explodes bigrams and trigrams in
-    ONE generator pass and rolls up with two keyed aggregations — the
-    distributed shape; per-doc HOF counting would be O(grams²) per row
-    (operators/text.py:repetition_signals)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    populated). r14: the top-gram fractions are per-row sorted-run
+    expressions (operators/text.py:repetition_signals — removes the
+    gram explode and both keyed shuffles), the narrow scan is range-
+    partitioned by doc_id before the heavy projection, and the ordered
+    output is finished with sortWithinPartitions (identical total
+    order, no second evaluation in the range-sampler)."""
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     sig = T.repetition_signals(docs)
     return sig.select(
         "doc_id",
@@ -918,7 +962,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("dup_word_frac") <= 0.55) & (F.col("top_bigram_frac") <= 0.05)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -957,18 +1001,23 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitions at 100 TB. Per-split corpus accounting (doc count,
     token total, quality envelope) is the standard pre-training split
     audit."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     c = F.col("text")
     bucket = (
         h60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
     )
-    labeled = docs.select(
+    staged = docs.select("doc_id", "text", T.tokens(c).alias("_w"))
+    w = F.col("_w")
+    labeled = staged.select(
         F.when(bucket < 80, "train")
         .when(bucket < 90, "val")
         .otherwise("test")
         .alias("split"),
-        T.token_count(c).alias("n_tok"),
-        T.quality_score(c).alias("q"),
+        T.token_count_from_tokens(w).alias("n_tok"),
+        T.quality_score_from_tokens(c, w).alias("q"),
     )
     return (
         labeled.groupBy("split")
@@ -1017,7 +1066,10 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's global-order window is the semantic spec, but a
     single-partition window never appears in the Spark plan, which is
     what makes this runnable at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tok"))
     binned = P.pack_bins(toks, order_col="doc_id", weight_col="n_tok", ctx=512)
     return (
@@ -1228,8 +1280,21 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-verified operator; this row certifies their composition,
     the counterpart of pipeline_training_data for the round-3
     additions."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = T.repetition_signals(docs)
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    # r14: trigram fraction skipped — this gate reads only the
+    # dup-word and top-bigram signals (the dropped column was ~half
+    # the per-row gram work); see repetition_signals(include_trigrams).
+    # The barrier below is load-bearing: without it Catalyst pushes
+    # the quality predicate BELOW the signal projection, substituting
+    # the full sorted-run HOF expression into the filter, where
+    # interpreted lambdas re-derive the token pipeline per reference —
+    # measured 22 s vs 1.4 s at sf0.1. (The old explode+aggregate
+    # shape blocked that pushdown structurally; the rowwise shape
+    # needs an explicit materialization barrier.)
+    sig = D.barrier(T.repetition_signals(docs, include_trigrams=False))
     kept = sig.where(
         (F.col("dup_word_frac") <= 0.55) & (F.col("top_bigram_frac") <= 0.05)
     ).select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))

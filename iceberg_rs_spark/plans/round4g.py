@@ -334,15 +334,19 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes the numbers actionable: shares sum to 1 and rule
     order changes are visible."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    stop_ratio = T.stopword_ratio(F.col("text"))
+    # r14 (guide §4.1): the stopword ratio is referenced by two CASE
+    # branches — stage the token array and the ratio as columns so the
+    # interpreted filter-HOF runs once per row, not once per reference.
+    staged = docs.select("text", T.tokens(F.col("text")).alias("_w"))
+    stop_ratio = F.col("_sr")
+    staged = staged.withColumn("_sr", T.stopword_ratio_from_tokens(F.col("_w")))
     outcome = (
         F.when(F.length("text") < MIN_CHARS, "1_too_short")
         .when(stop_ratio > MAX_STOP, "2_stopword_heavy")
         .when(stop_ratio < 0.02, "3_no_function_words")
         .otherwise("kept")
     )
-    verdict = docs.select(outcome.alias("outcome"))
+    verdict = staged.select(outcome.alias("outcome"))
     total = verdict.agg(F.count(F.lit(1)).cast("double").alias("total"))
     return (
         verdict.groupBy("outcome")

@@ -299,12 +299,17 @@ class TestPipelinePlans:
             )
 
     def test_repetition_signals_stay_jvm_side(self, spark, sf_dir):
-        """The n-gram explode/count path must contain no Python
-        evaluation and keep a partial aggregation before the shuffle."""
+        """The repetition signals must contain no Python evaluation and
+        (r14) no keyed shuffle at all: the top-gram fractions are
+        per-row sorted-run expressions, so the only exchange in the
+        plan is the narrow range partition that spreads the scan and
+        carries the output order — not a gram explode + aggregation."""
         df = CORPUS["text_repetition_signals"].builder(spark, sf_dir)
         plan = final_plan(df)
         assert "EvalPython" not in plan
-        assert "partial_count" in plan or "partial" in plan
+        assert "hashpartitioning" not in plan
+        assert "Generate" not in plan  # no gram explode
+        assert "rangepartitioning" in plan
 
     def test_lateral_topn_decorrelates_to_ranked_join(self, spark, sf_dir):
         """The correlated LATERAL subquery must compile to one windowed
