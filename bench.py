@@ -899,6 +899,9 @@ def main() -> None:
                 }
             )
         _qi += 1
+        # Guide §1.5: label every query's jobs so UI/event-log stages
+        # map back to corpus queries. Thread-local, no timing effect.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         try:
             df = spec.builder(spark, sf_dir)
@@ -922,6 +925,7 @@ def main() -> None:
             except Exception as exc:  # audit is advisory; never kill timing
                 print(f"BENCH AUDIT-ERR {name}: {exc}", file=sys.stderr)
         finally:
+            spark.sparkContext.setJobDescription(None)
             # packing queries persist a barrier frame; release it so a
             # 143-query run doesn't accumulate cached partitions
             packing.release_caches()
@@ -975,6 +979,7 @@ def main() -> None:
             _r6._TABLES.clear()
         except Exception:
             pass
+        spark.sparkContext.setJobDescription(f"bench-retime:{name}")
         t0 = time.perf_counter()
         try:
             CORPUS[name].builder(spark, sf_dir).collect()
@@ -983,6 +988,7 @@ def main() -> None:
             print(f"BENCH RETIME-ERR {name}: {exc}", file=sys.stderr)
             continue
         finally:
+            spark.sparkContext.setJobDescription(None)
             packing.release_caches()
         accepted, recorded = retime_decision(t, t2, floor)
         retimed[name] = {

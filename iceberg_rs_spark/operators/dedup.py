@@ -564,6 +564,7 @@ def connected_components(
         .distinct()
     )
     edges = barrier(e)
+    n_edges = edges.count()
     for _ in range(max_iterations):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: connect every strictly-larger neighbor of u to
@@ -590,15 +591,23 @@ def connected_components(
             .distinct()
         )
         new_edges = barrier(ss)
-        # one-action convergence check: empty symmetric difference
-        changed = (
-            new_edges.exceptAll(edges)
-            .union(edges.exceptAll(new_edges))
-            .limit(1)
-            .count()
-        )
+        # Convergence check, exact but cheap (r14): both edge sets are
+        # DISTINCT, so they are equal iff |new| == |old| AND new ⊆ old.
+        # The old-edge count is carried from the previous round (free),
+        # the new count is one no-shuffle job over the barriered frame,
+        # and the subset probe — a left_anti limit 1 — only runs when
+        # the counts match (unequal counts already prove non-
+        # convergence). Replaces the former two-exceptAll + union +
+        # count plan, which re-shuffled both edge sets every round.
+        n_new = new_edges.count()
+        changed = 1
+        if n_new == n_edges:
+            changed = (
+                new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count()
+            )
         edges.unpersist()
         edges = new_edges
+        n_edges = n_new
         if changed == 0:
             break
     # converged: (u, v) edges are per-component stars, v = component min

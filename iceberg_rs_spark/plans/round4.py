@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
 from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
 
@@ -229,7 +230,10 @@ def pipeline_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame
     small side by construction; AQE broadcasts it). Output is the
     per-train-doc count of distinct shared grams — the actionable
     artifact (what to drop, with evidence strength)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("w"))
     bucket = h60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
     split = toks.select(
@@ -287,7 +291,10 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     this emits is what the cleaning pass joins against to strip
     boilerplate — at 100 TB the join uses h60(phrase) exactly like
     ``pipeline_decontaminate_ngrams``."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("w"))
     grams = toks.where(F.size("w") >= 5).select(
         "doc_id", F.explode(T.shingles_of_tokens(F.col("w"), 5)).alias("g")

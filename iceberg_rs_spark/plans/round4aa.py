@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.plans.llm import TOKENS_SQL
 from iceberg_rs_spark.operators import text as T
@@ -129,7 +130,9 @@ def text_js_divergence_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent side = 0, which contributes p·ln2 to its own half of the
     sum). Everything after the one token explode runs on
     vocabulary-sized relations; JSD is exact at ROUND(4) in nats."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("lang", "text"), "lang"
+    )
     toks = docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("term"))
     counts = toks.groupBy("lang", "term").agg(
         F.count("*").cast("double").alias("c")

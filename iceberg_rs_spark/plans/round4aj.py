@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.plans.llm import TOKENS_SQL
 from iceberg_rs_spark.sources.fixtures import load_table
@@ -79,7 +80,10 @@ def text_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-free retrieval baseline beside the dense-embedding stack:
     same output shape as `sim_embedding_high_pairs`, no encoder
     required."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250),
+        "doc_id",
+    )
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     )

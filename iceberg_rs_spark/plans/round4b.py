@@ -21,6 +21,7 @@ from iceberg_rs_spark.functions.hashing import h60, h60_sql
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.operators.sessionize import session_counts_distributed
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
 
@@ -401,7 +402,10 @@ def pipeline_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a one-row cross join. Mean log-prob is rounded to 3 decimals —
     the summation-order tolerance every float aggregate in the corpus
     uses (FIXTURES.md determinism rules)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     bucket = h60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
     toks = docs.select(
         "doc_id",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
 from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
 
@@ -219,7 +220,10 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     underneath runs over the whole corpus. df is vocabulary-sized
     (zipf-bounded ≪ corpus) so AQE broadcasts it at any realistic
     SF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     ).where(F.col("term") != "")

@@ -83,11 +83,25 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("unit_cents"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    tot = base.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    # r14 (guide §2.3 "aggregate before you shuffle"): the pick only
+    # depends on the cumulative weight at unit_cents granularity — for
+    # any value v, the largest row-level cw among rows with value v
+    # equals the per-value cumulative weight, and the first row
+    # crossing p·tw has the same value as the first VALUE crossing it.
+    # So the prefix scan runs over per-(flag, value) aggregated
+    # weights: map-side partial aggregation collapses the relation to
+    # the distinct price-point domain BEFORE the range shuffle —
+    # bounded by the cents domain (~10^6) at ANY corpus scale, where
+    # the row-level scan grew with the data. The ×|percentiles|
+    # crossJoin fan-out of the row-level cum relation is likewise
+    # replaced by two conditional mins in ONE aggregation pass plus a
+    # 2-element unpivot of the 3-row picks frame.
+    agg = base.groupBy("l_returnflag", "unit_cents").agg(F.sum("w").alias("w"))
+    tot = agg.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
     cum = (
         running_sum_global(
-            base,
-            [F.col("unit_cents"), F.col("w")],
+            agg,
+            [F.col("unit_cents")],
             "w",
             "cw",
             group_cols=["l_returnflag"],
@@ -95,16 +109,27 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot), "l_returnflag")
         .select("l_returnflag", "unit_cents", "cw", "tw")
     )
-    pcts = spark.createDataFrame([(p,) for p in WP_PCTS], "p double")
-    picks = (
-        cum.crossJoin(F.broadcast(pcts))
-        .groupBy("l_returnflag", "p")
-        .agg(
+    picks_wide = cum.groupBy("l_returnflag").agg(
+        *[
             F.min(
-                F.when(F.col("cw") >= F.col("p") * F.col("tw"), F.col("unit_cents"))
-            ).alias("pick_cents")
-        )
+                F.when(F.col("cw") >= F.lit(p) * F.col("tw"), F.col("unit_cents"))
+            ).alias(f"_pick_{i}")
+            for i, p in enumerate(WP_PCTS)
+        ]
     )
+    picks = picks_wide.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"_pick_{i}").alias("pick_cents")
+                    )
+                    for i, p in enumerate(WP_PCTS)
+                ]
+            )
+        ).alias("_pp"),
+    ).select("l_returnflag", F.col("_pp.p").alias("p"), F.col("_pp.pick_cents").alias("pick_cents"))
     return picks.select(
         "l_returnflag",
         "p",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.plans.llm import TOKENS_SQL
 from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
@@ -141,7 +142,10 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, no shuffle, no Python — the corruption pass is
     scan-shaped at any corpus size, and the corrupted text is
     hash-certified, not just counted."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     sized = docs.select(
         "doc_id", T.tokens(F.col("text")).alias("w")
     ).withColumn("n_tok", F.size("w")).where(F.col("n_tok") > 0)

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
+from iceberg_rs_spark.operators import similarity as S
 from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.plans.llm import TOKENS_SQL
@@ -208,16 +210,20 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < SWEEP_N
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = base.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    # r14 (guide §4.2): the pairwise cosine moves from interpreted HOF
+    # folds (~25 µs/pair, and each vector's norm was re-folded once per
+    # PAIR, i.e. ~n times per vector) to the Arrow-batched bit-exact
+    # kernel the rest of the sim family scores with — one
+    # ArrowEvalPython node, float-identical to the SQL left fold by
+    # construction (cosine_arrow_exact: vectorized across rows,
+    # sequential across dimensions). The probe side is spread off the
+    # single-file scan partition so the pair evaluation parallelizes.
+    a = spread_by_range(base, "vec_id").select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va")
+    )
     b = base.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
-    )
     pairs = a.join(b, F.col("ida") < F.col("idb")).select(
-        (dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("cos")
+        S.cosine_arrow_exact(F.col("va"), F.col("vb")).alias("cos")
     )
     thresholds = F.explode(
         F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.operators.joins import asof_join
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.plans.llm import TOKENS_SQL
 from iceberg_rs_spark.sources.fixtures import EVENTS_ORACLE_CTE, load_table
@@ -89,8 +90,11 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembles through sorted struct arrays (order-stable without a
     second window); everything shuffles on (doc, island) then on the
     word, the same scale shape as a word count."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < RAKE_DOCS
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") < RAKE_DOCS
+        ),
+        "doc_id",
     )
     toks = docs.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("i0", "tok")

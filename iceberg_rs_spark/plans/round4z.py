@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.operators import text as T
+from iceberg_rs_spark.operators.skew import spread_by_range
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
 from iceberg_rs_spark.plans.llm import TOKENS_SQL
@@ -283,7 +284,12 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, both sums share the range partition and totals pass)."""
     from iceberg_rs_spark.operators.distwin import running_sum_global
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r14: spread the single-file scan before tokenize+explode
+    # (guide §2.5 — the per-row work otherwise runs on one core)
+    docs = spread_by_range(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     pos = docs.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("p", "term")
     )
@@ -301,6 +307,9 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_tok", "n_new"],
         ["cum_tokens", "cum_vocab"],
     )
+    # (the prefix-scan output is hash-exchanged on _pid by its local
+    # window, so the terminal orderBy stays — its sampler reads the
+    # PERSISTED ranged frame, not a re-derived pipeline)
     return cum.select(
         "doc_id",
         "cum_tokens",
