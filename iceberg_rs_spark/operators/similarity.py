@@ -183,32 +183,24 @@ def brute_force_topk(
     ``queries`` is expected to be small (it is force-broadcast —
     the bounded-query-batch serving contract, guarded by
     ``max_query_batch`` like the ANN paths); the big
-    embeddings side is scanned once, map-side only. Norms are computed
-    once per vector on each join input (projections under a join don't
-    collapse into the per-pair expression), so a pair costs one dot.
-    The JVM left-fold dot keeps values bit-identical to the oracle's
-    sequential sum — right for a hash-checked exact baseline; bulk
-    pair scoring should use :func:`cosine_arrow` instead.
+    embeddings side is scanned once, map-side only. Scoring uses
+    :func:`cosine_arrow_exact` — bit-identical to the JVM left fold /
+    DuckDB list_sum by construction (vectorized across pairs,
+    sequential across dimensions), so the unrounded rank cut below is
+    still exact, without the interpreted per-element HOF fold the
+    r13 version paid per pair (guide §4.2; r14 profile: the fold was
+    the whole cost of the agreement-scalar queries).
     """
     from pyspark.sql import Window
 
     _check_query_batch(queries, max_query_batch, "brute_force_topk")
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_na")
-    )
-    qry = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        norm(F.col(query_vec_col)).alias("_nb"),
-    )
+    emb = embeddings.select(F.col(id_col), F.col(vec_col))
+    qry = queries.select(F.col(query_id_col), F.col(query_vec_col))
     joined = emb.join(F.broadcast(qry))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            dot(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("_na") * F.col("_nb"))
-        ).alias("cos"),
+        cosine_arrow_exact(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
     ).where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -319,13 +311,11 @@ def lsh_topk(
     emb_b = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        norm(F.col(vec_col)).alias("_na"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     q_b = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        norm(F.col(query_vec_col)).alias("_nb"),
         lsh_bucket(F.col(query_vec_col), planes).alias("_qbucket"),
     )
     masks = probe_masks(num_planes, probe_hamming)
@@ -334,23 +324,20 @@ def lsh_topk(
     q_probes = q_b.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        F.col("_nb"),
         F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_mask"),
         F.col("_qbucket"),
     ).select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        F.col("_nb"),
         F.col("_qbucket").bitwiseXOR(F.col("_mask")).alias("_qbucket"),
     )
     joined = emb_b.join(F.broadcast(q_probes), F.col("_bucket") == F.col("_qbucket"))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            dot(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("_na") * F.col("_nb"))
-        ).alias("cos"),
+        # exact (dimension-sequential) Arrow fold — bit-identical to
+        # the JVM left fold; the unrounded cos decides the rank cut.
+        cosine_arrow_exact(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
     ).where(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -641,98 +628,166 @@ def quantized_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     group_cols: "list[str] | None" = None,
+    max_query_batch: int | None = None,
 ) -> DataFrame:
     """Exact top-k under int8-quantized cosine, with the true float
-    cosine alongside for error measurement. The quantized score's dot
-    product is an unrolled INTEGER sum (codegen-able, exact, no float
-    summation-order concerns); only the two integer norms' sqrts and
-    the final ratio are floats. Same broadcast shape as
-    brute_force_topk.
+    cosine alongside for error measurement.
 
-    ``group_cols`` makes it GROUPED top-k: k best per (query, group)
-    — per-source/per-language quota retrieval. The window partitions
-    by (query, group...), so no partition ever exceeds one group's
-    candidates and the ranking parallelizes across groups."""
+    Scoring runs in ONE Arrow-batched numpy kernel (mapInPandas) over
+    the embeddings relation with the (bounded, collected) query batch
+    as a closure constant — the guide-§4.2 shape. The r12/r13 JVM
+    expression form (per-pair 64-term unrolled integer dot against a
+    broadcast of the query rows) was measured in r14 at 2.0-2.6 s of
+    Catalyst planning + codegen per occurrence at bench scale and,
+    worse, showed a progressive JIT deopt cliff when re-planned in a
+    long session (6.4 → 18.3 s across four same-session runs — the
+    giant generated methods exceed the JIT inlining budget and fall
+    back to interpreted bytecode). numpy does the identical arithmetic
+    in vectorized C with none of that pathology, and the kernel emits
+    only a per-batch partial top-k, so the final ranking window sees
+    O(k · |Q| · batches) rows instead of |corpus| · |Q|.
+
+    Bit-for-bit equivalence with the old plan (and the DuckDB oracle):
+    the quantized grid is floor(x/scale + 0.5) clamped — elementwise
+    IEEE ops, identical in numpy; the cross/self integer dots are
+    EXACT int64 sums (immune to summation order, so the matmul is
+    safe); qcos divides an exact int by the product of two IEEE sqrts;
+    and the float `cos` reduction runs vectorized across rows but
+    sequential across dimensions (the :func:`cosine_arrow_exact`
+    pattern), reproducing `dot()`'s left fold addition-for-addition.
+    Quantization spans the FULL array while dots/norms span elements
+    1..dim only — the ADVICE-r12 over-length contract, pinned in
+    tests/test_operators.py.
+
+    ``group_cols`` makes it GROUPED top-k: k best per (query, group) —
+    per-source/per-language quota retrieval. The per-batch partial
+    selection keeps k per (query, group) so the exact global window
+    stays metadata-sized. Queries are collected driver-side under the
+    bounded-query-batch serving contract (``max_query_batch``, like
+    :func:`pq_topk`); at 100 TB the corpus side streams through the
+    kernel map-side only — no join, no shuffle of the embedding table."""
+    import math
+
     from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     groups = list(group_cols or [])
+    _check_query_batch(queries, max_query_batch, "quantized_topk")
 
-    def int_dot(a, b):
-        terms = [
-            F.element_at(a, i).cast("long") * F.element_at(b, i).cast("long")
-            for i in range(1, dim + 1)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids_list = [r[0] for r in qrows]
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+
+    def _quant_full(v: "list[float]") -> "list[int]":
+        # Mirrors quantize_int8 bit-for-bit: scale over the FULL array,
+        # floor(x/scale + 0.5), clamp ±127, zero vector stays zero.
+        scale = max(abs(x) for x in v) / 127.0
+        if scale > 0:
+            return [
+                max(-127, min(127, int(math.floor(x / scale + 0.5))))
+                for x in v
+            ]
+        return [0] * len(v)
+
+    nq = len(qrows)
+    if nq:
+        qq = np.array([_quant_full(v)[:dim] for v in qvecs], dtype=np.int64)
+    else:
+        qq = np.zeros((0, dim), dtype=np.int64)
+    # Query-side norms, computed once: the quantized self-dot is an
+    # exact integer; the float norm is a sequential left fold over the
+    # FULL array — the same IEEE additions norm() performs.
+    qnb = np.sqrt((qq * qq).sum(axis=1).astype("float64"))
+
+    def _float_norm(v: "list[float]") -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    nb = np.array([_float_norm(v) for v in qvecs], dtype="float64")
+    qfull = [np.asarray(v, dtype="float64") for v in qvecs]
+    qids_arr = np.asarray(qids_list)
+
+    emb_fields = {f.name: f for f in embeddings.schema.fields}
+    qid_field = next(
+        f for f in queries.schema.fields if f.name == query_id_col
+    )
+    out_schema = StructType(
+        [StructField(query_id_col, qid_field.dataType, True)]
+        + [emb_fields[g] for g in groups]
+        + [StructField(id_col, emb_fields[id_col].dataType, True)]
+        + [
+            StructField("qcos", DoubleType(), True),
+            StructField("cos", DoubleType(), True),
         ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
-    def int_self_dot_hof(a):
-        # HOF form for the PER-ROW self-norms only: a 64-term unrolled
-        # tree costs ~1s of Catalyst planning per occurrence (measured
-        # r12: 3 trees ~3.1s steady, 1 tree ~1.9s, 0 trees ~1.0s at
-        # bench scale), while HOF evaluation is interpreted per element
-        # — the right trade exactly where evaluation count is O(rows),
-        # not O(pairs). The cross dot below stays unrolled: it runs
-        # once per (row x query) pair and codegen register arithmetic
-        # is what survives a billion-pair batch. Same exact integer
-        # either way — bit-identical under the sqrt. The slice pins the
-        # summed range to elements 1..dim, exactly the elements the
-        # unrolled cross dot reads (ADVICE r12: an input vector longer
-        # than dim would otherwise fold its tail into the self-norm but
-        # not the cross score, changing qcos for over-length inputs).
-        head = F.slice(a, 1, dim)
-        return F.aggregate(
-            F.zip_with(head, head, lambda x, y: x.cast("long") * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    # The quantized self-norms are hoisted to the join INPUTS (r12
-    # profile of sim_quantized_grouped_topk): inside the joined select
-    # each per-pair row would re-evaluate int_dot(qa,qa) once per query
-    # and int_dot(qb,qb) once per embedding row — 3x64 unrolled integer
-    # terms per pair instead of the 64 the cross score actually needs.
-    emb = (
-        quantize_int8(embeddings, vec_col, "qa")
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("qa"),
-            norm(F.col(vec_col)).alias("_na"),
-            *[F.col(g) for g in groups],
-        )
-        .withColumn(
-            "_qna", F.sqrt(int_self_dot_hof(F.col("qa")).cast("double"))
-        )
-    )
-    qry = (
-        quantize_int8(queries, query_vec_col, "qb")
-        .select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
-            F.col("qb"),
-            norm(F.col(query_vec_col)).alias("_nb"),
-        )
-        .withColumn(
-            "_qnb", F.sqrt(int_self_dot_hof(F.col("qb")).cast("double"))
-        )
     )
 
-    joined = emb.join(F.broadcast(qry))
-    scored = joined.select(
-        F.col(query_id_col),
-        *[F.col(g) for g in groups],
-        F.col(id_col),
-        (
-            int_dot(F.col("qa"), F.col("qb"))
-            / (F.col("_qna") * F.col("_qnb"))
-        ).alias("qcos"),
-        (
-            dot(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("_na") * F.col("_nb"))
-        ).alias("cos"),
-    ).where(F.col(query_id_col) != F.col(id_col))
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy()
+            # int8 grid over the full array (IEEE-elementwise, exact)
+            absmax = np.max(np.abs(X), axis=1)
+            scale = absmax / 127.0
+            safe = np.where(scale > 0, scale, 1.0)
+            grid = np.clip(np.floor(X / safe[:, None] + 0.5), -127, 127)
+            grid[scale <= 0] = 0.0
+            qa = grid[:, :dim].astype(np.int64)
+            qna = np.sqrt((qa * qa).sum(axis=1).astype("float64"))
+            # exact integer cross dots, all queries at once
+            qcos = (qa @ qq.T) / (qna[:, None] * qnb[None, :])
+            # float cos: vectorized across rows, sequential across dims
+            # (bit-identical to dot()'s left fold); a query whose full
+            # length differs from the row length reproduces the old
+            # zip_with-over-ragged NULL as NaN→null.
+            b = len(X)
+            cos = np.full((b, nq), np.nan)
+            for qi in range(nq):
+                qv = qfull[qi]
+                if len(qv) != X.shape[1]:
+                    continue
+                d = np.zeros(b)
+                na = np.zeros(b)
+                for j in range(X.shape[1]):
+                    xj = X[:, j]
+                    d = d + xj * qv[j]
+                    na = na + xj * xj
+                cos[:, qi] = d / (np.sqrt(na) * nb[qi])
+            res = pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids_arr, b),
+                    **{
+                        g: np.tile(pdf[g].to_numpy(), nq)
+                        for g in groups
+                    },
+                    id_col: np.tile(ids, nq),
+                    "qcos": qcos.T.ravel(),
+                    "cos": cos.T.ravel(),
+                }
+            )
+            res = res[res[query_id_col] != res[id_col]]
+            # Partial top-k per (query, group) within the batch: global
+            # top-k = top-k of the union of per-batch top-ks under the
+            # same total order (qcos desc, id asc; NaN ranks first,
+            # matching Spark's NaN-greatest ordering).
+            res["_key"] = np.where(
+                np.isnan(res["qcos"].to_numpy()), np.inf, res["qcos"].to_numpy()
+            )
+            res = res.sort_values(
+                ["_key", id_col], ascending=[False, True], kind="mergesort"
+            )
+            res = (
+                res.groupby([query_id_col] + groups, sort=False)
+                .head(k)
+                .drop(columns="_key")
+            )
+            yield res
+
+    emb_sel = embeddings.select(id_col, vec_col, *groups)
+    scored = emb_sel.mapInPandas(_score, schema=out_schema)
     w = Window.partitionBy(query_id_col, *groups).orderBy(
         F.col("qcos").desc(), F.col(id_col)
     )

@@ -76,34 +76,85 @@ def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid/ANN queries carry the full-corpus load. Distances via
     the Arrow-vectorized cosine (numpy batch C loop, not a 64-term
     interpreted fold per pair)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
-    a = emb.select(
-        F.col("vec_id").alias("i"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("va"),
+    # The comparison side is the SAME bounded sample (≤400 points by
+    # the vec_id cut — sample-bounded at any corpus scale, the same
+    # class of metadata-sized collect as the ANN paths' query
+    # batches). Collecting it lets ONE Arrow kernel compute each
+    # point's full distance profile: the r13 plan fanned 400×399 pair
+    # ROWS (each carrying two 64-dim arrays) through a
+    # BroadcastNestedLoopJoin, scored them one ArrowEvalPython call
+    # pair-at-a-time, then paid two hash aggregations over the 160k
+    # pair rows; the kernel does the identical arithmetic as one
+    # numpy pass and emits one row per point (guide §4.2, §2.3).
+    ref = emb.select("vec_id", "label", "embedding").collect()
+    yid = np.array([r["vec_id"] for r in ref], dtype="int64")
+    ylab = np.array([r["label"] for r in ref])
+    Y = np.stack([np.asarray(r["embedding"], dtype="float64") for r in ref])
+    labs = sorted(set(ylab))
+    onehot = np.stack([(ylab == lb).astype("float64") for lb in labs], axis=1)
+    ny = np.zeros(len(Y))
+    for j in range(Y.shape[1]):
+        ny = ny + Y[:, j] * Y[:, j]
+    sny = np.sqrt(ny)
+    pos_of = {int(v): i for i, v in enumerate(yid)}
+
+    lab_field = next(f for f in emb.schema.fields if f.name == "label")
+    id_field = next(f for f in emb.schema.fields if f.name == "vec_id")
+    out_schema = StructType(
+        [
+            StructField("i", id_field.dataType, True),
+            StructField("la", lab_field.dataType, True),
+            StructField("a_i", DoubleType(), True),
+            StructField("b_i", DoubleType(), True),
+        ]
     )
-    b = emb.select(
-        F.col("vec_id").alias("j"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"),
-    )
-    pd_ = (
-        a.join(b, F.col("i") != F.col("j"))
-        .select(
-            "i",
-            "la",
-            "lb",
-            (1 - S.cosine_arrow(F.col("va"), F.col("vb"))).alias("dist"),
-        )
-    )
-    mg = pd_.groupBy("i", "la", "lb").agg(F.avg("dist").alias("mean_dist"))
-    per_point = mg.groupBy("i", "la").agg(
-        F.max(F.when(F.col("lb") == F.col("la"), F.col("mean_dist"))).alias(
-            "a_i"
-        ),
-        F.min(F.when(F.col("lb") != F.col("la"), F.col("mean_dist"))).alias(
-            "b_i"
-        ),
+
+    def _sil(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            ids = pdf["vec_id"].to_numpy()
+            b_n = len(X)
+            d = np.zeros((b_n, len(Y)))
+            nx = np.zeros(b_n)
+            for j in range(X.shape[1]):
+                xj = X[:, j]
+                d = d + xj[:, None] * Y[None, :, j]
+                nx = nx + xj * xj
+            dist = 1.0 - d / (np.sqrt(nx)[:, None] * sny[None, :])
+            # per-label sums/counts, then drop the self pair exactly
+            sums = dist @ onehot              # (b, nlab)
+            counts = onehot.sum(axis=0)[None, :].repeat(b_n, axis=0)
+            self_idx = np.array([pos_of[int(v)] for v in ids])
+            self_lab = np.array(
+                [labs.index(ylab[si]) for si in self_idx]
+            )
+            rows_rng = np.arange(b_n)
+            sums[rows_rng, self_lab] -= dist[rows_rng, self_idx]
+            counts[rows_rng, self_lab] -= 1.0
+            means = sums / counts
+            own = np.array([labs.index(l) for l in pdf["label"]])
+            a_i = means[rows_rng, own]
+            other = means.copy()
+            other[rows_rng, own] = np.inf
+            b_i = other.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "i": ids,
+                    "la": pdf["label"].to_numpy(),
+                    "a_i": a_i,
+                    "b_i": b_i,
+                }
+            )
+
+    per_point = emb.select("vec_id", "label", "embedding").mapInPandas(
+        _sil, schema=out_schema
     )
     sil = (F.col("b_i") - F.col("a_i")) / F.greatest(F.col("a_i"), F.col("b_i"))
     return (

@@ -69,18 +69,26 @@ def sub_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = o.where(F.col("o_orderpriority") == "NO-SUCH").agg(
         F.max("o_totalprice").alias("emx"), F.count("*").alias("ecnt")
     )
+    # One conditional-aggregation pass instead of four separate
+    # count() actions (guide §1.2/§2.3): the r13 form re-scanned
+    # orders AND re-derived both broadcast aggregates per variant —
+    # 4 scans + 8 aggregate jobs for four exact counts that one
+    # HashAggregate with map-side partials produces identically.
     base = o.crossJoin(F.broadcast(urgent)).crossJoin(F.broadcast(empty))
-    gt_all = base.where(F.col("o_totalprice") > F.col("mx")).count()
-    gt_any = base.where(F.col("o_totalprice") > F.col("mn")).count()
-    lt_all = base.where(F.col("o_totalprice") < F.col("mn")).count()
-    gt_all_empty = base.where(
-        (F.col("ecnt") == 0) | (F.col("o_totalprice") > F.col("emx"))
-    ).count()
+    cnt = lambda cond: F.sum(cond.cast("long")).alias("n")  # noqa: E731
+    row = base.agg(
+        cnt(F.col("o_totalprice") > F.col("mx")).alias("gt_all"),
+        cnt(F.col("o_totalprice") > F.col("mn")).alias("gt_any"),
+        cnt(F.col("o_totalprice") < F.col("mn")).alias("lt_all"),
+        cnt(
+            (F.col("ecnt") == 0) | (F.col("o_totalprice") > F.col("emx"))
+        ).alias("gt_all_empty"),
+    ).collect()[0]
     rows = [
-        ("gt_all_urgent", gt_all),
-        ("gt_any_urgent", gt_any),
-        ("lt_all_urgent", lt_all),
-        ("gt_all_empty", gt_all_empty),
+        ("gt_all_urgent", row["gt_all"]),
+        ("gt_any_urgent", row["gt_any"]),
+        ("lt_all_urgent", row["lt_all"]),
+        ("gt_all_empty", row["gt_all_empty"]),
     ]
     return spark.createDataFrame(
         rows, "variant string, n_orders long"

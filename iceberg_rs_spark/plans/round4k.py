@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60_seeded, h60_seeded_sql
+from iceberg_rs_spark.operators import similarity as S
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.operators.graph import bfs_hops
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
@@ -253,15 +254,14 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = base.where(F.col("vec_id") < MMR_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    cos = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
+    # exact (dimension-sequential) Arrow cosine — bit-identical to the
+    # zip_with left fold / oracle list_sum, so the top-20 rank cut and
+    # the greedy MMR ties are unchanged; the interpreted HOF fold cost
+    # ~25µs/pair across |Q|×corpus pairs (guide §4.2, r14 batch 3).
     scored = q.join(base, F.col("vec_id") != F.col("qid")).select(
-        "qid", "vec_id", cos.alias("rel")
+        "qid",
+        "vec_id",
+        S.cosine_arrow_exact(F.col("qv"), F.col("v")).alias("rel"),
     )
     cand = (
         scored.withColumn(
@@ -280,9 +280,6 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cwv.select(
         F.col("qid").alias("qid_b"), F.col("vec_id").alias("b"), F.col("v").alias("vb")
     )
-    pair_dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     sims = (
         a.join(b, F.col("qid") == F.col("qid_b"))
         .where(F.col("a") != F.col("b"))
@@ -290,7 +287,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid_b",
             "a",
             "b",
-            (pair_dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("sim"),
+            S.cosine_arrow_exact(F.col("va"), F.col("vb")).alias("sim"),
         )
     )
     out = (
