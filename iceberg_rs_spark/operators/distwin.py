@@ -173,6 +173,7 @@ def running_sum_global(
     out_col="running_sum",
     num_partitions: "int | None" = None,
     group_cols: "list[str] | None" = None,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — the
     inclusive prefix sum: exclusive offset from the two-pass scheme
@@ -202,6 +203,7 @@ def running_sum_global(
         num_partitions,
         out_col=offs,
         group_cols=group_cols,
+        keep_pid=keep_pid,
     )
     res = out
     for w, oc, off in zip(weights, outs, offs):
@@ -209,6 +211,9 @@ def running_sum_global(
     res = res.drop(*offs)
     res._icelake_packing_cache = getattr(out, "_icelake_packing_cache", None)
     res._icelake_prefix_totals = getattr(out, "_icelake_prefix_totals", {})
+    res._icelake_partition_offsets = getattr(
+        out, "_icelake_partition_offsets", []
+    )
     return res
 
 

@@ -70,10 +70,14 @@ def with_global_offset(
     num_partitions: "int | None" = None,
     out_col="start_offset",
     group_cols: "list[str] | None" = None,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """Add the exclusive prefix sum of ``weight_col`` in ``order_col``
     order as ``out_col``, computed with the two-pass partition-offset
-    scheme (no global-order window).
+    scheme (no global-order window). ``keep_pid=True`` keeps the
+    ``_pid`` range-partition id column so callers can prune the second
+    pass to specific partitions (the driver-side
+    ``_icelake_partition_offsets`` metadata identifies them).
 
     ``order_col`` is a column name, a Column sort expression (e.g.
     ``F.col("x").desc()``), or a list of either — multi-column and
@@ -166,12 +170,19 @@ def with_global_offset(
                 F.col(f"_part_offset{i}") + F.sum(w).over(win) - F.col(w)
             ).cast("long"),
         )
-    out = out.drop("_pid", *[f"_part_offset{i}" for i in range(len(weights))])
+    out = out.drop(*[f"_part_offset{i}" for i in range(len(weights))])
+    if not keep_pid:
+        out = out.drop("_pid")
     out._icelake_packing_cache = ranged
     out._icelake_prefix_totals = {
         g: (tuple(int(x) for x in t) if multi else int(t[0]))
         for g, t in acc_by_group.items()
     }
+    # Per-(partition, group) exclusive start offsets, already on the
+    # driver as a byproduct of the totals pass — metadata consumers
+    # (e.g. crossing-partition percentile picks) read these instead of
+    # re-aggregating the data (guide §2.3).
+    out._icelake_partition_offsets = rows
     return out
 
 

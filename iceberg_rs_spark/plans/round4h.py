@@ -97,24 +97,69 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced by two conditional mins in ONE aggregation pass plus a
     # 2-element unpivot of the 3-row picks frame.
     agg = base.groupBy("l_returnflag", "unit_cents").agg(F.sum("w").alias("w"))
-    tot = agg.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
-    cum = (
-        running_sum_global(
-            agg,
-            [F.col("unit_cents")],
-            "w",
-            "cw",
-            group_cols=["l_returnflag"],
-        )
-        .join(F.broadcast(tot), "l_returnflag")
-        .select("l_returnflag", "unit_cents", "cw", "tw")
+    cum = running_sum_global(
+        agg,
+        [F.col("unit_cents")],
+        "w",
+        "cw",
+        group_cols=["l_returnflag"],
+        keep_pid=True,
     )
-    picks_wide = cum.groupBy("l_returnflag").agg(
+    # r14 second refinement (guide §2.3/§2.4): the totals pass already
+    # put every per-(partition, flag) weight on the driver, so
+    # (a) tw per flag comes from that metadata instead of a SECOND
+    #     scan+aggregate subtree re-deriving `agg` for a 3-row frame,
+    # (b) each (flag, percentile) pick lives in exactly ONE range
+    #     partition — the first pid whose cumulative end reaches
+    #     p · tw (cw is monotone in value order within a flag, and
+    #     later partitions hold only larger unit_cents, so they cannot
+    #     change the min) — and the pick pass prunes to those few
+    #     partitions instead of windowing the full distinct-value
+    #     relation. Thresholds are computed driver-side with the same
+    #     IEEE double product (p · tw) the in-plan expression used.
+    totals = {
+        flag: (tw[0] if isinstance(tw, tuple) else tw)
+        for (flag,), tw in cum._icelake_prefix_totals.items()
+    }  # {flag: tw} (multi-weight calls store 1-tuples)
+    part_offs = cum._icelake_partition_offsets  # [(pid, flag, start)]
+    thresholds = {
+        flag: [p * float(tw) for p in WP_PCTS]
+        for flag, tw in totals.items()
+    }
+    ends: dict = {}
+    for pid, flag, start in part_offs:
+        ends.setdefault(flag, []).append((pid, start))
+    pick_pids: set[int] = set()
+    for flag, rows_f in ends.items():
+        rows_f.sort()
+        tw = totals[flag]
+        for p_i, thr in enumerate(thresholds[flag]):
+            for idx, (pid, start) in enumerate(rows_f):
+                end = (
+                    rows_f[idx + 1][1] if idx + 1 < len(rows_f) else tw
+                )
+                if end >= thr:
+                    pick_pids.add(pid)
+                    break
+    flags = sorted(ends)
+    thr_exprs = []
+    for p_i in range(len(WP_PCTS)):
+        e = F.lit(None).cast("double")
+        for flag in flags:
+            e = (
+                F.when(
+                    F.col("l_returnflag") == flag,
+                    F.lit(thresholds[flag][p_i]),
+                ).otherwise(e)
+            )
+        thr_exprs.append(e)
+    sub = cum.where(F.col("_pid").isin(*[int(x) for x in pick_pids]))
+    picks_wide = sub.groupBy("l_returnflag").agg(
         *[
             F.min(
-                F.when(F.col("cw") >= F.lit(p) * F.col("tw"), F.col("unit_cents"))
+                F.when(F.col("cw") >= thr_exprs[i], F.col("unit_cents"))
             ).alias(f"_pick_{i}")
-            for i, p in enumerate(WP_PCTS)
+            for i in range(len(WP_PCTS))
         ]
     )
     picks = picks_wide.select(
