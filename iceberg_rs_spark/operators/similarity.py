@@ -245,6 +245,37 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_bucket_arrow(vec: Column, planes: list[list[float]]) -> Column:
+    """:func:`lsh_bucket` computed in one Arrow kernel instead of one
+    interpreted 64-term HOF fold PER PLANE PER ROW (guide §4.2 — the
+    fold costs ~25 µs/row/plane and its unrolled expression tree also
+    defeats whole-stage codegen). Bit-identical to the JVM fold and to
+    the oracle's list_sum: each projection accumulates sequentially
+    across dimensions (``acc = acc + x[:, j] * p[j]`` — the exact IEEE
+    additions of the left fold, vectorized across rows), so the sign
+    test — hence the bucket id, hence the candidate pair set — cannot
+    differ."""
+    from pyspark.sql.functions import pandas_udf
+
+    pl = [list(map(float, p)) for p in planes]
+
+    @pandas_udf("long")
+    def pbucket(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int64")
+        xa = np.stack(x.values).astype("float64")
+        n = len(xa)
+        bucket = np.zeros(n, dtype="int64")
+        for i, p in enumerate(pl):
+            proj = np.zeros(n)
+            for j in range(xa.shape[1]):
+                proj = proj + xa[:, j] * p[j]
+            bucket = bucket + np.where(proj > 0.0, np.int64(1 << i), np.int64(0))
+        return pd.Series(bucket)
+
+    return pbucket(vec)
+
+
 def auto_num_planes(n: int, target_block: int = 256, lo: int = 2, hi: int = 24) -> int:
     """Hyperplane count sized to the corpus: expected bucket size is
     n / 2^planes, so planes = ceil(log2(n / target_block)) keeps the
@@ -546,10 +577,21 @@ def embedding_near_dup_pairs(
     if num_planes is None:
         num_planes = auto_num_planes(embeddings.count())
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
-    base = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    # r14 (guide §4.2/§2.4): bucket assignment runs in the Arrow kernel
+    # (bit-identical sign test — see lsh_bucket_arrow) instead of
+    # num_planes interpreted HOF folds per row, and the bucketed base is
+    # barriered: both self-join sides otherwise re-ran the scan AND the
+    # per-row bucket computation (no ReusedExchange across the alias
+    # pair). One narrow row per vector, O(corpus) — the same size class
+    # as the fingerprint barrier in dedup.simhash_near_dup_pairs.
+    from iceberg_rs_spark.operators.dedup import _spread, barrier
+
+    base = barrier(
+        _spread(embeddings).select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_arrow(F.col(vec_col), planes).alias("_bucket"),
+        )
     )
     a = base.alias("a")
     if probe_hamming > 0:

@@ -205,8 +205,16 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iceberg_rs_spark.functions.transforms import hours_from_epoch
 
+    from iceberg_rs_spark.operators.dedup import barrier
+
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
-    hourly = (
+    # Barrier (r14, guide §2.4): `hourly` feeds both the span bounds
+    # and the grid left-join — without it the events scan + hash
+    # aggregate ran twice (before-plan: 2 parquet scans of events, 8
+    # Exchanges). The barriered relation is one row per (user, hour)
+    # bucket — the POST-aggregation size, bounded by users x span, not
+    # by event volume.
+    hourly = barrier(
         ev.select(
             "user_id",
             hours_from_epoch(F.col("ts")).cast("long").alias("hidx"),

@@ -214,18 +214,26 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < RRF_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("label").alias("qlabel")
     )
+    # r14 (guide §4.1/§4.2): per-pair HOF cosine -> the Arrow kernel
+    # that replays the left fold's IEEE addition order exactly, so the
+    # rank cut (the only thing the cosine feeds here) is unchanged.
+    from iceberg_rs_spark.operators.similarity import cosine_arrow_exact
+
     pairs = q.join(emb, F.col("vec_id") != F.col("qid"))
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    cos = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
     wq = Window.partitionBy("qid")
-    cos_ranked = pairs.select(
-        "qid", "vec_id", F.row_number().over(wq.orderBy(F.desc(cos), "vec_id")).alias("r")
-    ).where(F.col("r") <= RRF_TOPK)
+    cos_ranked = (
+        pairs.select(
+            "qid",
+            "vec_id",
+            cosine_arrow_exact(F.col("qv"), F.col("v")).alias("_cos"),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.row_number().over(wq.orderBy(F.desc("_cos"), "vec_id")).alias("r"),
+        )
+        .where(F.col("r") <= RRF_TOPK)
+    )
     lbl_ranked = pairs.select(
         "qid",
         "vec_id",

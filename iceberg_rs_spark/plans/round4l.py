@@ -241,10 +241,17 @@ def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets), so no single-partition window exists in the
     plan and the cut parallelizes at 100 TB — the per-stage contract
     is bit-identical to SQL NTILE, pinned by the oracle."""
+    from iceberg_rs_spark.operators.dedup import _spread, barrier
     from iceberg_rs_spark.operators.distwin import ntile_global
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = (
+    # r14 (guide §2.5/§2.4): spread the single-file scan BEFORE the
+    # tokenize + array_distinct projection (it ran on 1 of 32 cores),
+    # and barrier the doc-level score relation — ntile_global's range
+    # exchange SAMPLES its child to pick bounds, which re-evaluated the
+    # whole heavy projection a second time (before-plan: 3 scans).
+    # The barriered frame is one narrow row per doc (id + 2 numbers).
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    scored = barrier(
         docs.select("doc_id", T.tokens(F.col("text")).alias("w"))
         .withColumn("n_tok", F.size("w"))
         .where(F.col("n_tok") > 0)

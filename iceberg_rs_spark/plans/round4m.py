@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
 from iceberg_rs_spark.operators import graph as G
+from iceberg_rs_spark.operators.dedup import barrier
 from iceberg_rs_spark.operators import text as T
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.plans.corpus import query
@@ -298,7 +299,16 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.sum(cents).cast("double").alias("w"))
     )
-    und = (
+    # Materialization barrier (r14, guide §2.4/§3.3): `und` fans out
+    # into sym (x2), top3, the adjacency union (x2), the anti-join and
+    # the degree table — Catalyst re-derives the whole 4-way
+    # lineitem⋈orders⋈customer⋈supplier subtree per reference (the
+    # before-plan shows 148 parquet scans / 236 Exchanges, and planning
+    # the 190 KB tree is itself driver cost). The barrier caps the
+    # relation at one nation-pair row per edge (≤ C(25,2) rows at ANY
+    # corpus scale — nation is a dimension table), so everything
+    # downstream of the one heavy join runs on metadata-sized input.
+    und = barrier(
         directed.where(F.col("src") != F.col("dst"))
         .groupBy(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

@@ -274,19 +274,24 @@ def sim_ranking_metrics_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("label").alias("qlabel"),
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    cos = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
+    # r14 (guide §4.1/§4.2): the per-pair cosine moved from interpreted
+    # HOF folds (~25 µs/pair, re-deriving both norms per PAIR) to the
+    # Arrow kernel whose float result is bit-identical to the left fold
+    # by construction (sequential across dims), so the rank order —
+    # the quantity the certified DCG depends on — is unchanged.
+    from iceberg_rs_spark.operators.similarity import cosine_arrow_exact
+
     pairs = q.join(base, F.col("vec_id") != F.col("qid"))
     scored = pairs.select(
         "qid",
         (F.col("label") == F.col("qlabel")).alias("rel"),
+        "vec_id",
+        cosine_arrow_exact(F.col("qv"), F.col("v")).alias("_cos"),
+    ).select(
+        "qid",
+        "rel",
         F.row_number()
-        .over(Window.partitionBy("qid").orderBy(F.desc(cos), "vec_id"))
+        .over(Window.partitionBy("qid").orderBy(F.desc("_cos"), "vec_id"))
         .alias("r"),
     )
     totals = pairs.groupBy("qid").agg(

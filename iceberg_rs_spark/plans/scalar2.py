@@ -490,19 +490,127 @@ def agg_percentiles_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression from the same second moments; outputs are
     half-up-rounded so summation-order ulps cannot leak into the
     hash."""
+    # r14 value-domain rewrite (guide §2.3, the agg_weighted_percentiles
+    # pattern): `F.percentile` is a TypedImperativeAggregate whose
+    # buffer is the FULL value→count map — every partial serializes the
+    # map through the shuffle and 3 reducer tasks merge the whole value
+    # domain single-threaded (the ObjectHashAggregate pair in the
+    # before-plan). The rewrite aggregates to per-(flag, value) counts
+    # (map-side partials, narrow rows), runs the grouped two-pass
+    # distributed prefix scan over the distinct-value domain, and picks
+    # the two bracketing values per percentile from the few range
+    # partitions containing a crossing. Interpolation replays Spark
+    # Percentile.getPercentile's EXACT IEEE arithmetic — position =
+    # double(n-1) · p; result = (ceil(pos) - pos) · v_lo +
+    # (pos - floor(pos)) · v_hi, same operand order — so the certified
+    # output is bit-identical to the builtin (asserted against the
+    # builtin over all three fixture SFs before the swap). The regr_*
+    # family stays a declarative one-pass aggregation.
+    import math
+
+    from iceberg_rs_spark.operators.distwin import running_sum_global
+
+    PCTS = (0.25, 0.5, 0.75)
     li = load_table(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            rhalf(pct.getItem(0), 4).alias("p25"),
-            rhalf(pct.getItem(1), 4).alias("p50"),
-            rhalf(pct.getItem(2), 4).alias("p75"),
-            F.regr_count(y, x).alias("n_pairs"),
-            rhalf(F.regr_slope(y, x), 4).alias("slope"),
-            rhalf(F.regr_intercept(y, x), 4).alias("intercept"),
-            rhalf(F.regr_r2(y, x), 6).alias("r2"),
+    regr = li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        rhalf(F.regr_slope(y, x), 4).alias("slope"),
+        rhalf(F.regr_intercept(y, x), 4).alias("intercept"),
+        rhalf(F.regr_r2(y, x), 6).alias("r2"),
+    )
+    vals = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = running_sum_global(
+        vals,
+        [F.col("v")],
+        "c",
+        "cc",
+        group_cols=["l_returnflag"],
+        keep_pid=True,
+    )
+    totals = {
+        flag: int(t[0] if isinstance(t, tuple) else t)
+        for (flag,), t in cum._icelake_prefix_totals.items()
+    }
+    # Per flag/percentile: the 0-based sorted positions to fetch and the
+    # interpolation coefficients, all computed driver-side with the
+    # builtin's own arithmetic. A value row holds position i iff its
+    # inclusive cumulative count cc is the first to reach i + 1.
+    info: dict = {}
+    for flag, n in totals.items():
+        entries = []
+        for p in PCTS:
+            position = float(n - 1) * p
+            lower, higher = math.floor(position), math.ceil(position)
+            entries.append(
+                (
+                    lower + 1,
+                    higher + 1,
+                    float(higher) - position,
+                    position - float(lower),
+                    lower == higher,
+                )
+            )
+        info[flag] = entries
+    # Prune the pick pass to the range partitions containing a crossing
+    # (cc is monotone in value order within a flag; later partitions
+    # hold only larger values, so they cannot change the min).
+    ends: dict = {}
+    for pid, flag, start in cum._icelake_partition_offsets:
+        ends.setdefault(flag, []).append((pid, start))
+    pick_pids: set[int] = set()
+    for flag, rows_f in ends.items():
+        rows_f.sort()
+        n = totals[flag]
+        needed = set()
+        for k_lo, k_hi, *_ in info[flag]:
+            needed.update((k_lo, k_hi))
+        for k in needed:
+            for idx, (pid, start) in enumerate(rows_f):
+                end = rows_f[idx + 1][1] if idx + 1 < len(rows_f) else n
+                if end >= k:
+                    pick_pids.add(pid)
+                    break
+    flags = sorted(totals)
+
+    def flag_case(values_by_flag) -> F.Column:
+        e = F.lit(None).cast("long")
+        for flag in flags:
+            e = F.when(F.col("l_returnflag") == flag, F.lit(values_by_flag[flag])).otherwise(e)
+        return e
+
+    sub = cum.where(F.col("_pid").isin(*[int(p) for p in pick_pids]))
+    pick_aggs = []
+    for i in range(len(PCTS)):
+        k_lo = flag_case({f: info[f][i][0] for f in flags})
+        k_hi = flag_case({f: info[f][i][1] for f in flags})
+        pick_aggs.append(
+            F.min(F.when(F.col("cc") >= k_lo, F.col("v"))).alias(f"_vlo_{i}")
         )
+        pick_aggs.append(
+            F.min(F.when(F.col("cc") >= k_hi, F.col("v"))).alias(f"_vhi_{i}")
+        )
+    picks = sub.groupBy("l_returnflag").agg(*pick_aggs)
+    pct_cols = []
+    for i in range(len(PCTS)):
+        e = F.lit(None).cast("double")
+        for flag in flags:
+            _, _, hi_minus_pos, pos_minus_lo, degenerate = info[flag][i]
+            if degenerate:
+                v = F.col(f"_vlo_{i}")
+            else:
+                v = (
+                    F.lit(hi_minus_pos) * F.col(f"_vlo_{i}")
+                    + F.lit(pos_minus_lo) * F.col(f"_vhi_{i}")
+                )
+            e = F.when(F.col("l_returnflag") == flag, v).otherwise(e)
+        pct_cols.append(rhalf(e, 4).alias(f"p{int(PCTS[i] * 100)}"))
+    return (
+        picks.select("l_returnflag", *pct_cols)
+        .join(regr, "l_returnflag")
         .orderBy("l_returnflag")
     )
