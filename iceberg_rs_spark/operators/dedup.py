@@ -678,24 +678,53 @@ def simhash_fingerprints(
     yields a NULL fingerprint, while the explode drops the row from
     this output entirely — callers needing every row should left-join
     back."""
+    # r14 (guide §4.2): the fingerprint is per-document, so it needs NO
+    # shuffle at all — the former explode + 60-sum hash aggregation
+    # paid a full token-row shuffle plus 60 aggregate updates per token
+    # (the 60-function update loop is far past the JIT inlining budget,
+    # so it ran as interpreted bytecode; measured ~2.5 s of the 3 s
+    # query at sf0.1). Tokenization stays JVM-side (the exact oracle
+    # regex), then ONE mapInPandas kernel hashes each token with the
+    # portable h60 (hashlib.md5 — bit-identical by definition) and
+    # computes the per-bit sign sums in integer numpy: exact integer
+    # math, same fp for every row the old plan emitted. NULL-text rows
+    # are dropped, matching the explode plan (pinned in
+    # test_operators.py::test_simhash_blank_and_null_text).
     w = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_w")
     )
-    th = w.select(F.col(id_col), F.explode("_w").alias("_t")).select(
-        F.col(id_col), h60(F.col("_t")).alias("_h")
-    )
-    sums = th.groupBy(id_col).agg(
-        *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
-            for b in range(bits)
-        ]
-    )
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp + F.when(
-            F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select(F.col(id_col), fp.alias("_fp"))
+    id_dtype = dict(w.dtypes)[id_col]
+    n_bits = int(bits)
+
+    def _kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        one = np.uint64(1)
+        for pdf in batches:
+            ids, fps = [], []
+            for i, toks in zip(pdf[id_col], pdf["_w"]):
+                if toks is None or len(toks) == 0:
+                    continue  # NULL text: the explode plan drops the row
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                ones = ((hs[:, None] >> shifts) & one).sum(axis=0, dtype=np.int64)
+                counts = 2 * ones - np.int64(len(hs))
+                fp = int(((counts > 0).astype(np.uint64) << shifts).sum())
+                ids.append(i)
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "_fp": fps})
+
+    return w.mapInPandas(_kernel, f"{id_col} {id_dtype}, _fp long")
 
 
 def hamming64(a: Column, b: Column) -> Column:

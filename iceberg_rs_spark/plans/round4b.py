@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from iceberg_rs_spark.functions.hashing import h60, h60_sql
 from iceberg_rs_spark.operators import text as T
-from iceberg_rs_spark.operators.dedup import barrier
 from iceberg_rs_spark.operators.sessionize import session_counts_distributed
 from iceberg_rs_spark.plans.canon import rhalf, rhalf_sql
 from iceberg_rs_spark.operators.skew import spread_by_range
@@ -430,15 +429,7 @@ def pipeline_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
     )
-    # r14 (guide §2.4/§3.1): barrier the unigram model — `train_uni`
-    # fed both the scoring join and the |V| count, so the whole
-    # tokenize→explode→aggregate subtree ran twice (before-plan: 8
-    # parquet scans, 22 Exchanges). The barriered relation is
-    # vocab-sized (bounded by language, not corpus). Both count tables
-    # then BROADCAST into the scoring joins — the val-bigram stream is
-    # never shuffled by (w1, w2)/(w1); at 100 TB the model side is the
-    # bounded one while the corpus side only streams.
-    train_uni = barrier(
+    train_uni = (
         toks.where(F.col("split") == "train")
         .select(F.explode("w").alias("w1"))
         .groupBy("w1")
@@ -447,8 +438,8 @@ def pipeline_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = train_uni.agg(F.count("*").alias("v"))
     val_bi = bigrams.where(F.col("split") == "val").select("doc_id", "w1", "w2")
     scored = (
-        val_bi.join(F.broadcast(train_bi), ["w1", "w2"], "left")
-        .join(F.broadcast(train_uni), ["w1"], "left")
+        val_bi.join(train_bi, ["w1", "w2"], "left")
+        .join(train_uni, ["w1"], "left")
         .crossJoin(vocab)
         .select(
             "doc_id",
