@@ -401,25 +401,30 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_SIZE)
         .select("token")
     )
+    # r14 (guide §2.3/§2.4): the heldout token stream used to feed TWO
+    # aggregations (per-lang totals and, through a broadcast anti-join,
+    # per-lang OOV counts) — each re-deriving the tokenize+explode
+    # subtree. A broadcast LEFT join against the vocab (distinct tokens,
+    # so no fan-out) turns membership into a flag and both counts fuse
+    # into ONE aggregation pass over ONE derivation of `held` —
+    # identical counts: count(flag IS NULL) ≡ the anti-join count.
     held = tok.where(F.col("split") == "heldout")
-    oov = held.join(F.broadcast(vocab), "token", "left_anti")
-    per_lang = held.groupBy("lang").agg(
+    flagged = held.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "token", "left"
+    )
+    per_lang = flagged.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("_inv").isNull(), 1)).alias("n_oov"),
     )
-    oov_lang = oov.groupBy("lang").agg(F.count(F.lit(1)).alias("n_oov"))
     return (
-        per_lang.join(oov_lang, "lang", "left")
-        .select(
+        per_lang.select(
             "lang",
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
-            rhalf(
-                F.coalesce(F.col("n_oov"), F.lit(0)) * 1.0 / F.col("n_tokens"), 6
-            ).alias("oov_rate"),
-        )
-        .orderBy("lang")
+            F.col("n_oov").cast("long").alias("n_oov"),
+            rhalf(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        ).orderBy("lang")
     )
 
 
