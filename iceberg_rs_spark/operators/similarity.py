@@ -339,10 +339,14 @@ def lsh_topk(
 
     _check_query_batch(queries, max_query_batch, "lsh_topk")
     planes = [_hyperplane(dim, i) for i in range(num_planes)]
+    # r14: corpus-side buckets via the Arrow kernel (bit-identical sign
+    # test, see lsh_bucket_arrow) — the per-row interpreted fold grew
+    # with the corpus; the tiny query side keeps the JVM fold (one
+    # Python round trip would cost more than it saves on |Q| rows).
     emb_b = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket_arrow(F.col(vec_col), planes).alias("_bucket"),
     )
     q_b = queries.select(
         F.col(query_id_col),

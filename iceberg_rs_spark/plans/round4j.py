@@ -228,7 +228,10 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
-    b = base.withColumn("bucket", S.lsh_bucket(F.col("v"), planes))
+    # r14: Arrow bucket kernel (bit-identical sign test) — `b` feeds
+    # both the holdout slice and the candidate side, so the per-row
+    # interpreted fold ran twice over the full corpus.
+    b = base.withColumn("bucket", S.lsh_bucket_arrow(F.col("v"), planes))
     q = b.where(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
