@@ -52,60 +52,67 @@ PRIORITY: list[str] = [
     # row first), then everything else — certified names ordered
     # oldest-last-green-row first so the driver window cyclically
     # refreshes stale certifications (VERDICT r12 ask #1).
-    "events_sessionization_distributed",
-    "graph_jaccard_link_prediction",
-    "graph_triangle_count",
-    "sim_centroid_per_label",
-    "pipeline_mixture_weights",
-    "join_pit_dimension",
-    "graph_pagerank_trade",
-    "quality_expectations",
-    "agg_heavy_hitters_mg",
-    "pipeline_vocab_coverage",
-    "dedup_url_canonical",
-    "fn_string_distance",
-    "ts_downsample_m4",
-    "ts_exp_decay_features",
-    "pipeline_filter_funnel",
-    "dedup_cluster_survivorship",
-    "udf_arrow_python_scalar",
-    "agg_smoothed_rate_ranking",
-    "events_funnel_daily",
-    "events_inactivity_churn",
-    "events_ab_test_lift",
-    "events_market_basket_lift",
-    "events_gini_concentration",
-    "events_rate_change_ztest",
-    "events_bot_detection",
-    "events_user_entropy",
-    "events_dau_mau_stickiness",
-    "events_survival_km",
-    "events_session_depth_curve",
-    "events_time_to_convert",
-    "events_ltv_cohort_curve",
-    "events_new_vs_returning_daily",
-    "events_hour_of_day_profile",
-    "agg_benford_first_digit",
-    "agg_countmin_heavy_terms",
-    "agg_pmi_type_dayofweek",
-    "agg_bool_count_if_family",
-    "agg_grouping_id_labeled",
-    "agg_arg_min_max_family",
-    "agg_kmv_distinct_estimate",
-    "agg_linear_counting_distinct",
-    "agg_mom_growth",
-    "agg_chi_square_independence",
-    "agg_theil_decomposition",
-    "agg_trimmed_winsorized_mean",
-    "agg_hhi_concentration",
-    "agg_share_of_parent_rollup",
-    "ts_seasonal_naive_backtest",
-    "ts_anomaly_robust_mad",
-    "ts_ohlc_bars",
+    "pipeline_bpe_pair_merges",
+    "pipeline_dataset_card_by_source",
+    "pipeline_doc_chunking",
+    "pipeline_doc_feature_vector",
+    "pipeline_importance_resampling",
+    "pipeline_padding_waste_report",
+    "pipeline_span_corruption",
+    "sim_hybrid_rrf_fusion",
+    "sim_mmr_rerank",
+    "sim_ranking_metrics_ndcg",
+    "sim_threshold_sweep",
+    "text_js_divergence_lang",
+    "text_rake_phrases",
+    "text_term_burstiness",
+    "text_tfidf_doc_similarity",
+    "text_vocab_growth_heaps",
+    "sub_quantified_all_any",
+    "text_language_id",
+    "text_stats_profile",
+    "text_token_counts_by_lang",
+    "agg_percentiles_regression",
+    "pipeline_sequence_packing",
+    "pipeline_train_test_split",
+    "prepare_training_corpus",
+    "agg_weighted_percentiles",
+    "events_concurrent_peak",
+    "events_powerlaw_rank_fit",
+    "events_revenue_pareto_deciles",
+    "pipeline_curriculum_stages",
+    "text_repetition_signals",
+    "ts_gapfill_interpolate",
+    "dedup_component_size_profile",
+    "dedup_connected_components",
+    "dedup_exact_content_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_matrix",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_near_pairs",
+    "pipeline_dedup_purge",
+    "pipeline_training_data",
+    "pipeline_decontaminate_ngrams",
+    "pipeline_ngram_lm_quality",
+    "sim_ann_agreement",
+    "sim_ann_agreement_ivf",
+    "sim_ann_agreement_pq",
+    "sim_embedding_high_pairs",
+    "sim_knn_classify",
+    "sim_pq_topk",
+    "sim_quantized_grouped_topk",
+    "sim_quantized_topk",
+    "sim_silhouette_by_label",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "text_boilerplate_ngrams",
+    "text_tfidf_keywords",
+    "text_winnowing_fingerprints",
+    "text_zipf_token_curve",
     "ts_autocorrelation_lags",
     "ts_cusum_changepoint",
     "ts_weekday_seasonal_index",
-    "text_vocab_growth_heaps",
     "fn_variant_semistructured",
     "fn_collation_ci_grouping",
     "fn_try_error_safe",
@@ -120,24 +127,9 @@ PRIORITY: list[str] = [
     "win_rolling_median_daily",
     "win_max_drawdown_curve",
     "win_decile_transition_matrix",
-    "sim_hybrid_rrf_fusion",
-    "sim_mmr_rerank",
-    "sim_ranking_metrics_ndcg",
-    "sim_threshold_sweep",
     "sim_vector_stats_profile",
     "text_code_detection",
-    "text_rake_phrases",
-    "text_js_divergence_lang",
-    "text_term_burstiness",
-    "text_tfidf_doc_similarity",
-    "pipeline_doc_chunking",
-    "pipeline_span_corruption",
-    "pipeline_bpe_pair_merges",
     "pipeline_conversation_assembly",
-    "pipeline_dataset_card_by_source",
-    "pipeline_importance_resampling",
-    "pipeline_padding_waste_report",
-    "pipeline_doc_feature_vector",
     "pipeline_epoch_shuffle_batches",
     "graph_label_propagation",
     "graph_bfs_shortest_hops",
@@ -148,7 +140,6 @@ PRIORITY: list[str] = [
     "join_null_safe_keys",
     "join_interval_coalesce_union",
     "sub_in_exists_family",
-    "sub_quantified_all_any",
     "ingest_orc_roundtrip",
     "ts_cross_correlation_leadlag",
     "agg_collect_sorted",
@@ -213,9 +204,6 @@ PRIORITY: list[str] = [
     "multimodal_decode_features",
     "skew_salted_agg",
     "skew_salted_join",
-    "text_language_id",
-    "text_stats_profile",
-    "text_token_counts_by_lang",
     "udf_grouped_agg_median",
     "udf_grouped_map_zscore",
     "udf_map_in_arrow_bytes",
@@ -223,7 +211,6 @@ PRIORITY: list[str] = [
     "udf_scalar_python_classify",
     "udf_udtf_sequence",
     "agg_corr_covar",
-    "agg_percentiles_regression",
     "fn_array_hof_family",
     "fn_math_family",
     "fn_unpivot_melt",
@@ -231,9 +218,6 @@ PRIORITY: list[str] = [
     "multimodal_audio_features",
     "multimodal_resize_thumbnail",
     "multimodal_video_frame_sample",
-    "pipeline_sequence_packing",
-    "pipeline_train_test_split",
-    "prepare_training_corpus",
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_lines_by_status",
@@ -252,13 +236,6 @@ PRIORITY: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "text_repetition_signals",
-    "ts_gapfill_interpolate",
-    "agg_weighted_percentiles",
-    "events_concurrent_peak",
-    "events_powerlaw_rank_fit",
-    "events_revenue_pareto_deciles",
-    "pipeline_curriculum_stages",
     "win_skyline_pareto_frontier",
     "join_asof_tolerance_left",
     "table_snapshots_metadata",
@@ -267,16 +244,7 @@ PRIORITY: list[str] = [
     "table_vacuum_lifecycle_audit",
     "table_wap_publish",
     "table_zorder_rewrite",
-    "dedup_component_size_profile",
-    "dedup_connected_components",
-    "dedup_exact_content_hash",
     "dedup_lsh_quality_eval",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_matrix",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_near_pairs",
-    "pipeline_dedup_purge",
-    "pipeline_training_data",
     "text_containment_pairs",
     "pipeline_lsh_scurve_planner",
     "sim_rank_correlation_kendall",
@@ -306,39 +274,21 @@ PRIORITY: list[str] = [
     "stream_trending_topk",
     "stream_tumbling_window",
     "stream_windowed_distinct_users",
-    "sim_ann_agreement",
-    "sim_ann_agreement_ivf",
-    "sim_ann_agreement_pq",
-    "sim_embedding_high_pairs",
-    "sim_knn_classify",
-    "sim_pq_topk",
-    "sim_quantized_grouped_topk",
-    "sim_quantized_topk",
-    "sim_silhouette_by_label",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
     "stream_cdc_upsert_icelake",
     "stream_ingest_icelake",
     "stream_stateful_user_sessions",
     "stream_stream_abandoned_clicks",
-    "text_winnowing_fingerprints",
     "events_funnel_conversion",
     "events_cohort_retention",
     "text_pii_redaction",
-    "pipeline_decontaminate_ngrams",
-    "text_boilerplate_ngrams",
     "join_bloom_prefilter",
     "events_rolling_active_users",
     "events_sessionization_batch",
     "events_attribution_last_touch",
     "pipeline_scd2_intervals",
-    "pipeline_ngram_lm_quality",
     "pipeline_stratified_sample",
     "pipeline_domain_cap",
     "events_path_transitions",
-    "text_tfidf_keywords",
-    "text_zipf_token_curve",
     "multimodal_pixel_dedup",
     "fn_bitwise_family",
     "fn_trig_family",
@@ -346,6 +296,56 @@ PRIORITY: list[str] = [
     "agg_higher_moments",
     "events_rfm_segments",
     "events_anomaly_daily_zscore",
+    "events_sessionization_distributed",
+    "graph_jaccard_link_prediction",
+    "graph_triangle_count",
+    "sim_centroid_per_label",
+    "pipeline_mixture_weights",
+    "join_pit_dimension",
+    "graph_pagerank_trade",
+    "quality_expectations",
+    "agg_heavy_hitters_mg",
+    "pipeline_vocab_coverage",
+    "dedup_url_canonical",
+    "fn_string_distance",
+    "ts_downsample_m4",
+    "ts_exp_decay_features",
+    "pipeline_filter_funnel",
+    "dedup_cluster_survivorship",
+    "udf_arrow_python_scalar",
+    "agg_smoothed_rate_ranking",
+    "events_funnel_daily",
+    "events_inactivity_churn",
+    "events_ab_test_lift",
+    "events_market_basket_lift",
+    "events_gini_concentration",
+    "events_rate_change_ztest",
+    "events_bot_detection",
+    "events_user_entropy",
+    "events_dau_mau_stickiness",
+    "events_survival_km",
+    "events_session_depth_curve",
+    "events_time_to_convert",
+    "events_ltv_cohort_curve",
+    "events_new_vs_returning_daily",
+    "events_hour_of_day_profile",
+    "agg_benford_first_digit",
+    "agg_countmin_heavy_terms",
+    "agg_pmi_type_dayofweek",
+    "agg_bool_count_if_family",
+    "agg_grouping_id_labeled",
+    "agg_arg_min_max_family",
+    "agg_kmv_distinct_estimate",
+    "agg_linear_counting_distinct",
+    "agg_mom_growth",
+    "agg_chi_square_independence",
+    "agg_theil_decomposition",
+    "agg_trimmed_winsorized_mean",
+    "agg_hhi_concentration",
+    "agg_share_of_parent_rollup",
+    "ts_seasonal_naive_backtest",
+    "ts_anomaly_robust_mad",
+    "ts_ohlc_bars",
     "agg_approx_sketches",
     "fn_hash_engine_specific",
 ]
