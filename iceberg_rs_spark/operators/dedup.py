@@ -87,15 +87,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, target_bytes: "int | None" = None) -> DataFrame:
     """Redistribute a narrow scan before compute-heavy per-row work.
     A single small parquet file arrives as one partition, serializing
     the hash pipeline on one core; at real scale the scan has many
     splits and this is a no-op. One cheap shuffle of raw rows buys
-    full-cluster parallelism on everything downstream."""
+    full-cluster parallelism on everything downstream. r15: the
+    partition count derives from the input size
+    (skew.spread_partitions) instead of a fixed full-width fan-out —
+    32 near-empty kernel tasks on a sub-MB input each pay fixed
+    scheduling + Python round-trip cost for almost no rows (the r14
+    driver's 8-core run was FASTER on these queries); real inputs
+    saturate the cluster-width cap unchanged."""
+    from iceberg_rs_spark.operators.skew import spread_partitions
+
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    cur = df.rdd.getNumPartitions()
+    if cur < sc.defaultParallelism:
+        n = spread_partitions(df, sc.defaultParallelism, target_bytes)
+        if n > cur:
+            return df.repartition(n)
     return df
 
 
@@ -110,9 +121,16 @@ def shingle_rows(
     references only an attribute (interpreted HOF lambdas re-evaluate
     outer *expressions* once per element — staging keeps tokenization
     O(words), not O(words²), per row). Docs with < k tokens vanish."""
-    w = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_w")
-    )
+    from iceberg_rs_spark.operators.skew import HASH_PIPELINE_TARGET_BYTES
+
+    # r15: the downstream signature stage runs `num_hashes` seeded md5s
+    # per shingle row — compute-dense far beyond its input bytes, so it
+    # saturates width early (the default byte target chose 2 partitions
+    # at sf0.1 and the signature stage ran 4.7 s vs ~1.2 s full-width).
+    w = _spread(
+        df.select(F.col(id_col), F.col(text_col)),
+        target_bytes=HASH_PIPELINE_TARGET_BYTES,
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
     return w.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_of_tokens(F.col("_w"), shingle_k))).alias("_s"),
@@ -196,16 +214,26 @@ def _bucketed_pairs(
     passed."""
     carry = carry_cols or []
     if max_bucket_width is None:
-        a, b = keyed.alias("a"), keyed.alias("b")
-        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        for c in bucket_cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        return a.join(b, cond).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
-            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        # r15 (guide §3.2, VERDICT r14 #6): width >= 2 semi-join
+        # prefilter. A width-1 bucket emits no pairs, and in organic
+        # banding MOST buckets are width-1 — they only inflate both
+        # shuffle/sort sides of the self-join. Filtering them first is
+        # provably output-identical (every surviving pair's bucket has
+        # width >= 2 by definition of a pair). The widths aggregate is
+        # map-side-partial (one row per distinct bucket crosses), and
+        # the filtered relation is barriered because BOTH self-join
+        # aliases reference it (no ReusedExchange across the pair) —
+        # colliding rows are the join's working set, strictly smaller
+        # than `keyed`.
+        widths = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bw"))
+        colliding = barrier(
+            keyed.join(
+                widths.where(F.col("_bw") >= 2).select(*bucket_cols),
+                bucket_cols,
+                "left_semi",
+            )
         )
+        return _all_pairs_join(colliding, id_col, bucket_cols, carry)
     # Bucket width via hash aggregation (map-side partials) + equi-join,
     # NOT a count window: Window.partitionBy(bucket) would materialize
     # every row of the hot bucket in ONE task — the exact single-point
@@ -217,11 +245,36 @@ def _bucketed_pairs(
     keyed = barrier(keyed)
     widths = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bw"))
     wide = keyed.join(widths, bucket_cols)
-    small = wide.where(F.col("_bw") <= max_bucket_width).drop("_bw")
-    exact = _bucketed_pairs(small, id_col, bucket_cols, None, carry)
+    # _bw >= 2 is the same prefilter for free — width-1 buckets cannot
+    # pair (the widths are already joined on here).
+    small = wide.where(
+        (F.col("_bw") <= max_bucket_width) & (F.col("_bw") >= 2)
+    ).drop("_bw")
+    exact = _all_pairs_join(small, id_col, bucket_cols, carry)
     big = wide.where(F.col("_bw") > max_bucket_width).drop("_bw")
     chain = _chain_pairs_distributed(big, id_col, bucket_cols, carry)
     return exact.unionByName(chain)
+
+
+def _all_pairs_join(
+    keyed: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    carry: list[str],
+) -> DataFrame:
+    """The raw (id_a < id_b) bucket self-join — factored out so the
+    armed path's small-bucket arm does not recompute the widths its
+    caller already joined on."""
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+    )
 
 
 def _chain_pairs_distributed(

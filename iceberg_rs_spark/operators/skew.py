@@ -78,8 +78,62 @@ def salted_join(
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
 
 
+#: Default for ``spark.icelake.spread.targetBytesPerTask``: how many
+#: (optimizer-estimated) input bytes one spread task should carry.
+#: Sized from measured fixed per-task cost on the reference box —
+#: ~20-60 ms of scheduling + (for kernel operators) Python round-trip
+#: per task, vs per-row heavy work worth ~0.2-1 ms/KB — so a task
+#: under ~a few hundred KB is mostly overhead. At any real scale the
+#: ceiling (shuffle partitions / cluster width) binds long before this
+#: constant matters: it only governs the tiny-input regime, where
+#: fixed 32-task fan-out measurably LOSES to narrower plans (the r14
+#: driver's 8-core run beat the 32-core run on exactly these queries).
+SPREAD_TARGET_BYTES_CONF = "spark.icelake.spread.targetBytesPerTask"
+SPREAD_TARGET_BYTES_DEFAULT = 256 << 10
+
+#: Per-callsite override for pipelines whose per-byte COMPUTE is an
+#: order of magnitude above a plain projection (seeded-hash families:
+#: 12 md5s per shingle row, k-gram winnowing) — input bytes understate
+#: their work, so they saturate full width at ~10x fewer bytes.
+#: Measured: minhash signatures at sf0.1 ran 4.7 s on the 2 partitions
+#: the default target chose vs ~1.2 s at full width.
+HASH_PIPELINE_TARGET_BYTES = 16 << 10
+
+
+def spread_partitions(
+    df: DataFrame, cap: int, target_bytes: "int | None" = None
+) -> int:
+    """Input-size-derived partition count for spreading a NARROW
+    relation before per-row-heavy work: ceil(estimated bytes / target)
+    clamped to [2, cap]. The estimate is the optimizer's sizeInBytes
+    (file-size-based for scans — computed without running a job); when
+    unavailable, falls back to ``cap`` (the pre-r15 behavior).
+    ``target_bytes`` overrides the conf for compute-dense callsites
+    (see :data:`HASH_PIPELINE_TARGET_BYTES`)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
+    if size <= 0 or size > (64 << 40):  # unknown/default-huge estimate
+        return cap
+    target = target_bytes
+    if target is None:
+        try:
+            target = int(
+                df.sparkSession.conf.get(
+                    SPREAD_TARGET_BYTES_CONF, str(SPREAD_TARGET_BYTES_DEFAULT)
+                )
+            )
+        except (TypeError, ValueError):
+            target = SPREAD_TARGET_BYTES_DEFAULT
+    return max(2, min(cap, -(-size // target)))
+
+
 def spread_by_range(
-    df: DataFrame, *order_cols, num_partitions: "int | None" = None
+    df: DataFrame,
+    *order_cols,
+    num_partitions: "int | None" = None,
+    target_bytes: "int | None" = None,
 ) -> DataFrame:
     """Range-repartition a NARROW relation by its final presentation
     order BEFORE per-row-heavy projections (r14, guide §2.5 input
@@ -102,17 +156,23 @@ def spread_by_range(
        within) while sampling only the narrow scan and evaluating the
        heavy projection exactly once.
 
-    Partition count defaults to ``spark.sql.shuffle.partitions`` —
-    the knob the cluster sizes for every other shuffle — never a
+    Partition count defaults to the input-size-derived
+    :func:`spread_partitions` capped at ``spark.sql.shuffle.partitions``
+    — the knob the cluster sizes for every other shuffle — never a
     dev-box literal (same rationale as packing._resolve_partitions).
-    Callers MUST pair this with ``sortWithinPartitions`` on the same
-    key prefix when the query's declared output is ordered.
+    r15: the cap alone over-fans tiny inputs (32 near-empty tasks per
+    downstream stage on a sub-MB scan — the r14 driver's 8-core run
+    beat 32 cores on exactly these queries); real inputs still
+    saturate the cap. Callers MUST pair this with
+    ``sortWithinPartitions`` on the same key prefix when the query's
+    declared output is ordered.
     """
     if num_partitions is None:
         try:
-            num_partitions = int(
+            cap = int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
         except (TypeError, ValueError):
-            num_partitions = int(df.sparkSession.sparkContext.defaultParallelism)
+            cap = int(df.sparkSession.sparkContext.defaultParallelism)
+        num_partitions = spread_partitions(df, cap, target_bytes)
     return df.repartitionByRange(num_partitions, *[F.col(c) if isinstance(c, str) else c for c in order_cols])

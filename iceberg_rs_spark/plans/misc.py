@@ -205,16 +205,8 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iceberg_rs_spark.functions.transforms import hours_from_epoch
 
-    from iceberg_rs_spark.operators.dedup import barrier
-
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
-    # Barrier (r14, guide §2.4): `hourly` feeds both the span bounds
-    # and the grid left-join — without it the events scan + hash
-    # aggregate ran twice (before-plan: 2 parquet scans of events, 8
-    # Exchanges). The barriered relation is one row per (user, hour)
-    # bucket — the POST-aggregation size, bounded by users x span, not
-    # by event volume.
-    hourly = barrier(
+    hourly = (
         ev.select(
             "user_id",
             hours_from_epoch(F.col("ts")).cast("long").alias("hidx"),
@@ -223,41 +215,50 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "hidx")
         .agg(F.avg("value").alias("v"))
     )
-    spans = hourly.groupBy("user_id").agg(
-        F.min("hidx").alias("mn"), F.max("hidx").alias("mx")
-    )
-    grid = spans.select(
-        "user_id", F.explode(F.sequence("mn", "mx")).alias("hidx")
-    )
-    j = grid.join(hourly, ["user_id", "hidx"], "left")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("hidx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("hidx")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    present_h = F.when(F.col("v").isNotNull(), F.col("hidx"))
-    ctx = j.select(
+    # r15 (guide §2.4, VERDICT r14 #3): the r14 shape derived `hourly`
+    # into BOTH the span-bounds aggregate and the grid left-join and
+    # bridged the fan-out with a barrier whose fixed localCheckpoint
+    # job cost more in-sweep than the saved re-aggregation. The dense
+    # grid + IGNORE NULLS windows are equivalent to ONE lead() pass
+    # over the PRESENT hours: between two consecutive present hours ph
+    # and nh, every missing grid hour h in (ph, nh) interpolates
+    # between exactly those neighbors (last/first IGNORE NULLS resolve
+    # to them), and the per-user grid [mn, mx] is exactly the union of
+    # the [ph, nh) intervals plus the last present hour. So each
+    # present row emits sequence(ph, nh-1) (itself plus its gap) — no
+    # second derivation, no join, no barrier; linear in present hours
+    # at any scale. The interpolation expression reproduces the same
+    # IEEE operation order as the window form.
+    w = Window.partitionBy("user_id").orderBy("hidx")
+    nxt = hourly.select(
         "user_id",
-        "hidx",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(present_h, ignorenulls=True).over(w_prev).alias("ph"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(present_h, ignorenulls=True).over(w_next).alias("nh"),
+        F.col("hidx").alias("ph"),
+        F.col("v").alias("pv"),
+        F.lead("hidx").over(w).alias("nh"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    span = nxt.select(
+        "user_id",
+        "ph",
+        "pv",
+        "nh",
+        "nv",
+        F.explode(
+            F.sequence(
+                F.col("ph"), F.coalesce(F.col("nh") - 1, F.col("ph"))
+            )
+        ).alias("hidx"),
     )
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
         F.col("hidx") - F.col("ph")
     ) * 1.0 / (F.col("nh") - F.col("ph"))
-    return ctx.select(
+    return span.select(
         "user_id",
         "hidx",
-        rhalf(F.coalesce(F.col("v"), interp), 4).alias("value"),
-        F.col("v").isNull().alias("interpolated"),
+        rhalf(
+            F.when(F.col("hidx") == F.col("ph"), F.col("pv")).otherwise(interp), 4
+        ).alias("value"),
+        (F.col("hidx") != F.col("ph")).alias("interpolated"),
     ).orderBy("user_id", "hidx")
 
 

@@ -240,10 +240,17 @@ def table_partition_evolution_reads(
         "db.events_specevo", events.schema, partition_by=[("ts", "day")]
     )
     t.append(events.where(F.col("event_id") % 8 == 0))
-    rows_spec1 = t.scan().count()
+    # r15 (guide §6, VERDICT r14 #5): the two unfiltered audit counts
+    # are served from the snapshot's manifest statistics
+    # (Table.count_rows — the standard Iceberg metadata-only COUNT(*),
+    # exact while the snapshot has no delete files, which this table
+    # never does), replacing two full multi-file Spark scan jobs. The
+    # cross-spec predicate count below still reads data — that is the
+    # read-path property this query certifies.
+    rows_spec1 = t.count_rows()
     t.set_partition_spec([("ts", "day"), ("user_id", "bucket[4]")])
     t.append(events.where(F.col("event_id") % 8 == 4))
-    rows_after = t.scan().count()
+    rows_after = t.count_rows()
     n_specs = len(t.metadata.partition_specs)
     rows_user42 = t.scan().where(F.col("user_id") == 42).count()
     audit = [

@@ -97,6 +97,16 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced by two conditional mins in ONE aggregation pass plus a
     # 2-element unpivot of the 3-row picks frame.
     agg = base.groupBy("l_returnflag", "unit_cents").agg(F.sum("w").alias("w"))
+    # r15 (VERDICT r14 #4, guide §3.3): running_sum_global's
+    # repartitionByRange SAMPLES its child (one extra scan+aggregate
+    # pass) and the persist then materializes the same subtree again —
+    # first execution paid the lineitem scan + hash aggregate twice.
+    # Checkpointing the aggregated relation (bounded by the cents
+    # domain at any corpus scale, ~515k rows at sf0.1) makes both the
+    # sampler and the range shuffle read the materialized rows.
+    from iceberg_rs_spark.operators.dedup import barrier
+
+    agg = barrier(agg)
     cum = running_sum_global(
         agg,
         [F.col("unit_cents")],

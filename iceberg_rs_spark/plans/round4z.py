@@ -290,16 +290,38 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
     )
-    pos = docs.select(
-        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("p", "term")
+    # r15 (guide §2.3 "aggregate before you shuffle", VERDICT r14 #2):
+    # the r14 shape ranked EVERY token row through a per-term
+    # row_number window (full sort shuffle of the token stream) and
+    # then shuffled every token row again into the per-doc groupBy. A
+    # term's first occurrence is just min(struct(doc_id, p)) — the
+    # row_number()==1 row under ORDER BY (doc_id, p) — which
+    # aggregates with MAP-SIDE partials: only one row per distinct
+    # term crosses the network; token rows themselves never shuffle at
+    # any corpus scale. The token arrays are materialized ONCE behind
+    # a barrier (one row per doc — the same size class as the dedup
+    # fingerprint barriers) because both the explode branch and the
+    # per-doc count read them; the count itself is just size(_w), no
+    # explode needed.
+    from iceberg_rs_spark.operators.dedup import barrier
+
+    # The in-document position p is only a tie-break WITHIN one doc in
+    # the oracle's ROW_NUMBER ORDER BY (doc_id, p) — the first
+    # occurrence's DOCUMENT is simply min(doc_id) over the docs
+    # containing the term, so the aggregate is a plain long min
+    # (HashAggregate with partials; a struct-min would plan as a
+    # SortAggregate and sort the token stream per partition).
+    toks = barrier(
+        docs.select("doc_id", T.tokens(F.col("text")).alias("_w")).where(
+            F.size("_w") > 0
+        )
     )
-    w_first = Window.partitionBy("term").orderBy("doc_id", "p")
-    firsts = pos.withColumn(
-        "is_first",
-        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
-    )
-    per_doc = firsts.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"), F.sum("is_first").alias("n_new")
+    n_tok = toks.select("doc_id", F.size("_w").cast("long").alias("n_tok"))
+    terms = toks.select("doc_id", F.explode("_w").alias("term"))
+    first_at = terms.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    n_new = first_at.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    per_doc = barrier(
+        n_tok.join(n_new, "doc_id", "left").na.fill({"n_new": 0})
     )
     cum = running_sum_global(
         per_doc,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from iceberg_rs_spark.sources.fixtures import load_table
 from iceberg_rs_spark.sources.icelake import Catalog
+from tests.conftest import diff_seeds
 
 
 @pytest.fixture()
@@ -2319,6 +2320,36 @@ class TestRewritePositionDeletes:
             t.rewrite_position_deletes()
 
 
+class TestCountRowsFromManifests:
+    """r15: Table.count_rows serves COUNT(*) from manifest statistics
+    (sum of live data-file record_counts) — must equal scan().count()
+    exactly, and must FALL BACK to the real scan as soon as any delete
+    file makes per-file liveness data-dependent."""
+
+    def test_count_rows_matches_scan_across_appends_and_specs(
+        self, catalog, events_df
+    ):
+        sub = events_df.where(F.col("user_id") < 200)
+        t = catalog.create_table(
+            "db.cnt_rows", sub.schema, partition_by=[("ts", "day")]
+        )
+        assert t.count_rows() == 0
+        t.append(sub.where(F.col("event_id") % 2 == 0))
+        assert t.count_rows() == t.scan().count()
+        t.set_partition_spec([("ts", "day"), ("user_id", "bucket[4]")])
+        t.append(sub.where(F.col("event_id") % 2 == 1))
+        assert t.count_rows() == t.scan().count()
+
+    def test_count_rows_falls_back_under_mor_deletes(self, catalog, events_df):
+        sub = events_df.where(F.col("user_id") < 120)
+        t = catalog.create_table("db.cnt_rows_mor", sub.schema)
+        t.append(sub)
+        t.delete("user_id < 10", mode="merge-on-read")
+        # delete files present → manifest sums over-count; the fallback
+        # must return the true post-delete count.
+        assert t.count_rows() == t.scan().count()
+
+
 class TestMetadataOnlyDelete:
     """Partition-aligned DELETE fast path: files whose stats prove every
     row matches are dropped from the snapshot without a rewrite."""
@@ -2653,7 +2684,7 @@ class TestRandomizedLifecycleDifferential:
         from collections import Counter
 
         ops_seen: Counter = Counter()
-        for seed in (11, 23, 37):
+        for seed in diff_seeds(11, 23, 37):
             rnd = random.Random(seed)
             t = catalog.create_table(
                 f"db.rand_lifecycle_{seed}",
@@ -3217,7 +3248,7 @@ class TestRandomizedLifecycleDifferential:
             return sorted((i, *v) for i, v in st.items())
 
         ops_seen: Counter = Counter()
-        for seed in (101, 211, 307):
+        for seed in diff_seeds(101, 307, 211):
             rnd = random.Random(seed)
 
             def mk_uuid():
@@ -4296,7 +4327,7 @@ class TestRandomizedRollupMaintenance:
         ops_seen: Counter = Counter()
         spanning_refreshes = 0  # refreshes whose range crossed a compaction
         rebases = 0  # refreshes that hit a delete and fell back to rebuild
-        for seed in (5, 17, 41):
+        for seed in diff_seeds(5, 17, 41):
             rnd = random.Random(seed)
             t = catalog.create_table(
                 f"db.rand_rollup_{seed}",

@@ -1159,8 +1159,15 @@ class TestWinnowing:
         )
         from iceberg_rs_spark.sources.fixtures import load_table
 
-        docs = load_table(spark, sf_dir, "documents").limit(40).select(
-            "doc_id", "text"
+        # r15: the unstaged reference is deliberately O(positions * w)
+        # under interpreted HOF lambdas — at 40 full-length docs this
+        # one test cost 290 s (the whole suite must fit the driver's
+        # verify budget; VERDICT r14 #1). 24 docs truncated to 800
+        # chars exercise identical code paths (tokenization variety,
+        # k-gram windows, min-ties) at ~1/20 the reference cost; the
+        # short-document edge cases below are unchanged.
+        docs = load_table(spark, sf_dir, "documents").limit(24).select(
+            "doc_id", F.substring("text", 1, 800).alias("text")
         )
         edge = spark.createDataFrame(
             [
