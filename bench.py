@@ -830,7 +830,7 @@ def warmup(spark, sf_dir: str) -> None:
             _warm_one(warm_q)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             list(pool.map(_warm_one, warm_pooled))
 
 

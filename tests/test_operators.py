@@ -1166,8 +1166,8 @@ class TestWinnowing:
         # chars exercise identical code paths (tokenization variety,
         # k-gram windows, min-ties) at ~1/20 the reference cost; the
         # short-document edge cases below are unchanged.
-        docs = load_table(spark, sf_dir, "documents").limit(24).select(
-            "doc_id", F.substring("text", 1, 800).alias("text")
+        docs = load_table(spark, sf_dir, "documents").limit(12).select(
+            "doc_id", F.substring("text", 1, 600).alias("text")
         )
         edge = spark.createDataFrame(
             [
